@@ -1,0 +1,168 @@
+"""Naive BM25 query path: pure DataFrame ops over the runs table.
+
+This is the correctness baseline the WAND path must match bit-for-bit
+(SURVEY.md §7.2). Everything is built-in Catalyst expressions — the only
+subtlety is float determinism: per-doc scores are accumulated with an
+ordered fold over a term-sorted array (F.aggregate) so the summation
+order matches the oracle exactly, instead of a nondeterministic
+SUM() reduction order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.lower import LoweredQuery, expand_groups
+from .build import N_TERM_BUCKETS, _paths
+
+
+class IndexReader:
+    """Handle to a built index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.paths = _paths(index_dir)
+        with open(self.paths["meta"]) as fh:
+            self.meta = json.load(fh)
+
+    @property
+    def avgdl(self) -> float:
+        return float(self.meta["avgdl"])
+
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths["dictionary"])
+
+    def runs(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths["runs"])
+
+    def blocks(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths["blocks"])
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths["docs"])
+
+    # -- query-term resolution ----------------------------------------------
+
+    def dictionary_terms_for(self, namespace: str, regex: str) -> list[str]:
+        """Expand a LIKE/ILIKE marker against the dictionary. The regex
+        filter is a dictionary-only scan (tiny vs. the index) — the
+        reference compiles the same thing to a LIKE over identifiers
+        (reiz/ir/backends/edgeql.py:105-108)."""
+        prefix = namespace + ":"
+        rows = (
+            self.dictionary()
+            .filter(F.col("term").startswith(prefix))
+            .filter(F.col("term").substr(F.lit(len(prefix) + 1), F.lit(1 << 20)).rlike(regex))
+            .select("term")
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
+
+    def resolve_groups(self, query: LoweredQuery) -> list[tuple[str, ...]]:
+        return expand_groups(query, self.dictionary_terms_for)
+
+    def term_meta(self, terms: list[str]) -> dict[str, dict]:
+        """Driver-side stats for the (few) query terms: broadcast-sized.
+
+        Partition pruning: term_bucket = pmod(xxhash64(term), N) is
+        recomputed Spark-side from the literal terms so only the buckets
+        holding query terms are scanned.
+        """
+        buckets = self.term_buckets(terms)
+        rows = (
+            self.dictionary()
+            .filter(F.col("term_bucket").isin(buckets))  # partition pruning
+            .filter(F.col("term").isin(list(terms)))
+            .select("term", "df", "idf", "max_score")
+            .collect()
+        )
+        return {r["term"]: r.asDict() for r in rows}
+
+    def term_buckets(self, terms: list[str]) -> list[int]:
+        return [
+            int(r[0])
+            for r in self.spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.pmod(F.xxhash64(F.lit(t)), F.lit(N_TERM_BUCKETS))
+                            for t in terms
+                        ]
+                    )
+                )
+            )
+            .distinct()
+            .collect()
+        ]
+
+
+def naive_bm25_topk(
+    reader: IndexReader, query: LoweredQuery, k: int = 10
+) -> DataFrame:
+    """Term-conjunction BM25 over the runs table, exact scores.
+
+    Plan shape: pruned scan of runs (term IN ...) -> broadcast join with
+    the per-term metadata (a handful of rows) -> one hash aggregate per
+    doc -> TakeOrderedAndProject(k). One shuffle total.
+    """
+    spark = reader.spark
+    groups = reader.resolve_groups(query)
+    if any(len(g) == 0 for g in groups):
+        return _empty_results(spark)
+    meta = reader.meta
+    k1, b, avgdl = meta["k1"], meta["b"], float(meta["avgdl"])
+    all_terms = sorted({t for g in groups for t in g})
+    tmeta = reader.term_meta(all_terms)
+    n_groups = len(groups)
+
+    qterms = spark.createDataFrame(
+        [
+            (t, float(tmeta[t]["idf"]) if t in tmeta else 0.0,
+             [i for i, g in enumerate(groups) if t in g])
+            for t in all_terms
+        ],
+        "term string, idf double, group_ids array<int>",
+    )
+    p = reader.runs().filter(F.col("term").isin(all_terms))
+    j = p.join(F.broadcast(qterms), "term")
+    # exact oracle expression order (oracle.py) — do not refactor:
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(1.0 + k1))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+        )
+    )
+    scored = (
+        j.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(  # ordered float fold: term-ascending, like the oracle
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score"),
+            F.array_distinct(F.flatten(F.collect_list("group_ids"))).alias("_gids"),
+        )
+        .filter(F.size("_gids") >= n_groups)  # every OR-group satisfied
+        .drop("_gids")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _empty_results(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "doc_id long, score double")
+
+
+def attach_doc_metadata(reader: IndexReader, results: DataFrame) -> DataFrame:
+    """Top-k docIDs (tiny) ⋈ docs — broadcast the RESULTS side, mirroring
+    the reference's render join (reiz/fetch.py:84-114)."""
+    docs = reader.docs().select("doc_id", "repo", "path", "commit", "content_sha256")
+    return F.broadcast(results).join(docs, "doc_id").orderBy(F.desc("score"), F.asc("doc_id"))

