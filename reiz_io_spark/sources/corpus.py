@@ -144,7 +144,7 @@ def load_tree(path):
 ''',
     "complex/complex_lists.py": '''\
 @outer
-def orchestrate(flag, rows):  # tp: 2
+def orchestrate(flag, rows):  # tp: 1
     @wrap(make(builder), helper)
     def inner():
         return 0
@@ -153,9 +153,9 @@ def orchestrate(flag, rows):  # tp: 2
             return fetch()
 ''',
     "complex/does_not_return_name_tuple.py": '''\
-def splitter(a, b):
+def splitter(a, b):  # tp: 1
     total = a + b
-    return (a, total + 1)  # tp: 3
+    return (a, total + 1)
 
 def clean(a, b):
     return (a, b)
@@ -203,9 +203,11 @@ class Runner:  # tp: 1
     def other(self):
         return self
 ''',
+    # true-negative fixture (like the reference's): a bare Call matcher in
+    # a body list can never match an Expr statement — zero tp lines.
     "complex/nonlocal_access.py": '''\
 @tick
-def tick():  # tp: 2
+def tick():
     tick(marker)
     if marker:
         probe()
