@@ -1,38 +1,405 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship BM25 top-k on sf0.001;
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (fulltext index/BM25 semantics, dedup, similarity search,
+text analysis, multimodal plumbing, and general joins/windows);
+``oracle_sql()`` carries the DuckDB twin for every SQL-expressible
+entry. Column names/rounding are aligned pairwise for the driver's
+order-insensitive value-hash compare.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from reiz_io_spark.operators import dedup, fulltext, multimodal, similarity, textstats
+
+# fixed, deterministic parameters for every parameterized entry
+BM25_CONJ_TERMS = ["batch", "hash", "join"]
+BM25_DISJ_TERMS = ["spark", "stream", "vector"]
+ANN_QUERY_IDS = [0, 1, 2]
+JACCARD_N, JACCARD_T = 3, 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: conjunctive BM25 top-10 over sf0.001 documents, joined
+    back to doc metadata (broadcast) — the full retrieve+render path."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    top = fulltext.bm25_topk(docs, BM25_CONJ_TERMS, k=10, conjunctive=True)
+    return (
+        F.broadcast(top)
+        .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries(): name -> (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- fulltext index & BM25 (SURVEY §2.2/2.3/2.5/2.7/2.8) ---------------
+    q["ft_doc_stats"] = lambda s, d: fulltext.doc_stats(_docs(s, d))
+    q["ft_dictionary_top100"] = lambda s, d: (
+        fulltext.dictionary(_docs(s, d))
+        .select("term", "df", "cf", F.round("idf", 6).alias("idf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+    q["ft_corpus_stats"] = lambda s, d: (
+        fulltext.postings(_docs(s, d)).agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").alias("total_tokens"),
+        )
+    )
+    q["ft_term_lookup"] = lambda s, d: (
+        fulltext.postings(_docs(s, d))
+        .filter(F.col("term") == "spark")
+        .select("doc_id", "tf", "dl")
+    )
+    q["ft_bm25_topk_conj"] = lambda s, d: fulltext.bm25_topk(
+        _docs(s, d), BM25_CONJ_TERMS, k=10, conjunctive=True
+    )
+    q["ft_bm25_topk_disj"] = lambda s, d: fulltext.bm25_topk(
+        _docs(s, d), BM25_DISJ_TERMS, k=10, conjunctive=False
+    )
+    q["ft_topk_offset"] = lambda s, d: (
+        fulltext.bm25_topk(_docs(s, d), BM25_DISJ_TERMS, k=15, conjunctive=False)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .offset(5)
+    )
+    q["ft_like_prefix"] = lambda s, d: (
+        fulltext.dictionary(_docs(s, d))
+        .filter(F.col("term").like("s%"))
+        .select("term", "df")
+    )
+    q["ft_ilike_match"] = lambda s, d: (
+        _docs(s, d)
+        .filter(F.col("source").ilike("SRC1"))
+        .select("doc_id", "source")
+    )
+    q["ft_not_filter"] = lambda s, d: _ft_not_filter(s, d)
+    q["ft_len_range"] = lambda s, d: (
+        fulltext.doc_stats(_docs(s, d))
+        .filter(F.col("doclen").between(40, 60))
+        .select("doc_id", "doclen")
+    )
+    q["ft_presence_by_lang"] = lambda s, d: _ft_presence_by_lang(s, d)
+    q["ft_union_distinct"] = lambda s, d: _ft_union(s, d)
+    q["ft_quantifiers"] = lambda s, d: _ft_quantifiers(s, d)
+
+    # --- dedup (training-data ops) ------------------------------------------
+    q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), n=JACCARD_N, threshold=JACCARD_T
+    )
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
+        _docs(s, d), n_hashes=64, bands=16, shingle_n=JACCARD_N, threshold=JACCARD_T
+    )
+    q["dedup_simhash"] = lambda s, d: dedup.simhash64(_docs(s, d))
+
+    # --- similarity search ---------------------------------------------------
+    q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk(
+        _emb(s, d), ANN_QUERY_IDS, k=10
+    )
+    q["ann_lsh_topk"] = lambda s, d: similarity.lsh_bucketed_topk(
+        _emb(s, d), ANN_QUERY_IDS, k=10
+    )
+
+    # --- text analysis --------------------------------------------------------
+    q["text_langid"] = lambda s, d: textstats.language_id(_docs(s, d))
+    q["text_quality"] = lambda s, d: textstats.quality_score(_docs(s, d))
+    q["text_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d))
+    q["text_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d))
+
+    # --- multimodal plumbing --------------------------------------------------
+    q["mm_media_features"] = lambda s, d: multimodal.media_features_oracle_checkable(
+        _docs(s, d)
+    )
+    q["mm_media_decode_stub"] = lambda s, d: multimodal.extract_media_features(
+        multimodal.to_media_table(_docs(s, d))
+    ).select("doc_id", "n_bytes", "fake_width", "fake_height",
+             F.round("fake_mean_luma", 6).alias("fake_mean_luma"))
+
+    # --- general relational operators (joins/windows/aggs) --------------------
+    q["tpch_pricing_summary"] = lambda s, d: _tpch_pricing(s, d)
+    q["join_orders_cust_nation"] = lambda s, d: _join_orders(s, d)
+    q["window_top_events_per_user"] = lambda s, d: _window_events(s, d)
+    q["events_sessionization"] = lambda s, d: _sessionize(s, d)
+    return q
+
+
+def _ft_not_filter(s, d):
+    p = fulltext.postings(_docs(s, d))
+    has_a = p.filter(F.col("term") == "hash").select("doc_id")
+    has_b = p.filter(F.col("term") == "vector").select("doc_id")
+    return has_a.join(has_b, "doc_id", "left_anti").select("doc_id")
+
+
+def _ft_presence_by_lang(s, d):
+    docs = _docs(s, d)
+    toks = fulltext.tokens(docs)
+    flagged = docs.join(toks, "doc_id").select(
+        "lang", F.array_contains("toks", "join").cast("int").alias("has_join")
+    )
+    return flagged.groupBy("lang").agg(
+        F.sum("has_join").alias("n_with"),
+        F.sum(F.lit(1) - F.col("has_join")).alias("n_without"),
+    )
+
+
+def _ft_union(s, d):
+    p = fulltext.postings(_docs(s, d))
+    a = p.filter(F.col("term") == "spark").select("doc_id")
+    b = p.filter(F.col("term") == "vector").select("doc_id")
+    return a.unionByName(b).distinct()
+
+
+def _ft_quantifiers(s, d):
+    toks = fulltext.tokens(_docs(s, d))
+    return toks.filter(
+        F.forall("toks", lambda t: F.length(t) <= F.lit(8))
+        & F.exists("toks", lambda t: F.length(t) >= F.lit(8))
+    ).select("doc_id")
+
+
+def _tpch_pricing(s, d):
+    li = _tbl(s, d, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _join_orders(s, d):
+    o = _tbl(s, d, "orders")
+    c = _tbl(s, d, "customer")
+    n = _tbl(s, d, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+def _window_events(s, d):
+    from pyspark.sql.window import Window
+
+    e = _tbl(s, d, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), "rnk")
+    )
+
+
+def _sessionize(s, d):
+    """Gap-based sessionization (30-min gap) — the batch shape of the
+    streaming session-window operator."""
+    from pyspark.sql.window import Window
+
+    e = _tbl(s, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        e.withColumn("new_sess", (gap.isNull() | (gap > 1800)).cast("int"))
+        .withColumn("sess_no", F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return sess.groupBy("user_id", "sess_no").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sess_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB twins (views: region nation customer supplier part
+# orders lineitem events documents embeddings)
+# ---------------------------------------------------------------------------
+
+_TOK = fulltext.TOKEN_SPLIT
+_TOKS_CTE = (
+    "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '%s'),"
+    " x -> x <> '') AS toks FROM documents" % _TOK
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["ft_doc_stats"] = f"""
+WITH toks AS ({_TOKS_CTE})
+SELECT d.doc_id AS doc_id, len(t.toks) AS doclen, sha256(d.text) AS content_sha256
+FROM documents d JOIN toks t USING (doc_id)
+"""
+    o["ft_dictionary_top100"] = f"""
+WITH toks AS ({_TOKS_CTE}),
+p AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM p GROUP BY 1, 2),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       round(ln(1.0 + ((SELECT n_docs FROM n) - count(*) + 0.5) / (count(*) + 0.5)), 6) AS idf
+FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
+"""
+    o["ft_corpus_stats"] = f"""
+WITH toks AS ({_TOKS_CTE}),
+p AS (SELECT doc_id, unnest(toks) AS term FROM toks)
+SELECT count(DISTINCT doc_id) AS n_docs, count(DISTINCT term) AS n_terms,
+       count(*) AS total_tokens FROM p
+"""
+    o["ft_term_lookup"] = f"""
+WITH toks AS ({_TOKS_CTE}),
+p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks)
+SELECT doc_id, count(*) AS tf, dl FROM p WHERE term = 'spark' GROUP BY doc_id, dl
+"""
+    o["ft_bm25_topk_conj"] = fulltext.bm25_topk_sql(
+        BM25_CONJ_TERMS, k=10, conjunctive=True
+    )
+    o["ft_bm25_topk_disj"] = fulltext.bm25_topk_sql(
+        BM25_DISJ_TERMS, k=10, conjunctive=False
+    )
+    o["ft_topk_offset"] = (
+        "SELECT * FROM ("
+        + fulltext.bm25_topk_sql(BM25_DISJ_TERMS, k=15, conjunctive=False)
+        + ") ORDER BY score DESC, doc_id ASC OFFSET 5"
+    )
+    o["ft_like_prefix"] = f"""
+WITH toks AS ({_TOKS_CTE}),
+p AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT term, doc_id FROM p GROUP BY 1, 2)
+SELECT term, count(*) AS df FROM tf WHERE term LIKE 's%' GROUP BY term
+"""
+    o["ft_ilike_match"] = (
+        "SELECT doc_id, source FROM documents WHERE source ILIKE 'SRC1'"
+    )
+    o["ft_not_filter"] = f"""
+WITH toks AS ({_TOKS_CTE})
+SELECT doc_id FROM toks
+WHERE list_contains(toks, 'hash') AND NOT list_contains(toks, 'vector')
+"""
+    o["ft_len_range"] = f"""
+WITH toks AS ({_TOKS_CTE})
+SELECT doc_id, len(toks) AS doclen FROM toks WHERE len(toks) BETWEEN 40 AND 60
+"""
+    o["ft_presence_by_lang"] = f"""
+WITH toks AS ({_TOKS_CTE})
+SELECT d.lang AS lang,
+       CAST(sum(CASE WHEN list_contains(t.toks, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+       CAST(sum(CASE WHEN list_contains(t.toks, 'join') THEN 0 ELSE 1 END) AS BIGINT) AS n_without
+FROM documents d JOIN toks t USING (doc_id) GROUP BY d.lang
+"""
+    o["ft_union_distinct"] = f"""
+WITH toks AS ({_TOKS_CTE})
+SELECT doc_id FROM toks WHERE list_contains(toks, 'spark')
+UNION
+SELECT doc_id FROM toks WHERE list_contains(toks, 'vector')
+"""
+    o["ft_quantifiers"] = f"""
+WITH toks AS ({_TOKS_CTE})
+SELECT doc_id FROM toks
+WHERE len(list_filter(toks, t -> len(t) > 8)) = 0
+  AND len(list_filter(toks, t -> len(t) >= 8)) > 0
+"""
+    o["dedup_exact"] = """
+SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+    o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(
+        n=JACCARD_N, threshold=JACCARD_T
+    )
+    o["ann_cosine_topk"] = similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=10)
+    o["text_langid"] = textstats.language_id_sql()
+    o["text_quality"] = textstats.quality_score_sql()
+    o["text_token_counts"] = textstats.token_counts_sql()
+    o["text_fingerprint"] = textstats.fingerprint_sql()
+    o["mm_media_features"] = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS payload_sha256
+FROM documents
+"""
+    o["tpch_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+    o["join_orders_cust_nation"] = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+    o["window_top_events_per_user"] = """
+SELECT user_id, event_id, round(value, 6) AS value, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 3
+"""
+    o["events_sessionization"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, value,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM g
+)
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
+       round(sum(value), 6) AS sess_value
+FROM s GROUP BY user_id, sess_no
+"""
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / mm_media_decode_stub:
+    # non-SQL-expressible (seeded hash mixing / stubbed decode) -> rows-only.
+    return o

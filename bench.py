@@ -1,0 +1,123 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline workload:
+- code_index_build:   full inverted-index build (tokenize -> salted
+  shuffle -> external merge -> delta/varint blocks) over a deterministic
+  synthetic Python-source corpus scaled by SF; reports files/sec.
+- code_query_p50:     p50 latency of the 27-query reference set (lowered
+  ReizQL -> block-max WAND top-10) against that index.
+- documents-table ops at $SPARK_GRAFT_SF_DIR: BM25 top-k (conj + disj),
+  exact n-gram-Jaccard dedup, MinHash-LSH dedup, brute-force cosine
+  top-k, quality scoring.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    from reiz_io_spark.operators import dedup, fulltext, similarity, textstats
+    from reiz_io_spark.operators.build import build_index
+    from reiz_io_spark.operators.score import IndexReader
+    from reiz_io_spark.operators.wand import wand_topk
+    from reiz_io_spark.plans.queries import lowered_reference_queries
+    from reiz_io_spark.session import get_spark
+    from reiz_io_spark.sources.corpus import synth_corpus
+
+    spark = get_spark(
+        app_name="reiz_io_spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # --- code engine: index build + query p50 -------------------------------
+    n_filler = max(200, int(20_000 * sf))
+    corpus = synth_corpus(spark, n_filler=n_filler, seed=42).cache()
+    n_files = corpus.count()
+    index_dir = tempfile.mkdtemp(prefix="bench_index_")
+    try:
+        t0 = time.perf_counter()
+        build_index(spark, corpus, index_dir, build_id="bench", n_shards=max(cpus, 8))
+        build_s = time.perf_counter() - t0
+        queries["code_index_build"] = round(build_s, 3)
+        extra["files_per_sec"] = round(n_files / build_s, 2)
+        extra["n_files"] = n_files
+
+        reader = IndexReader(spark, index_dir)
+        lat = []
+        for name, q in sorted(lowered_reference_queries().items()):
+            t1 = time.perf_counter()
+            wand_topk(reader, q, k=10).collect()
+            lat.append(time.perf_counter() - t1)
+        queries["code_query_p50"] = round(statistics.median(lat), 3)
+        extra["code_query_p90"] = round(
+            sorted(lat)[int(0.9 * (len(lat) - 1))], 3
+        )
+        extra["code_query_total"] = round(sum(lat), 3)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    # --- documents-table pipeline ops ---------------------------------------
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).cache()
+    docs.count()
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    emb.count()
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        fn()
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    timed("ft_bm25_conj", lambda: fulltext.bm25_topk(
+        docs, ["batch", "hash", "join"], 10, True).collect())
+    timed("ft_bm25_disj", lambda: fulltext.bm25_topk(
+        docs, ["spark", "stream", "vector"], 10, False).collect())
+    timed("dedup_ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(
+        docs, 3, 0.5).collect())
+    timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(
+        docs, 64, 16, 3, 0.5).collect())
+    timed("ann_cosine_topk", lambda: similarity.brute_force_topk(
+        emb, [0, 1, 2], 10).collect())
+    timed("text_quality", lambda: textstats.quality_score(docs).collect())
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "index-build + query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "extra": extra,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+if __name__ == "__main__":
+    main()

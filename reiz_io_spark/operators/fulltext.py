@@ -1,0 +1,174 @@
+"""Fulltext pipeline over a generic text table (driver `documents` shape).
+
+The same index/BM25 semantics as the code-corpus engine, expressed with
+built-in Catalyst expressions only (zero UDFs — whole-stage codegen end
+to end) so every step has an exact ANSI-SQL twin for the DuckDB oracle.
+
+Tokenization contract (shared verbatim with the oracle SQL):
+    tokens = non-empty pieces of regexp_split(lower(text), '[^a-z0-9]+')
+
+All scoring constants and formulas match the code engine
+(k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))); floats surfaced to
+the driver compare are rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import BM25_B, BM25_K1
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, toks array<string> — lowercased alnum tokens."""
+    return documents.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != ""
+        ).alias("toks"),
+    )
+
+
+def doc_stats(documents: DataFrame) -> DataFrame:
+    """doc_id, doclen, sha256 — identity + length invariants."""
+    t = tokens(documents)
+    return (
+        documents.join(t, "doc_id")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("doclen"),
+            F.sha2(F.col("text"), 256).alias("content_sha256"),
+        )
+    )
+
+
+def postings(documents: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl) — explode + partial/final hash agg."""
+    t = tokens(documents).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    return t.groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
+
+
+def dictionary(documents: DataFrame) -> DataFrame:
+    """(term, df, cf, idf) with collection-level constants folded in."""
+    n_docs = documents.count()  # scalar; the oracle SQL inlines the same
+    p = postings(documents)
+    return p.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    ).withColumn(
+        "idf",
+        F.log(
+            1.0
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    conjunctive: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k with conjunctive (every term) or disjunctive (any term)
+    semantics; deterministic tie-break (score desc, doc_id asc)."""
+    n_docs = documents.count()
+    avg_row = (
+        tokens(documents).agg(F.sum(F.size("toks")).alias("s"), F.count("*").alias("n"))
+    ).collect()[0]
+    avgdl = int(avg_row["s"] or 0) / int(avg_row["n"])
+
+    p = postings(documents).filter(F.col("term").isin(query_terms))
+    d = (
+        p.groupBy("term").agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
+    j = p.join(F.broadcast(d), "term")
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(1.0 + k1))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+        )
+    )
+    scored = (
+        j.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.countDistinct("term").alias("n_matched"),
+        )
+    )
+    if conjunctive:
+        scored = scored.filter(F.col("n_matched") == len(set(query_terms)))
+    return (
+        scored.select("doc_id", "score", "n_matched")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    query_terms: list[str],
+    k: int = 10,
+    conjunctive: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """The DuckDB oracle twin of bm25_topk (documents view)."""
+    terms = ", ".join("'%s'" % t for t in sorted(set(query_terms)))
+    having = (
+        f"HAVING count(DISTINCT term) = {len(set(query_terms))}" if conjunctive else ""
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'), x -> x <> '') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         (SELECT sum(len(toks)) FROM toks)::DOUBLE / count(*) AS avgdl
+  FROM toks
+),
+p AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+),
+tf AS (
+  SELECT term, doc_id, dl, count(*) AS tf FROM p
+  WHERE term IN ({terms})
+  GROUP BY term, doc_id, dl
+),
+d AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id AS doc_id,
+       round(sum(
+         ln(1.0 + ((SELECT n_docs FROM stats) - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * {1.0 + k1}) /
+           (tf.tf + {k1} * ({1.0 - b} + {b} * (tf.dl / (SELECT avgdl FROM stats))))
+       ), 6) AS score,
+       count(DISTINCT tf.term) AS n_matched
+FROM tf JOIN d USING (term)
+GROUP BY tf.doc_id
+{having}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

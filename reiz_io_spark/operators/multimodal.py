@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: the payload is a `binary`
+column (or an object-store URI); decode / feature-extract / resize /
+frame-sample run as Arrow-batched `mapInPandas` stages so each task
+streams record batches without materializing the partition.
+
+The actual media codecs are NOT in this container, so the decode step
+is a deterministic STUB (clearly marked): it derives fake but stable
+"features" from the bytes themselves. Everything Spark-side — schema,
+batch iteration, partitioning, UDF signatures — is real and tested;
+swapping `_stub_decode` for PIL/ffmpeg is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("payload_sha256", StringType(), False),
+        StructField("fake_width", IntegerType(), False),
+        StructField("fake_height", IntegerType(), False),
+        StructField("fake_mean_luma", DoubleType(), False),
+    ]
+)
+
+
+def to_media_table(documents: DataFrame) -> DataFrame:
+    """Demo adapter: treat each document's UTF-8 bytes as an opaque
+    payload (shape stand-in for real image/audio bytes)."""
+    return documents.select(
+        "doc_id",
+        F.lit("image/fake").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def _stub_decode(payload: bytes) -> tuple[int, int, float]:
+    """STUB — deterministic fake decode. A real deployment replaces this
+    with e.g. PIL.Image.open(io.BytesIO(payload)); the container has no
+    media libraries (by design of this environment).
+
+    Derives stable pseudo-dimensions/luma from a sha256 of the bytes so
+    tests and the driver get reproducible values."""
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    luma = digest[2] / 255.0
+    return width, height, luma
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas decode/feature stage — streams Arrow batches; memory
+    is bounded by the batch size regardless of partition size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [_stub_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "payload_sha256": [
+                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
+                    ],
+                    "fake_width": pd.Series([f[0] for f in feats], dtype="int32"),
+                    "fake_height": pd.Series([f[1] for f in feats], dtype="int32"),
+                    "fake_mean_luma": pd.Series([f[2] for f in feats], dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def media_features_oracle_checkable(documents: DataFrame) -> DataFrame:
+    """The SQL-checkable projection of the pipeline: n_bytes + sha256
+    are decode-independent invariants DuckDB can verify; the fake_*
+    features are covered by the rows-only check + pytest determinism."""
+    out = extract_media_features(to_media_table(documents))
+    return out.select("doc_id", "n_bytes", "payload_sha256")

@@ -69,8 +69,10 @@ class IndexReader:
         """Driver-side stats for the (few) query terms: broadcast-sized.
 
         Partition pruning: term_bucket = pmod(xxhash64(term), N) is
-        recomputed Spark-side from the literal terms so only the buckets
-        holding query terms are scanned.
+        computed driver-side with the bit-exact pure-Python xxh64
+        (functions/hashing.py — parity asserted in tests), so only the
+        buckets holding query terms are scanned and no extra Spark job
+        is launched.
         """
         buckets = self.term_buckets(terms)
         rows = (
@@ -83,22 +85,9 @@ class IndexReader:
         return {r["term"]: r.asDict() for r in rows}
 
     def term_buckets(self, terms: list[str]) -> list[int]:
-        return [
-            int(r[0])
-            for r in self.spark.range(1)
-            .select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.pmod(F.xxhash64(F.lit(t)), F.lit(N_TERM_BUCKETS))
-                            for t in terms
-                        ]
-                    )
-                )
-            )
-            .distinct()
-            .collect()
-        ]
+        from ..functions.hashing import term_bucket_of
+
+        return sorted({term_bucket_of(t, N_TERM_BUCKETS) for t in terms})
 
 
 def naive_bm25_topk(

@@ -1,0 +1,211 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+All pure built-in expressions (whole-stage codegen; exact DuckDB twins):
+
+- language-ID: stopword-hit-ratio heuristic against small per-language
+  stopword lists (deterministic n-gram-free variant — the corpus is
+  synthetic, the mechanism is the point),
+- quality scoring: length / punctuation-ratio / stopword-ratio /
+  mean-token-length features combined into one score,
+- token counting: whitespace tokens + a BPE-ish subword estimate
+  (ceil(chars/4) per token, the common GPT-ish heuristic),
+- fingerprinting: 64-bit polynomial rolling hash of the normalized
+  token stream (content-defined, whitespace-insensitive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .fulltext import TOKEN_SPLIT
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "es": ["el", "la", "los", "y", "de"],
+    "fr": ["le", "la", "les", "et", "de"],
+}
+
+
+def _toks(text_col="text"):
+    return F.filter(F.split(F.lower(text_col), TOKEN_SPLIT), lambda x: x != "")
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """doc_id, pred_lang: argmax stopword-hit count; tie/zero -> 'und'."""
+    toks = _toks()
+    langs = sorted(STOPWORDS)
+    counts = [
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang]))).alias(f"c_{lang}")
+        for lang in langs
+    ]
+    df = documents.select("doc_id", *counts)
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first-wins tie-break in fixed lang order
+        pred = pred.when(F.col(f"c_{lang}") == best, F.lit(lang))
+    return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def language_id_sql() -> str:
+    langs = sorted(STOPWORDS)
+    count_exprs = ",\n  ".join(
+        "len(list_filter(toks, t -> t IN ({lst}))) AS c_{lang}".format(
+            lst=", ".join("'%s'" % w for w in STOPWORDS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"c_{lang}" for lang in langs))
+    case = "CASE WHEN {best} <= 0 THEN 'und' ".format(best=best)
+    for lang in langs:
+        case += f"WHEN c_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+  {count_exprs}
+  FROM toks
+)
+SELECT doc_id, {case} AS pred_lang FROM c
+"""
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """doc_id + interpretable quality features + combined score."""
+    toks = _toks()
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    n_toks = F.size(toks)
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")) / F.length("text")
+    )
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(all_stop))) / n_toks
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / n_toks
+    df = documents.filter((F.length("text") > 0) & (F.size(_toks()) > 0)).select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+    )
+    score = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.3
+        + F.least(F.col("stop_ratio") * 10.0, F.lit(1.0)) * 0.3
+    )
+    return df.withColumn("quality", F.round(score, 6))
+
+
+def quality_score_sql() -> str:
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    lst = ", ".join("'%s'" % w for w in all_stop)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'), x -> x <> '') AS toks
+  FROM documents WHERE len(text) > 0
+    AND len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'), x -> x <> '')) > 0
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / len(text), 6) AS punct_ratio,
+         round(len(list_filter(toks, t -> t IN ({lst})))::DOUBLE / len(toks), 6) AS stop_ratio,
+         round(list_sum(list_transform(toks, t -> len(t)::DOUBLE)) / len(toks), 6) AS mean_token_len
+  FROM base
+)
+SELECT *,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+             + least(stop_ratio * 10.0, 1.0) * 0.3, 6) AS quality
+FROM feat
+"""
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens, alnum tokens, and a BPE-ish subword estimate."""
+    ws = F.size(F.filter(F.split("text", "\\s+"), lambda x: x != ""))
+    alnum = F.size(_toks())
+    bpe_est = F.aggregate(
+        _toks(),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+    )
+    return documents.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        alnum.cast("long").alias("alnum_tokens"),
+        bpe_est.alias("bpe_est_tokens"),
+    )
+
+
+def token_counts_sql() -> str:
+    return f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+       len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'), x -> x <> '')) AS alnum_tokens,
+       CAST(COALESCE(list_sum(list_transform(
+            list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'), x -> x <> ''),
+            t -> ceil(len(t) / 4.0))), 0) AS BIGINT) AS bpe_est_tokens
+FROM documents
+"""
+
+
+FP_BASE = 1_000_003
+FP_MOD = (1 << 31) - 1  # Mersenne; keeps acc*base + x < 2^51, no int64 overflow
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Polynomial rolling hash over the normalized token stream:
+    h = fold(acc * BASE + tokhash) mod 2^31-1, with tokhash the same
+    fold over the token's character codes — whitespace/punctuation-
+    insensitive content fingerprint with an exact SQL twin. Characters
+    are addressed via substring(i) (not split-by-empty, whose trailing
+    element differs between regex engines)."""
+    def tok_hash(t):
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.ascii(t.substr(i, F.lit(1))),
+        )
+        return F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, ch: F.pmod(acc * F.lit(131) + ch, F.lit(FP_MOD)),
+        )
+
+    doc_hash = F.aggregate(
+        F.transform(_toks(), tok_hash),
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * F.lit(FP_BASE) + h, F.lit(FP_MOD)),
+    )
+    return documents.select("doc_id", doc_hash.alias("fingerprint"))
+
+
+def fingerprint_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'), x -> x <> '') AS toks
+  FROM documents
+),
+tok_hashes AS (
+  SELECT doc_id,
+         list_transform(toks,
+           t -> list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(range(1, len(t) + 1), i -> ascii(substr(t, i::INT, 1))::BIGINT)),
+                  (acc, ch) -> (acc * 131 + ch) % {FP_MOD})) AS hs
+  FROM toks
+)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, hs),
+                   (acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD}) AS fingerprint
+FROM tok_hashes
+"""
