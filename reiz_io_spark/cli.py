@@ -1,0 +1,129 @@
+"""spark-submit entry points (north rule: "runs via spark-submit
+--py-files on multi-executor clusters").
+
+Usage (cluster):
+    zip -r reiz_io_spark.zip reiz_io_spark
+    spark-submit --py-files reiz_io_spark.zip -m reiz_io_spark.cli build \\
+        --corpus table:lake.code_corpus --out s3://bucket/index --shards 4096
+    spark-submit ... query --index s3://bucket/index \\
+        --pattern "Call(Name('len'))" -k 10 [--explain]
+    spark-submit ... synth --out /tmp/corpus.parquet --files 100000
+
+Locally the same commands run with python -m reiz_io_spark.cli (the
+session factory falls back to local[$SPARK_GRAFT_CPUS]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="reiz_io_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--corpus", required=True, help="parquet path or table:<name>")
+    b.add_argument("--out", required=True)
+    b.add_argument("--build-id", default="build-0")
+    b.add_argument("--shards", type=int, default=64)
+    b.add_argument("--block-size", type=int, default=128)
+
+    q = sub.add_parser("query", help="run a ReizQL pattern against an index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--pattern", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--naive", action="store_true", help="runs-table path (no WAND)")
+    q.add_argument("--explain", action="store_true",
+                   help="print lowered terms + Spark physical plan")
+
+    s = sub.add_parser("synth", help="write a deterministic synthetic corpus")
+    s.add_argument("--out", required=True)
+    s.add_argument("--files", type=int, default=10_000)
+    s.add_argument("--seed", type=int, default=42)
+
+    st = sub.add_parser("stats", help="index stats (the reference's /stats)")
+    st.add_argument("--index", required=True)
+
+    args = ap.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"reiz_io_spark-{args.cmd}")
+    try:
+        return _dispatch(args, spark)
+    finally:
+        spark.stop()
+
+
+def _dispatch(args, spark) -> int:
+    if args.cmd == "build":
+        from .operators.build import build_index
+        from .sources.corpus import read_corpus
+
+        corpus = read_corpus(spark, args.corpus)
+        meta = build_index(
+            spark, corpus, args.out, build_id=args.build_id,
+            n_shards=args.shards, block_size=args.block_size,
+        )
+        print(json.dumps(meta))
+        return 0
+
+    if args.cmd == "query":
+        from .operators.score import IndexReader, attach_doc_metadata, naive_bm25_topk
+        from .operators.wand import wand_topk
+        from .plans.lower import lower_query
+
+        reader = IndexReader(spark, args.index)
+        q = lower_query("cli", args.pattern)
+        if args.explain:
+            print("lowered groups:")
+            for g in q.groups:
+                print("  ", " OR ".join(str(t) for t in g.terms))
+        t0 = time.perf_counter()
+        top = (naive_bm25_topk if args.naive else wand_topk)(reader, q, k=args.k)
+        out = attach_doc_metadata(reader, top)
+        if args.explain:
+            out.explain("formatted")
+        rows = out.collect()
+        wall = time.perf_counter() - t0
+        for r in rows:
+            print(json.dumps({
+                "rank": rows.index(r) + 1, "doc_id": r["doc_id"],
+                "repo": r["repo"], "path": r["path"],
+                "score": round(r["score"], 6),
+            }))
+        print(f"# {len(rows)} rows in {wall:.3f}s", file=sys.stderr)
+        return 0
+
+    if args.cmd == "synth":
+        from .sources.corpus import synth_corpus_distributed
+
+        df = synth_corpus_distributed(spark, args.files, seed=args.seed)
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"files": args.files, "out": args.out}))
+        return 0
+
+    if args.cmd == "stats":
+        from pyspark.sql import functions as F
+
+        from .operators.score import IndexReader
+
+        reader = IndexReader(spark, args.index)
+        docs = reader.docs()
+        stats = {
+            **reader.meta,
+            "n_files": docs.count(),
+            "n_parse_failed": docs.filter(~F.col("parse_ok")).count(),
+            "n_terms_in_dictionary": reader.dictionary().count(),
+            "n_blocks": reader.blocks().count(),
+        }
+        print(json.dumps(stats))
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -31,13 +31,15 @@ _CONT = np.uint8(0x80)
 _MAXB = 10  # ceil(64/7)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode a uint64/int64 array (vectorized, no Python loop
-    over elements — the constant 10-iteration loop is over byte slots)."""
+    over elements — the constant 10-iteration loop is over byte slots).
+    Returns (stream, per-value byte lengths) so callers can slice the
+    stream into sub-ranges without re-encoding."""
     v = np.ascontiguousarray(values).view(np.uint64) if values.dtype == np.int64 else values.astype(np.uint64, copy=False)
     n = v.size
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     parts = np.empty((n, _MAXB), dtype=np.uint8)
     tmp = v.copy()
     for i in range(_MAXB):
@@ -48,7 +50,11 @@ def varint_encode(values: np.ndarray) -> bytes:
     cont_mask = np.arange(_MAXB) < (lengths - 1)[:, None]
     parts = parts | (cont_mask.astype(np.uint8) << 7)
     keep = np.arange(_MAXB) < lengths[:, None]
-    return parts[keep].tobytes()
+    return parts[keep].tobytes(), lengths.astype(np.int64)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -97,13 +103,16 @@ def encode_term_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    idf: float,
     avgdl: float,
     k1: float,
     b: float,
     block_size: int,
 ) -> list[dict]:
-    """Chunk one term's sorted postings into compressed blocks."""
+    """Chunk one term's sorted postings into compressed blocks.
+
+    block_max_tfnorm is the idf-free score bound (idf is a per-term
+    constant multiplied in at query time); keeping idf out of the
+    shuffle rows lets the build skip the postings⋈dictionary join."""
     n = doc_ids.size
     blocks = []
     for start in range(0, n, block_size):
@@ -111,7 +120,7 @@ def encode_term_blocks(
         d = doc_ids[start:end]
         t = tfs[start:end]
         l = dls[start:end]
-        scores = bm25_contrib(t, l, idf, avgdl, k1, b)
+        tfnorm = bm25_contrib(t, l, 1.0, avgdl, k1, b)
         blocks.append(
             {
                 "block_no": start // block_size,
@@ -119,13 +128,92 @@ def encode_term_blocks(
                 "last_doc_id": int(d[-1]),
                 "n_docs": int(end - start),
                 "max_tf": int(t.max()),
-                "block_max_score": float(scores.max()),
+                "block_max_tfnorm": float(tfnorm.max()),
                 "doc_deltas": delta_encode_docids(d),
                 "tfs": varint_encode(t.astype(np.uint64)),
                 "dls": varint_encode(l.astype(np.uint64)),
             }
         )
     return blocks
+
+
+def encode_blocks_vectorized(
+    term_ids: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    frag_start: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> dict:
+    """Encode MANY fragments' blocks in one vectorized pass.
+
+    Code-corpus vocabularies are heavy-tailed (measured 1.35M distinct
+    terms for 50k files ⇒ avg posting list < 6 entries), so per-fragment
+    Python calls dominate a naive encoder. Here every per-block quantity
+    comes from array ops over the whole batch: block boundaries via
+    cumsum arithmetic, max_tf / max_tfnorm via np.maximum.reduceat,
+    deltas via one np.diff, and ONE varint pass whose per-value byte
+    lengths let us slice the stream per block.
+
+    Inputs are sorted by (term_id, salt, doc_id); ``frag_start`` marks
+    the first row of each (term_id, salt) fragment. Returns a dict of
+    column arrays matching schema.BLOCKS (payloads as object arrays).
+    """
+    n = docs.size
+    if n == 0:
+        return {}
+    frag_starts_idx = np.flatnonzero(frag_start)
+    frag_id = np.cumsum(frag_start) - 1
+    pos_in_frag = np.arange(n, dtype=np.int64) - frag_starts_idx[frag_id]
+    is_block_start = (pos_in_frag % block_size) == 0
+    block_starts = np.flatnonzero(is_block_start)
+    block_ends = np.append(block_starts[1:], n)
+    n_docs_b = (block_ends - block_starts).astype(np.int32)
+
+    tfnorm = bm25_contrib(tfs, dls, 1.0, avgdl, k1, b)
+    u = np.ascontiguousarray(docs, dtype=np.int64).view(np.uint64)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    gaps[1:] = u[1:] - u[:-1]
+
+    keep = ~is_block_start  # first doc of each block lives in metadata
+    delta_stream, delta_lens = varint_encode_with_lengths(gaps[keep])
+    tf_stream, tf_lens = varint_encode_with_lengths(tfs.astype(np.uint64))
+    dl_stream, dl_lens = varint_encode_with_lengths(dls.astype(np.uint64))
+
+    # byte ranges per block: value-count prefix sums -> byte prefix sums
+    dv_counts = (n_docs_b - 1).astype(np.int64)
+    dv_off = np.concatenate(([0], np.cumsum(dv_counts)))
+    d_byte = np.concatenate(([0], np.cumsum(delta_lens)))
+    tf_byte = np.concatenate(([0], np.cumsum(tf_lens)))
+    dl_byte = np.concatenate(([0], np.cumsum(dl_lens)))
+
+    nb = block_starts.size
+    d_lo = d_byte[dv_off[:-1]]
+    d_hi = d_byte[dv_off[1:]]
+    t_lo = tf_byte[block_starts]
+    t_hi = tf_byte[block_ends]
+    l_lo = dl_byte[block_starts]
+    l_hi = dl_byte[block_ends]
+    doc_deltas = [delta_stream[d_lo[i] : d_hi[i]] for i in range(nb)]
+    tf_blobs = [tf_stream[t_lo[i] : t_hi[i]] for i in range(nb)]
+    dl_blobs = [dl_stream[l_lo[i] : l_hi[i]] for i in range(nb)]
+
+    return {
+        "term_id": term_ids[block_starts],
+        "block_no": (pos_in_frag[block_starts] // block_size).astype(np.int32),
+        "first_doc_id": docs[block_starts],
+        "last_doc_id": docs[block_ends - 1],
+        "n_docs": n_docs_b,
+        "max_tf": np.maximum.reduceat(tfs, block_starts),
+        "block_max_tfnorm": np.maximum.reduceat(tfnorm, block_starts),
+        "doc_deltas": doc_deltas,
+        "tfs": tf_blobs,
+        "dls": dl_blobs,
+    }
 
 
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -69,13 +69,17 @@ def tokenize_source(content: str) -> tuple[Counter[str], bool]:
     terms: Counter[str] = Counter()
     # Iterative DFS carrying the ancestor-edge set per node (the reference
     # computes the same set recursively, transformers.py:144-151).
-    stack: list[tuple[ast.AST, frozenset[tuple[str, str]]]] = [(tree, frozenset())]
+    # Hot-path notes: ancestor sets carry pre-rendered "in:P.f" strings
+    # (rendered once per distinct edge via edge_str), and the child set is
+    # built once per FIELD, not per child — siblings share it.
+    edge_str: dict[tuple[str, str], str] = {}
+    stack: list[tuple[ast.AST, frozenset[str]]] = [(tree, frozenset())]
     while stack:
         node, ancestors = stack.pop()
         name = type(node).__name__
         terms["node:" + name] += 1
-        for pair in ancestors:
-            terms["in:" + pair[0] + "." + pair[1]] += 1
+        for pair_s in ancestors:
+            terms[pair_s] += 1
         ident_fields = IDENTIFIER_FIELDS.get(name)
         if ident_fields:
             for fld in ident_fields:
@@ -91,13 +95,21 @@ def tokenize_source(content: str) -> tuple[Counter[str], bool]:
         if name == "Constant":
             terms["lit:" + repr(node.value)] += 1
         for fld, value in ast.iter_fields(node):
-            edge = (name, fld)
             if isinstance(value, ast.AST):
-                stack.append((value, ancestors | {edge}))
+                children = (value,)
             elif isinstance(value, list):
-                for item in value:
-                    if isinstance(item, ast.AST):
-                        stack.append((item, ancestors | {edge}))
+                children = tuple(c for c in value if isinstance(c, ast.AST))
+                if not children:
+                    continue
+            else:
+                continue
+            edge = (name, fld)
+            s = edge_str.get(edge)
+            if s is None:
+                s = edge_str[edge] = "in:" + name + "." + fld
+            child_anc = ancestors if s in ancestors else ancestors | {s}
+            for child in children:
+                stack.append((child, child_anc))
     return terms, True
 
 

@@ -6,11 +6,12 @@ ingest (reiz/serialization/insert.py:18-51, serializer.py:88-97 — one
 network round trip per node, ~17.5M objects for 53k files) with:
 
     corpus ──filter(lang)──▶ tokenize UDF (map-side tf) ──▶ docs + runs
-    runs ──join(dictionary: df, idf)──▶ salt = pmod(xxhash64(doc_id), S(term))
-         ──repartition(term, salt)  [the north rule's salted re-shuffle]
-         ──sortWithinPartitions(term, salt, doc_id)  [external merge:
+    runs ──term_id = xxhash64(term); broadcast-join hot-term fan-out map
+         ──salt = pmod(xxhash64(doc_id), S(term))
+         ──repartition(term_id, salt)  [the north rule's salted re-shuffle]
+         ──sortWithinPartitions(term_id, salt, doc_id)  [external merge:
             Spark's sort-based shuffle spills + merges runs on disk]
-         ──mapInPandas(encode)──▶ delta+varint blocks w/ block-max scores
+         ──mapInPandas(encode)──▶ delta+varint blocks w/ block-max bounds
 
 Scale design notes (100 TB / 10^12 files):
 - tf aggregation happens INSIDE the tokenizer UDF (one row per doc), so
@@ -45,7 +46,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from .. import BLOCK_SIZE, BM25_B, BM25_K1
 from ..functions import codec
 from ..functions.tokenizer import with_tokens
-from ..schema import BLOCKS, LINEAGE
+from ..schema import BLOCKS_WITH_BUCKET, LINEAGE
 
 FRAGMENT_POSTINGS = 262_144  # target postings per salted fragment
 N_TERM_BUCKETS = 32
@@ -86,6 +87,12 @@ def prepare_docs(corpus: DataFrame, n_shards: int) -> DataFrame:
     df = df.withColumn("doc_id", F.xxhash64("repo", "path"))
     df = df.withColumn("shard", F.pmod(F.xxhash64("repo"), F.lit(n_shards)).cast("int"))
     df = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    # Shard-align BEFORE tokenizing: raw content shuffles once (smaller
+    # than content+terms), every downstream task owns whole shards, and
+    # the partitioned writes emit n_shards files instead of
+    # n_input_partitions x n_shards (the driver-side commit of thousands
+    # of tiny files was a measured serial bottleneck).
+    df = df.repartition(n_shards, "shard")
     return with_tokens(df)
 
 
@@ -121,9 +128,16 @@ def build_index(
 
     # ---- stage 1: per-shard tokenize -> docs + runs (resumable) ----------
     done = completed_shards(spark, p["lineage"], build_id)
+    done_ids = [r["shard"] for r in done.collect()]  # tiny (n_shards rows)
     prepared = prepare_docs(corpus, n_shards)
-    pending = prepared.join(done, "shard", "left_anti")
+    pending = (
+        prepared.filter(~F.col("shard").isin(done_ids)) if done_ids else prepared
+    )
 
+    # The docs table carries the per-doc tf map (the forward index): the
+    # tokenizer UDF runs EXACTLY ONCE per document; runs are derived from
+    # the written parquet, and metadata readers never pay for the terms
+    # column (parquet column pruning).
     docs = pending.select(
         "doc_id",
         "repo",
@@ -132,18 +146,24 @@ def build_index(
         "content_sha256",
         F.col("n_terms").alias("doclen"),
         "parse_ok",
+        "terms",
         "shard",
     )
     docs.write.mode("overwrite").partitionBy("shard").parquet(p["docs"])
+    t_docs = time.perf_counter()
 
     # runs: one explode of the per-doc tf map; dl rides along -> the query
-    # path never joins back to docs for lengths.
+    # path never joins back to docs for lengths. Derived from the staged
+    # parquet (re-tokenization avoided); only pending shards are rewritten.
+    staged = spark.read.parquet(p["docs"])
+    if done_ids:
+        staged = staged.filter(~F.col("shard").isin(done_ids))
     runs = (
-        pending.filter(F.col("parse_ok"))
+        staged.filter(F.col("parse_ok"))
         .select(
             "shard",
             "doc_id",
-            F.col("n_terms").alias("dl"),
+            F.col("doclen").alias("dl"),
             F.explode("terms").alias("term", "tf"),
         )
         .select("shard", "term", "doc_id", "tf", "dl")
@@ -151,6 +171,7 @@ def build_index(
     runs.sortWithinPartitions("term", "doc_id").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(p["runs"])
+    t_runs = time.perf_counter()
 
     # lineage rows for the shards we just processed (atomic append AFTER
     # the shard data landed — crash before this line ⇒ shard re-runs).
@@ -179,20 +200,33 @@ def build_index(
         )
     )
     lineage_rows.write.mode("append").parquet(p["lineage"])
+    t_lineage = time.perf_counter()
 
     # ---- stage 2: collection stats + dictionary ---------------------------
+    # Collection stats come from the LINEAGE table (n_shards rows), not a
+    # docs re-scan: n_docs = Σ(n_files - n_parse_failed), total_dl =
+    # Σ n_terms (failed parses contribute 0 terms). Integer sums ⇒ the
+    # avgdl float division is bit-identical to the oracle's.
     t1 = time.perf_counter()
     all_runs = spark.read.parquet(p["runs"])
-    all_docs = spark.read.parquet(p["docs"]).filter(F.col("parse_ok"))
-    stats = all_docs.agg(
-        F.count("*").alias("n_docs"), F.sum("doclen").alias("total_dl")
-    ).collect()[0]
-    n_docs, total_dl = int(stats["n_docs"]), int(stats["total_dl"] or 0)
+    lin = (
+        spark.read.schema(LINEAGE).parquet(p["lineage"])
+        .filter((F.col("build_id") == build_id) & (F.col("status") == "done"))
+        .agg(
+            F.sum(F.col("n_files") - F.col("n_parse_failed")).alias("n_docs"),
+            F.sum("n_terms").alias("total_dl"),
+        )
+        .collect()[0]
+    )
+    n_docs, total_dl = int(lin["n_docs"] or 0), int(lin["total_dl"] or 0)
     avgdl = total_dl / n_docs if n_docs else 0.0
 
-    # Materialize the base dictionary once (parquet, not .persist(): at
-    # 10^9 terms a cache would not fit; a columnar roundtrip always scales).
-    dict_base_path = os.path.join(out_dir, "_dictionary_base")
+    # Final dictionary in ONE write (parquet, not .persist(): at 10^9
+    # terms a cache would not fit; a columnar roundtrip always scales).
+    # max_score = idf * (1 + k1) is the analytic tf->inf BM25 bound —
+    # exact per-BLOCK bounds live on the blocks table (block_max_tfnorm),
+    # which is what WAND skipping uses; keeping the dictionary bound
+    # analytic avoids a blocks-reread + 10^9-row join after the encode.
     (
         all_runs.groupBy("term")  # built-in partial+final hash agg — skew-safe
         .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
@@ -203,46 +237,55 @@ def build_index(
                 / (F.col("df") + F.lit(0.5))
             ),
         )
+        .withColumn("max_score", F.col("idf") * F.lit(1.0 + k1))
         .withColumn("term_id", F.xxhash64("term"))
         .withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
         )
+        .repartition("term_bucket")  # whole buckets per task -> no file blowup
         .write.mode("overwrite")
-        .parquet(dict_base_path)
+        .partitionBy("term_bucket")
+        .parquet(p["dictionary"])
     )
-    dictionary = spark.read.parquet(dict_base_path)
+    dictionary = spark.read.parquet(p["dictionary"])
+    t_dict = time.perf_counter()
 
     # ---- stage 3: salted re-shuffle + external merge + block encode -------
+    # The shuffle carries term_id = xxhash64(term) (8 bytes), never the
+    # term string; the df-driven fan-out map covers ONLY hot terms
+    # (df > fragment target — a Zipf head of a few thousand rows) and is
+    # broadcast, so there is no 10^12-row postings⋈dictionary shuffle.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    salted = (
-        all_runs.join(dictionary.select("term", "df", "idf"), "term")
-        .withColumn(
-            "n_frag",
-            F.greatest(
-                F.lit(1), F.ceil(F.col("df") / F.lit(fragment_postings))
-            ).cast("int"),
+    hot = (
+        dictionary.filter(F.col("df") > fragment_postings)
+        .select(
+            "term_id",
+            F.ceil(F.col("df") / F.lit(fragment_postings)).cast("int").alias("n_frag"),
         )
+    )
+    salted = (
+        all_runs.withColumn("term_id", F.xxhash64("term"))
+        .join(F.broadcast(hot), "term_id", "left")
+        .na.fill({"n_frag": 1})
         .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.col("n_frag")).cast("int"))
+        .withColumn(
+            "term_bucket", F.pmod(F.col("term_id"), F.lit(N_TERM_BUCKETS)).cast("int")
+        )
     )
     encode = _make_block_encoder(avgdl, k1, b, block_size)
+    # Hash partitioning on (term_id, salt): the ONE full-data shuffle of
+    # the pipeline, deterministic (no range-sampling pass, which would
+    # re-execute the upstream scan), skew-free by construction (hot terms
+    # fan out over salt). Each task writes at most N_TERM_BUCKETS files —
+    # bounded, compactable small-file cost instead of a second data pass.
     blocks = (
-        salted.repartition(n_part, "term", "salt")
-        .sortWithinPartitions("term", "salt", "doc_id")
-        .select("term", "salt", "doc_id", "tf", "dl", "idf")
-        .mapInPandas(encode, schema=BLOCKS)
-        .withColumn(
-            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
-        )
+        salted.repartition(n_part, "term_id", "salt")
+        .sortWithinPartitions("term_id", "salt", "doc_id")
+        .select("term_id", "salt", "doc_id", "tf", "dl")
+        .mapInPandas(encode, schema=BLOCKS_WITH_BUCKET)
     )
     blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(p["blocks"])
-
-    blocks_df = spark.read.parquet(p["blocks"])
-    max_scores = blocks_df.groupBy("term").agg(
-        F.max("block_max_score").alias("max_score")
-    )
-    dictionary.join(max_scores, "term", "left").na.fill(
-        {"max_score": 0.0}
-    ).write.mode("overwrite").partitionBy("term_bucket").parquet(p["dictionary"])
+    t_blocks = time.perf_counter()
 
     meta = {
         "build_id": build_id,
@@ -256,6 +299,12 @@ def build_index(
         "n_term_buckets": N_TERM_BUCKETS,
         "stage1_ms": stage1_ms,
         "stage23_ms": int((time.perf_counter() - t1) * 1000),
+        "t_docs_write_s": round(t_docs - t0, 2),
+        "t_runs_write_s": round(t_runs - t_docs, 2),
+        "t_lineage_s": round(t_lineage - t_runs, 2),
+        "t_stats_dict_s": round(t_dict - t1, 2),
+        "t_blocks_s": round(t_blocks - t_dict, 2),
+        "t_dict_final_s": round(time.perf_counter() - t_blocks, 2),
     }
     with open(p["meta"], "w") as fh:
         json.dump(meta, fh, indent=2)
@@ -263,53 +312,63 @@ def build_index(
 
 
 def _make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
-    """mapInPandas encoder: rows sorted by (term, salt, doc_id) within the
-    partition -> block rows. Buffers across Arrow batches so a fragment
-    spanning batch boundaries encodes as one run; memory is bounded by
-    the fragment target (FRAGMENT_POSTINGS), not the posting list."""
+    """mapInPandas encoder: rows sorted by (term_id, salt, doc_id) within
+    the partition -> block rows.
+
+    Fully vectorized across fragments (codec.encode_blocks_vectorized):
+    code-corpus vocabularies are heavy-tailed, so a partition holds ~10^5
+    mostly-single-block fragments and anything per-fragment in Python
+    dominates the build. One output DataFrame per input Arrow batch; a
+    fragment spanning batch boundaries is carried over, so memory is
+    bounded by the fragment target (FRAGMENT_POSTINGS) + batch size."""
     import numpy as np
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: list[pd.DataFrame] = []
-        cur_key: tuple | None = None
+        carry: pd.DataFrame | None = None
 
-        def flush() -> pd.DataFrame | None:
-            if not buf:
-                return None
-            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            buf.clear()
-            rows = codec.encode_term_blocks(
+        def run(pdf: pd.DataFrame) -> pd.DataFrame | None:
+            tids = pdf["term_id"].to_numpy(np.int64)
+            salts = pdf["salt"].to_numpy()
+            frag_start = np.empty(len(pdf), dtype=bool)
+            frag_start[0] = True
+            frag_start[1:] = (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
+            cols = codec.encode_blocks_vectorized(
+                tids,
                 pdf["doc_id"].to_numpy(np.int64),
                 pdf["tf"].to_numpy(np.int64),
                 pdf["dl"].to_numpy(np.int64),
-                float(pdf["idf"].iloc[0]),
+                frag_start,
                 avgdl,
                 k1,
                 b,
                 block_size,
             )
-            out = pd.DataFrame(rows)
-            out.insert(0, "term", cur_key[0])
-            return out
+            if not cols:
+                return None
+            cols["term_bucket"] = (cols["term_id"] % N_TERM_BUCKETS).astype("int32")
+            return pd.DataFrame(cols)
 
         for pdf in batches:
             if pdf.empty:
                 continue
-            # split batch at fragment boundaries
-            keys = pdf[["term", "salt"]].apply(tuple, axis=1)
-            boundaries = keys.ne(keys.shift()).to_numpy().nonzero()[0]
-            for i, start in enumerate(boundaries):
-                end = boundaries[i + 1] if i + 1 < len(boundaries) else len(pdf)
-                chunk = pdf.iloc[start:end]
-                key = (chunk["term"].iloc[0], chunk["salt"].iloc[0])
-                if key != cur_key:
-                    flushed = flush()
-                    if flushed is not None:
-                        yield flushed
-                    cur_key = key
-                buf.append(chunk)
-        flushed = flush()
-        if flushed is not None:
-            yield flushed
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            tids = pdf["term_id"].to_numpy(np.int64)
+            salts = pdf["salt"].to_numpy()
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
+            last_start = int(np.flatnonzero(change)[-1])
+            carry = pdf.iloc[last_start:].reset_index(drop=True)
+            head = pdf.iloc[:last_start]
+            if len(head):
+                out = run(head)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = run(carry)
+            if out is not None:
+                yield out
 
     return encode

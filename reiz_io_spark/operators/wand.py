@@ -65,11 +65,14 @@ def wand_topk(
         if all(t not in tmeta for t in g):
             return _empty_results(spark)
 
+    from ..functions.hashing import spark_xxhash64
+
+    tid_of = {t: spark_xxhash64(t) for t in all_terms}  # bit-equal to writer
     buckets = reader.term_buckets(all_terms)
     blk = (
         reader.blocks()
         .filter(F.col("term_bucket").isin(buckets))  # partition pruning
-        .filter(F.col("term").isin(all_terms))  # parquet row-group pushdown
+        .filter(F.col("term_id").isin(list(tid_of.values())))  # row-group pushdown
         .withColumn(
             "qb",
             F.explode(
@@ -98,15 +101,15 @@ def wand_topk(
         lo = np.int64(qb * (1 << shift))
         hi = np.int64(min((qb + 1) * (1 << shift) - 1, 2**63 - 1))
 
-        by_term: dict[str, list] = {}
+        by_tid: dict[int, list] = {}
         for _, row in pdf.iterrows():
-            by_term.setdefault(row["term"], []).append(row)
+            by_tid.setdefault(int(row["term_id"]), []).append(row)
 
         def decode_term(term: str, span: tuple[int, int] | None) -> tuple:
             """Decode this bucket's postings for `term`, clipped to the
             bucket range and optionally to the candidate span (block skip)."""
             docs_l, tfs_l, dls_l = [], [], []
-            for row in by_term.get(term, ()):  # blocks, each sorted
+            for row in by_tid.get(tid_of[term], ()):  # blocks, each sorted
                 if span is not None and (
                     row["last_doc_id"] < span[0] or row["first_doc_id"] > span[1]
                 ):

@@ -88,15 +88,23 @@ DICTIONARY = StructType(
 # Compressed index blocks: sorted (doc_id, tf) runs per term, chunked into
 # <= BLOCK_SIZE entries, delta+varint encoded, with per-block max-score
 # metadata for block-max WAND. first/last doc_id enable block skipping.
+# Terms are carried as term_id = xxhash64(term) (8 bytes) so the big
+# shuffle never ships strings; the dictionary maps term <-> term_id
+# (collisions are astronomically unlikely below ~10^9 terms and are
+# detected by the dictionary-stage invariant countDistinct(term) per
+# term_id == 1, surfaced in build metrics).
+# block_max_tfnorm is the idf-free upper bound max(tf*(1+k1)/denom);
+# the query side multiplies by idf — bounds only gate block skipping,
+# exact scores are always recomputed from decoded (tf, dl).
 BLOCKS = StructType(
     [
-        StructField("term", StringType(), False),
+        StructField("term_id", LongType(), False),
         StructField("block_no", IntegerType(), False),
         StructField("first_doc_id", LongType(), False),
         StructField("last_doc_id", LongType(), False),
         StructField("n_docs", IntegerType(), False),
         StructField("max_tf", LongType(), False),
-        StructField("block_max_score", DoubleType(), False),
+        StructField("block_max_tfnorm", DoubleType(), False),
         StructField("doc_deltas", BinaryType(), False),
         StructField("tfs", BinaryType(), False),
         StructField("dls", BinaryType(), False),
@@ -128,6 +136,12 @@ RESULTS = StructType(
         StructField("score", DoubleType(), False),
         StructField("rank", IntegerType(), False),
     ]
+)
+
+# Encoder output: BLOCKS plus the write-partitioning column (kept out of
+# BLOCKS because readers see term_bucket as a hive partition column).
+BLOCKS_WITH_BUCKET = StructType(
+    list(BLOCKS.fields) + [StructField("term_bucket", IntegerType(), False)]
 )
 
 TERMS_ARRAY = ArrayType(StringType())

@@ -305,6 +305,49 @@ def synth_corpus(spark: SparkSession, n_filler: int = 200, seed: int = 42, **kw)
     return spark.createDataFrame(rows, CORPUS)
 
 
+def synth_corpus_distributed(
+    spark: SparkSession,
+    n_files: int,
+    seed: int = 42,
+    defs_low: int = 10,
+    defs_high: int = 40,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Executor-side deterministic corpus generation for bench scale:
+    each file is generated from rng(seed, file_index), so the corpus is
+    identical at any parallelism level — the scaling-bench requirement —
+    without driver-side string building or a 100-TB upload."""
+    import pandas as pd
+
+    n_partitions = n_partitions or max(32, n_files // 2000)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = random.Random((seed << 20) ^ int(i))
+                vocab = _HOT_IDENTS + [f"ident_{rng.randrange(400):04d}" for _ in range(8)]
+                content = synth_filler_file(
+                    rng, vocab, n_defs=defs_low + rng.randrange(defs_high - defs_low + 1)
+                )
+                rows.append(
+                    (
+                        f"synth/repo{int(i) % 257:03d}",
+                        f"pkg_{int(i) // 257:04d}/mod_{int(i):07d}.py",
+                        format(rng.getrandbits(160), "040x"),
+                        "python",
+                        content,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    return (
+        spark.range(n_files)
+        .repartition(n_partitions)
+        .mapInPandas(gen, schema=CORPUS)
+    )
+
+
 def read_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Read a corpus table. Parquet path or ``table:<name>`` (Iceberg-style
     catalog table — snapshot-pinned reads on a real deployment)."""

@@ -51,18 +51,20 @@ def test_dictionary_df_matches_countDistinct(spark, built_index):
 
 def test_blocks_roundtrip_to_postings(spark, built_index):
     """decode(encode(postings)) == postings, term by term."""
+    from reiz_io_spark.functions.hashing import spark_xxhash64
+
     out, _ = built_index
     runs = spark.read.parquet(out + "/runs")
     blocks = spark.read.parquet(out + "/blocks")
     expected = {
-        (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+        (spark_xxhash64(r["term"]), r["doc_id"]): (r["tf"], r["dl"])
         for r in runs.collect()
     }
     got = {}
     for row in blocks.collect():
         d, t, l = codec.decode_block(row)
         for i in range(len(d)):
-            key = (row["term"], int(d[i]))
+            key = (row["term_id"], int(d[i]))
             assert key not in got, f"duplicate posting {key}"
             got[key] = (int(t[i]), int(l[i]))
     assert got == expected
@@ -84,12 +86,12 @@ def test_salting_fans_out_hot_terms(spark, built_index):
     verified via multiple blocks with overlapping doc ranges."""
     out, _ = built_index
     d = spark.read.parquet(out + "/dictionary")
-    hot = [r["term"] for r in d.filter(F.col("df") > 130).limit(3).collect()]
+    hot = [r["term_id"] for r in d.filter(F.col("df") > 130).limit(3).collect()]
     if not hot:  # corpus too small to exercise — keep the test honest
         return
     blocks = spark.read.parquet(out + "/blocks")
-    for term in hot:
-        n_blocks = blocks.filter(F.col("term") == term).count()
+    for tid in hot:
+        n_blocks = blocks.filter(F.col("term_id") == tid).count()
         assert n_blocks >= 2
 
 

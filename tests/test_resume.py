@@ -19,7 +19,7 @@ def _decoded_index(spark, out):
     for row in spark.read.parquet(out + "/blocks").collect():
         d, t, l = codec.decode_block(row)
         for i in range(len(d)):
-            postings[(row["term"], int(d[i]))] = (int(t[i]), int(l[i]))
+            postings[(row["term_id"], int(d[i]))] = (int(t[i]), int(l[i]))
     docs = {
         (r["repo"], r["path"]): (r["doc_id"], r["content_sha256"], r["doclen"])
         for r in spark.read.parquet(out + "/docs").collect()
