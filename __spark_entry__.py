@@ -145,12 +145,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("doc_id", "n_bytes", "fake_width", "fake_height",
              F.round("fake_mean_luma", 6).alias("fake_mean_luma"))
 
+    # --- the code-search engine itself (flagship, rows-only: the full
+    # inverted-index build + block-max WAND cannot be expressed in one
+    # ANSI-SQL statement; correctness is gated by the 54 rank-identity
+    # tests against the pure-Python oracle in tests/) -----------------------
+    q["code_search_wand"] = _code_search_wand
+
     # --- general relational operators (joins/windows/aggs) --------------------
     q["tpch_pricing_summary"] = lambda s, d: _tpch_pricing(s, d)
     q["join_orders_cust_nation"] = lambda s, d: _join_orders(s, d)
     q["window_top_events_per_user"] = lambda s, d: _window_events(s, d)
     q["events_sessionization"] = lambda s, d: _sessionize(s, d)
     return q
+
+
+_CODE_INDEX_CACHE: dict[str, str] = {}
+
+
+def _code_search_wand(s: SparkSession, d: str) -> DataFrame:
+    """Deterministic synthetic code corpus -> full index build (salted
+    shuffle, delta/varint blocks, lineage) -> block-max WAND top-10 for
+    Call(Name('len')), metadata-joined. Index cached per process."""
+    import tempfile
+
+    from reiz_io_spark.operators.build import build_index
+    from reiz_io_spark.operators.score import IndexReader, attach_doc_metadata
+    from reiz_io_spark.operators.wand import wand_topk
+    from reiz_io_spark.plans.lower import lower_query
+    from reiz_io_spark.sources.corpus import synth_corpus
+
+    if d not in _CODE_INDEX_CACHE:
+        out = tempfile.mkdtemp(prefix="entry_code_index_")
+        corpus = synth_corpus(s, n_filler=150, seed=42)
+        build_index(s, corpus, out, build_id="entry", n_shards=4)
+        _CODE_INDEX_CACHE[d] = out
+    reader = IndexReader(s, _CODE_INDEX_CACHE[d])
+    top = wand_topk(reader, lower_query("flagship", "Call(Name('len'))"), k=10)
+    return attach_doc_metadata(reader, top).select(
+        "doc_id", "repo", "path", F.round("score", 6).alias("score")
+    )
 
 
 def _ft_not_filter(s, d):

@@ -63,18 +63,6 @@ def _paths(out_dir: str) -> dict[str, str]:
     }
 
 
-from pyspark.sql.types import DoubleType
-
-
-@pandas_udf(DoubleType())
-def _np_log1p(x: pd.Series) -> pd.Series:
-    """Lucene idf via numpy log — bit-identical to the oracle's
-    np.log(1 + x) (JVM Math.log may differ by ulps; SURVEY.md §7.4)."""
-    import numpy as np
-
-    return pd.Series(np.log(1.0 + x.to_numpy(dtype="float64")))
-
-
 def prepare_docs(corpus: DataFrame, n_shards: int) -> DataFrame:
     """corpus -> sanitized + identified + tokenized rows.
 
@@ -223,21 +211,14 @@ def build_index(
 
     # Final dictionary in ONE write (parquet, not .persist(): at 10^9
     # terms a cache would not fit; a columnar roundtrip always scales).
-    # max_score = idf * (1 + k1) is the analytic tf->inf BM25 bound —
-    # exact per-BLOCK bounds live on the blocks table (block_max_tfnorm),
-    # which is what WAND skipping uses; keeping the dictionary bound
-    # analytic avoids a blocks-reread + 10^9-row join after the encode.
+    # No idf/max_score columns: idf is a pure function of (N, df) and is
+    # computed DRIVER-side per query (IndexReader.term_meta) with the
+    # same numpy expression the oracle uses — bit-identical, and the
+    # build saves an Arrow round-trip of the whole 10^9-term dictionary
+    # through a Python stage. Per-block score bounds live on blocks.
     (
         all_runs.groupBy("term")  # built-in partial+final hash agg — skew-safe
         .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-        .withColumn(
-            "idf",
-            _np_log1p(
-                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn("max_score", F.col("idf") * F.lit(1.0 + k1))
         .withColumn("term_id", F.xxhash64("term"))
         .withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")

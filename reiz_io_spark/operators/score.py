@@ -28,19 +28,36 @@ class IndexReader:
         self.paths = _paths(index_dir)
         with open(self.paths["meta"]) as fh:
             self.meta = json.load(fh)
+        self._cached: dict[str, DataFrame] = {}
 
     @property
     def avgdl(self) -> float:
         return float(self.meta["avgdl"])
 
+    def warm(self) -> "IndexReader":
+        """Pin dictionary + blocks in executor memory for a query service
+        — the analog of the reference's prepared queries + Redis warm
+        cache (reiz/ir/builder.py:54-68, web/api.py:50-63). On a real
+        cluster this is cluster-memory-resident serving; cold queries
+        still work, they just pay the parquet scan."""
+        for name in ("dictionary", "blocks"):
+            df = self.spark.read.parquet(self.paths[name]).persist()
+            df.count()
+            self._cached[name] = df
+        return self
+
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths["dictionary"])
+        return self._cached.get("dictionary") or self.spark.read.parquet(
+            self.paths["dictionary"]
+        )
 
     def runs(self) -> DataFrame:
         return self.spark.read.parquet(self.paths["runs"])
 
     def blocks(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths["blocks"])
+        return self._cached.get("blocks") or self.spark.read.parquet(
+            self.paths["blocks"]
+        )
 
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(self.paths["docs"])
@@ -73,16 +90,36 @@ class IndexReader:
         (functions/hashing.py — parity asserted in tests), so only the
         buckets holding query terms are scanned and no extra Spark job
         is launched.
+
+        idf is derived here, not stored: np.log(1 + (N-df+0.5)/(df+0.5))
+        — the exact numpy expression the oracle uses (bit-identity), and
+        the index build never ships the dictionary through Python.
+        max_score is the analytic tf→∞ bound idf·(1+k1).
         """
+        import numpy as np
+
         buckets = self.term_buckets(terms)
         rows = (
             self.dictionary()
             .filter(F.col("term_bucket").isin(buckets))  # partition pruning
             .filter(F.col("term").isin(list(terms)))
-            .select("term", "df", "idf", "max_score")
+            .select("term", "df", "cf")
             .collect()
         )
-        return {r["term"]: r.asDict() for r in rows}
+        n = float(self.meta["n_docs"])
+        k1 = float(self.meta["k1"])
+        out = {}
+        for r in rows:
+            df = int(r["df"])
+            idf = float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+            out[r["term"]] = {
+                "term": r["term"],
+                "df": df,
+                "cf": int(r["cf"]),
+                "idf": idf,
+                "max_score": idf * (1.0 + k1),
+            }
+        return out
 
     def term_buckets(self, terms: list[str]) -> list[int]:
         from ..functions.hashing import term_bucket_of

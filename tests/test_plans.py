@@ -1,0 +1,80 @@
+"""Physical-plan audits: the plans we designed for are the plans Catalyst
+actually picks (SURVEY.md §4.3). Guards against silent regressions into
+full scans / shuffle joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reiz_io_spark.operators.score import IndexReader, attach_doc_metadata, naive_bm25_topk
+from reiz_io_spark.operators.wand import wand_topk
+from reiz_io_spark.plans.lower import lower_query
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_blocks_scan_is_partition_pruned(spark, built_index):
+    """WAND must touch only the query terms' term_bucket partitions."""
+    reader = IndexReader(spark, built_index[0])
+    q = lower_query("t", "Call(Name('len'))")
+    plan = _plan(wand_topk(reader, q, k=5))
+    assert "PartitionFilters" in plan
+    # the bucket IN-list must appear in partition filters, i.e. pruning
+    # is static (computed driver-side via pure-python xxh64), not a scan
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_runs_scan_pushes_term_filter(spark, built_index):
+    """Naive path: the term IN (...) predicate reaches the parquet scan."""
+    reader = IndexReader(spark, built_index[0])
+    q = lower_query("t", "Call(Name('len'))")
+    plan = _plan(naive_bm25_topk(reader, q, k=5))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:500]
+    assert "term" in pushed and "In" in pushed
+
+
+def test_metadata_join_is_broadcast(spark, built_index):
+    """top-k ⋈ docs must be a broadcast hash join, never sort-merge."""
+    reader = IndexReader(spark, built_index[0])
+    q = lower_query("t", "Call(Name('len'))")
+    plan = _plan(attach_doc_metadata(reader, wand_topk(reader, q, k=5)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark, built_index):
+    """Global top-k must compile to TakeOrderedAndProject (no full sort)."""
+    reader = IndexReader(spark, built_index[0])
+    q = lower_query("t", "Call(Name('len'))")
+    plan = _plan(wand_topk(reader, q, k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_docs_scan_prunes_terms_column(spark, built_index):
+    """Metadata readers must not pay for the per-doc tf map column."""
+    reader = IndexReader(spark, built_index[0])
+    df = reader.docs().select("doc_id", "repo", "path")
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    assert "terms" not in read_schema
+
+
+def test_fulltext_bm25_wholestage_codegen(spark):
+    """The documents-table BM25 path is pure built-ins: whole-stage
+    codegen must cover it (no BatchEvalPython in the plan)."""
+    from reiz_io_spark.operators import fulltext
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(fulltext.bm25_topk(docs, ["hash", "join"], 5, True))
+    # AQE shows isFinalPlan=false pre-execution (no codegen spans yet);
+    # the load-bearing assertion is that NO Python evaluation node exists
+    # anywhere in the plan — the path stays fully JVM-side.
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -25,7 +25,7 @@ def _decoded_index(spark, out):
         for r in spark.read.parquet(out + "/docs").collect()
     }
     dictionary = {
-        r["term"]: (r["df"], r["cf"], r["idf"])
+        r["term"]: (r["df"], r["cf"])
         for r in spark.read.parquet(out + "/dictionary").collect()
     }
     return postings, docs, dictionary
