@@ -96,25 +96,24 @@ def completed_shards(spark: SparkSession, lineage_path: str, build_id: str) -> D
     )
 
 
-def build_index(
+def stage1_ingest(
     spark: SparkSession,
     corpus: DataFrame,
     out_dir: str,
     build_id: str = "build-0",
     n_shards: int = 8,
-    block_size: int = BLOCK_SIZE,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    fragment_postings: int = FRAGMENT_POSTINGS,
 ) -> dict:
-    """Full build. Returns metrics dict. Safe to re-run after a crash:
-    completed shards are skipped via the lineage anti-join; the merge +
-    block stage is deterministic given the runs tables."""
+    """Stage 1: tokenize the corpus batch -> docs + runs + lineage.
+
+    docs/runs are partitioned by (batch=build_id, shard): each ingest
+    batch owns its partitions, so dynamic-overwrite replay of the same
+    batch is idempotent (the Structured Streaming foreachBatch contract,
+    streaming/ingest.py) and an interrupted batch resumes via the
+    lineage anti-join on (build_id, shard)."""
     p = _paths(out_dir)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     t0 = time.perf_counter()
 
-    # ---- stage 1: per-shard tokenize -> docs + runs (resumable) ----------
     done = completed_shards(spark, p["lineage"], build_id)
     done_ids = [r["shard"] for r in done.collect()]  # tiny (n_shards rows)
     prepared = prepare_docs(corpus, n_shards)
@@ -135,15 +134,17 @@ def build_index(
         F.col("n_terms").alias("doclen"),
         "parse_ok",
         "terms",
+        F.lit(build_id).alias("batch"),
         "shard",
     )
-    docs.write.mode("overwrite").partitionBy("shard").parquet(p["docs"])
+    docs.write.mode("overwrite").partitionBy("batch", "shard").parquet(p["docs"])
     t_docs = time.perf_counter()
 
     # runs: one explode of the per-doc tf map; dl rides along -> the query
     # path never joins back to docs for lengths. Derived from the staged
-    # parquet (re-tokenization avoided); only pending shards are rewritten.
-    staged = spark.read.parquet(p["docs"])
+    # parquet (re-tokenization avoided); only this batch's pending shards
+    # are rewritten.
+    staged = spark.read.parquet(p["docs"]).filter(F.col("batch") == build_id)
     if done_ids:
         staged = staged.filter(~F.col("shard").isin(done_ids))
     runs = (
@@ -154,18 +155,19 @@ def build_index(
             F.col("doclen").alias("dl"),
             F.explode("terms").alias("term", "tf"),
         )
-        .select("shard", "term", "doc_id", "tf", "dl")
+        .select(F.lit(build_id).alias("batch"), "shard", "term", "doc_id", "tf", "dl")
     )
     runs.sortWithinPartitions("term", "doc_id").write.mode("overwrite").partitionBy(
-        "shard"
+        "batch", "shard"
     ).parquet(p["runs"])
     t_runs = time.perf_counter()
 
     # lineage rows for the shards we just processed (atomic append AFTER
-    # the shard data landed — crash before this line ⇒ shard re-runs).
+    # the shard data landed — crash before this line => shard re-runs).
     stage1_ms = int((time.perf_counter() - t0) * 1000)
     lineage_rows = (
         spark.read.parquet(p["docs"])
+        .filter(F.col("batch") == build_id)
         .join(done, "shard", "left_anti")
         .groupBy("shard")
         .agg(
@@ -188,18 +190,36 @@ def build_index(
         )
     )
     lineage_rows.write.mode("append").parquet(p["lineage"])
-    t_lineage = time.perf_counter()
+    return {
+        "stage1_ms": stage1_ms,
+        "t_docs_write_s": round(t_docs - t0, 2),
+        "t_runs_write_s": round(t_runs - t_docs, 2),
+        "t_lineage_s": round(time.perf_counter() - t_runs, 2),
+    }
 
-    # ---- stage 2: collection stats + dictionary ---------------------------
-    # Collection stats come from the LINEAGE table (n_shards rows), not a
-    # docs re-scan: n_docs = Σ(n_files - n_parse_failed), total_dl =
-    # Σ n_terms (failed parses contribute 0 terms). Integer sums ⇒ the
-    # avgdl float division is bit-identical to the oracle's.
+
+def merge_and_encode(
+    spark: SparkSession,
+    out_dir: str,
+    build_id: str = "build-0",
+    block_size: int = BLOCK_SIZE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    fragment_postings: int = FRAGMENT_POSTINGS,
+) -> dict:
+    """Stages 2-3: dictionary + salted merge + block encode over ALL
+    ingested batches. Deterministic given the runs tables — re-running
+    after more batches produces the superset index."""
+    p = _paths(out_dir)
     t1 = time.perf_counter()
     all_runs = spark.read.parquet(p["runs"])
+    # Collection stats come from the LINEAGE table (n_batches x n_shards
+    # rows), not a docs re-scan: n_docs = sum(n_files - n_parse_failed),
+    # total_dl = sum n_terms (failed parses contribute 0 terms). Integer
+    # sums => the avgdl float division is bit-identical to the oracle's.
     lin = (
         spark.read.schema(LINEAGE).parquet(p["lineage"])
-        .filter((F.col("build_id") == build_id) & (F.col("status") == "done"))
+        .filter(F.col("status") == "done")
         .agg(
             F.sum(F.col("n_files") - F.col("n_parse_failed")).alias("n_docs"),
             F.sum("n_terms").alias("total_dl"),
@@ -235,7 +255,7 @@ def build_index(
     # The shuffle carries term_id = xxhash64(term) (8 bytes), never the
     # term string; the df-driven fan-out map covers ONLY hot terms
     # (df > fragment target — a Zipf head of a few thousand rows) and is
-    # broadcast, so there is no 10^12-row postings⋈dictionary shuffle.
+    # broadcast, so there is no 10^12-row postings-dictionary shuffle.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     hot = (
         dictionary.filter(F.col("df") > fragment_postings)
@@ -249,9 +269,6 @@ def build_index(
         .join(F.broadcast(hot), "term_id", "left")
         .na.fill({"n_frag": 1})
         .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.col("n_frag")).cast("int"))
-        .withColumn(
-            "term_bucket", F.pmod(F.col("term_id"), F.lit(N_TERM_BUCKETS)).cast("int")
-        )
     )
     encode = _make_block_encoder(avgdl, k1, b, block_size)
     # Hash partitioning on (term_id, salt): the ONE full-data shuffle of
@@ -276,18 +293,38 @@ def build_index(
         "k1": k1,
         "b": b,
         "block_size": block_size,
-        "n_shards": n_shards,
         "n_term_buckets": N_TERM_BUCKETS,
-        "stage1_ms": stage1_ms,
         "stage23_ms": int((time.perf_counter() - t1) * 1000),
-        "t_docs_write_s": round(t_docs - t0, 2),
-        "t_runs_write_s": round(t_runs - t_docs, 2),
-        "t_lineage_s": round(t_lineage - t_runs, 2),
         "t_stats_dict_s": round(t_dict - t1, 2),
         "t_blocks_s": round(t_blocks - t_dict, 2),
-        "t_dict_final_s": round(time.perf_counter() - t_blocks, 2),
     }
     with open(p["meta"], "w") as fh:
+        json.dump(meta, fh, indent=2)
+    return meta
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    build_id: str = "build-0",
+    n_shards: int = 8,
+    block_size: int = BLOCK_SIZE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    fragment_postings: int = FRAGMENT_POSTINGS,
+) -> dict:
+    """Full build = stage1_ingest + merge_and_encode. Safe to re-run
+    after a crash: completed shards are skipped via the lineage
+    anti-join; the merge + block stage is deterministic given runs."""
+    s1 = stage1_ingest(spark, corpus, out_dir, build_id=build_id, n_shards=n_shards)
+    meta = merge_and_encode(
+        spark, out_dir, build_id=build_id, block_size=block_size,
+        k1=k1, b=b, fragment_postings=fragment_postings,
+    )
+    meta.update(s1)
+    meta["n_shards"] = n_shards
+    with open(_paths(out_dir)["meta"], "w") as fh:
         json.dump(meta, fh, indent=2)
     return meta
 

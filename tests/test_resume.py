@@ -46,7 +46,9 @@ def test_kill_and_resume_rebuilds_identical_index(spark, small_corpus, tmp_path)
     surviving = lin.collect()
     for sub in ("docs", "runs"):
         for shard in (2, 3):
-            shutil.rmtree(f"{resumed_dir}/{sub}/shard={shard}", ignore_errors=True)
+            shutil.rmtree(
+                f"{resumed_dir}/{sub}/batch=b/shard={shard}", ignore_errors=True
+            )
     shutil.rmtree(resumed_dir + "/lineage")
     spark.createDataFrame(surviving, spark.read.parquet(clean_dir + "/lineage").schema) \
         .write.mode("overwrite").parquet(resumed_dir + "/lineage")
