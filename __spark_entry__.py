@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["join_orders_cust_nation"] = lambda s, d: _join_orders(s, d)
     q["window_top_events_per_user"] = lambda s, d: _window_events(s, d)
     q["events_sessionization"] = lambda s, d: _sessionize(s, d)
+    q["events_tumbling_window"] = lambda s, d: _tumbling(s, d)
     return q
 
 
@@ -282,6 +283,23 @@ def _sessionize(s, d):
     return sess.groupBy("user_id", "sess_no").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("sess_value"),
+    )
+
+
+def _tumbling(s, d):
+    """Tumbling 1-hour event-time window agg — the batch shape of the
+    Structured Streaming windowed aggregation (same F.window expression
+    runs unchanged on readStream with a watermark)."""
+    e = _tbl(s, d, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
     )
 
 
@@ -433,6 +451,12 @@ SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
        round(sum(value), 6) AS sess_value
 FROM s GROUP BY user_id, sess_no
 """
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / mm_media_decode_stub:
-    # non-SQL-expressible (seeded hash mixing / stubbed decode) -> rows-only.
+    o["events_tumbling_window"] = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / mm_media_decode_stub
+    # / code_search_wand: non-SQL-expressible (seeded hash mixing, stubbed
+    # decode, full index build + WAND) -> rows-only checks.
     return o
