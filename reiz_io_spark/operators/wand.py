@@ -44,19 +44,32 @@ from ..plans.lower import LoweredQuery
 from .score import IndexReader, _empty_results
 
 DOC_BUCKET_SHIFT = 58  # 64 buckets over the int64 doc-id space
+TARGET_DOCS_PER_BUCKET = 250_000  # adaptive: ~task-sized intersection work
+
+
+def _adaptive_shift(n_docs: int) -> int:
+    """Pick the doc-range bucket width from corpus size: ~250k docs per
+    bucket, clamped to [1, 4096] buckets. A 60k-doc index runs 1 task
+    (no scheduling fan-out for milliseconds of work); a 10^12-doc index
+    runs 4096 (raise TARGET or override per query for more)."""
+    n_buckets = max(1, min(4096, n_docs // TARGET_DOCS_PER_BUCKET or 1))
+    bits = max(1, (n_buckets - 1).bit_length())  # >=1: a 64-bit shift wraps
+    return 64 - bits
 
 
 def wand_topk(
     reader: IndexReader,
     query: LoweredQuery,
     k: int = 10,
-    bucket_shift: int = DOC_BUCKET_SHIFT,
+    bucket_shift: int | None = None,
 ) -> DataFrame:
     spark = reader.spark
     groups = reader.resolve_groups(query)
     if not groups or any(len(g) == 0 for g in groups):
         return _empty_results(spark)
     meta = reader.meta
+    if bucket_shift is None:
+        bucket_shift = _adaptive_shift(int(meta.get("n_docs", 0)))
     k1, b, avgdl = float(meta["k1"]), float(meta["b"]), float(meta["avgdl"])
     all_terms = sorted({t for g in groups for t in g})
     tmeta = reader.term_meta(all_terms)
