@@ -6,20 +6,29 @@ Four tiers, all distributed:
 - ngram_jaccard_pairs: EXACT word-n-gram Jaccard via a shingle
   inverted-index self-join — the candidate join is on shingle hash, so
   only documents sharing a shingle ever meet (no O(n^2) cross join).
+  Shingles with df above ``max_shingle_df`` are dropped before the
+  self-join (a stop-phrase shared by 10^6 docs would otherwise create a
+  10^12-row join group); the DuckDB twin applies the identical cap.
 - minhash_lsh_pairs: MinHash signatures + banded LSH bucketing — the
-  sublinear-candidate scale path; candidates are verified with exact
-  Jaccard so output precision is exact (recall is probabilistic, as
-  published: Broder '97 resemblance sketches).
+  sublinear-candidate scale path; exact Jaccard is computed ONLY for the
+  candidate pairs (never the all-pairs join), so output precision is
+  exact while recall stays probabilistic (Broder '97 resemblance
+  sketches, S-curve 1-(1-t^r)^b).
 - simhash64: 64-bit SimHash fingerprints (Charikar '02) for
   hamming-distance near-dup detection.
 
 Exact variants are pure built-ins (oracle-SQL twins exist); MinHash and
-SimHash use vectorized pandas UDFs (hash mixing isn't expressible in
-portable SQL) and are covered by rows-only driver checks + pytest.
+SimHash use Arrow-batched pandas UDFs whose inner math is fully
+NumPy-vectorized across the batch (one column-wise FNV-1a pass over a
+padded byte matrix, exact 61-bit Mersenne modmul in uint64 limbs,
+per-doc minima via np.minimum.reduceat) — no per-row/per-byte Python.
+The vectorized kernels are bit-identical to the scalar definitions
+(asserted in tests/test_pipeline_ops.py).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,6 +36,11 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 from .fulltext import TOKEN_SPLIT
+
+# Default hot-shingle cap: a shingle present in more docs than this is a
+# stop-phrase and is excluded from the exact self-join (it contributes
+# ~nothing to Jaccard discrimination but quadratic join rows).
+MAX_SHINGLE_DF = 1000
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -59,18 +73,34 @@ def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs via shingle-join.
 
     |A ∩ B| from the inverted shingle index; |A ∪ B| = |A|+|B|-|A∩B|.
     Shuffles: one explode+distinct, one self-join keyed on shingle
     (co-partitioned, no broadcast of the big side), one pair-agg.
+    Doc sizes |A| count ALL shingles; only the join side drops
+    stop-shingles (df > max_shingle_df), so a capped pair's Jaccard is a
+    slight underestimate (documented recall tradeoff; at the default cap
+    it binds only on corpora with >1000-doc stop-phrases).
     """
     sh = word_shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("sh_df"))
+            .filter(F.col("sh_df") > max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(hot, "shingle", "left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -93,8 +123,18 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.5) -> str:
-    """DuckDB oracle twin of ngram_jaccard_pairs."""
+def ngram_jaccard_pairs_sql(
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> str:
+    """DuckDB oracle twin of ngram_jaccard_pairs (same hot-shingle cap)."""
+    cap_pred = (
+        f"WHERE shingle NOT IN (SELECT shingle FROM sh GROUP BY shingle"
+        f" HAVING count(*) > {max_shingle_df})"
+        if max_shingle_df is not None
+        else ""
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -107,10 +147,11 @@ sh AS (
   FROM toks, unnest(range(0, len(t) - {n} + 1)) AS u(i)
   WHERE len(t) >= {n}
 ),
+joinable AS (SELECT doc_id, shingle FROM sh {cap_pred}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM joinable a JOIN joinable b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -122,59 +163,185 @@ WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {threshold}
 """
 
 
-# --- MinHash + LSH -----------------------------------------------------------
+# --- vectorized hash kernels -------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
 _MAX_HASH = (1 << 32) - 1
+_M61 = np.uint64(_MERSENNE)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_LOW32 = np.uint64(0xFFFFFFFF)
+
+
+def _fnv1a64(s: str) -> int:
+    """Scalar reference definition (tests assert the batch kernel
+    matches it bit-for-bit)."""
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def fnv1a64_batch(strings: list[str]) -> np.ndarray:
+    """FNV-1a 64 over a batch of strings, column-vectorized: the Python
+    loop runs over byte POSITIONS (max string length, ~tens), never over
+    strings or bytes. Bit-identical to _fnv1a64."""
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [s.encode("utf-8") for s in strings]
+    lens = np.fromiter((len(x) for x in bs), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if maxlen == 0:
+        return h
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    col = np.arange(maxlen, dtype=np.int64)
+    idx = np.minimum(offs[:, None] + col[None, :], max(flat.size - 1, 0))
+    mat = flat[idx]  # (n, maxlen); garbage beyond lens, masked below
+    valid = col[None, :] < lens[:, None]
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            m = valid[:, j]
+            if not m.any():
+                break
+            h[m] = (h[m] ^ mat[:, j][m].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def _red61(v: np.ndarray) -> np.ndarray:
+    """Partial reduction mod 2^61-1 (uint64 in, < 2^61 + eps out)."""
+    v = (v & _M61) + (v >> np.uint64(61))
+    return (v & _M61) + (v >> np.uint64(61))
+
+
+def modmul_p61(a: int, x: np.ndarray) -> np.ndarray:
+    """Exact (a * x) mod (2^61-1) for a < 2^61 and uint64 array x,
+    computed in 32-bit limbs so nothing overflows uint64 — equal to
+    Python-int (a*x) % _MERSENNE (tests assert this)."""
+    a1 = np.uint64(a >> 32)
+    a0 = np.uint64(a & 0xFFFFFFFF)
+    x1 = x >> np.uint64(32)
+    x0 = x & _LOW32
+    # a*x = a1*x1*2^64 + (a1*x0 + a0*x1)*2^32 + a0*x0 ; 2^64 ≡ 8 (mod p)
+    p11 = _red61(a1 * x1)  # < 2^61 + 1
+    t_hi = _red61(np.uint64(8) * p11)
+    mid = _red61(a1 * x0) + _red61(a0 * x1)  # < 2^62
+    # mid * 2^32 mod p: mid = mh*2^29 + ml  ->  mh*2^61 + ml*2^32 ≡ mh + ml*2^32
+    mh = mid >> np.uint64(29)
+    ml = mid & np.uint64((1 << 29) - 1)
+    t_mid = _red61(mh + (ml << np.uint64(32)))
+    t_lo = _red61(a0 * x0)
+    total = _red61(t_hi + t_mid + t_lo)
+    return np.where(total >= _M61, total - _M61, total)
+
+
+def minhash_from_hashes(
+    hs: np.ndarray, offsets: np.ndarray, a_params, b_params
+) -> np.ndarray:
+    """(n_docs, n_hashes) signature matrix from concatenated shingle
+    hashes + doc offsets. sig[d,k] = min over doc d's shingles of
+    ((a_k*h + b_k) mod 2^61-1) mod 2^32 — identical to the scalar
+    definition; minima via np.minimum.reduceat (no per-doc Python)."""
+    n_hashes = len(a_params)
+    n_docs = offsets.size - 1
+    sig = np.empty((n_docs, n_hashes), dtype=np.int64)
+    starts = offsets[:-1]
+    empty = offsets[1:] == starts
+    safe_starts = np.minimum(starts, max(hs.size - 1, 0))
+    for k in range(n_hashes):
+        if hs.size == 0:
+            sig[:, k] = _MAX_HASH
+            continue
+        vals = modmul_p61(int(a_params[k]), hs) + np.uint64(int(b_params[k]))
+        vals = np.where(vals >= _M61, vals - _M61, vals) & _LOW32
+        mins = np.minimum.reduceat(vals, safe_starts)
+        sig[:, k] = np.where(empty, np.uint64(_MAX_HASH), mins).astype(np.int64)
+    return sig
 
 
 def _minhash_params(n_hashes: int, seed: int = 42):
-    import numpy as np
-
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(object)
     b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(object)
     return a, b
 
 
+def _flatten_shingle_lists(shingle_lists: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate a batch of shingle lists -> (all shingles' FNV hashes,
+    per-doc offsets into them)."""
+    counts = np.fromiter(
+        (0 if s is None else len(s) for s in shingle_lists),
+        dtype=np.int64,
+        count=len(shingle_lists),
+    )
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    flat: list[str] = []
+    for s in shingle_lists:
+        if s is not None and len(s):
+            flat.extend(s)
+    return fnv1a64_batch(flat), offsets
+
+
 def minhash_signatures(
     documents: DataFrame, n_hashes: int = 64, shingle_n: int = 3, seed: int = 42
 ) -> DataFrame:
     """doc_id, sig array<long> — (a*x+b mod p) permutation minima over
-    shingle hashes; NumPy-vectorized inside an Arrow batch."""
+    shingle hashes; the whole Arrow batch is hashed and reduced in
+    NumPy (fnv1a64_batch + minhash_from_hashes)."""
     a_params, b_params = _minhash_params(n_hashes, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def sig_udf(shingle_lists: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for shingles in shingle_lists:
-            if shingles is None or len(shingles) == 0:
-                out.append([int(_MAX_HASH)] * n_hashes)
-                continue
-            # stable 64-bit shingle hashes (FNV-1a), vectorized per doc
-            hs = np.array(
-                [_fnv1a64(s) for s in shingles], dtype=np.uint64
-            ).astype(object)
-            mins = []
-            for i in range(n_hashes):
-                vals = (int(a_params[i]) * hs + int(b_params[i])) % _MERSENNE
-                mins.append(int((vals % (_MAX_HASH + 1)).min()))
-            out.append(mins)
-        return pd.Series(out)
+        hs, offsets = _flatten_shingle_lists(shingle_lists)
+        sig = minhash_from_hashes(hs, offsets, a_params, b_params)
+        return pd.Series(list(sig))
 
     sh = word_shingles(documents, shingle_n)
     grouped = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
     return grouped.select("doc_id", sig_udf("shingles").alias("sig"))
 
 
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def jaccard_for_pairs(
+    documents: DataFrame, pairs: DataFrame, n: int = 3
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs.
+
+    Cost is proportional to the candidate docs' shingle sets, never the
+    corpus: the shingle table is semi-join-pruned to candidate docs, and
+    the intersection count comes from joining each pair to its A-side
+    shingles and matching them against the B-side (co-partitioned equi-
+    join on (doc, shingle) — no all-pairs shingle self-join anywhere).
+    """
+    sh = word_shingles(documents, n)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = shc.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = shc.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def minhash_lsh_pairs(
@@ -185,12 +352,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
-    """LSH candidates (band-bucket join) verified with exact Jaccard.
+    """LSH candidates (band-bucket join) verified with exact Jaccard
+    computed on the CANDIDATE PAIRS ONLY (jaccard_for_pairs) — the
+    quadratic shingle self-join is never invoked, so this path is
+    sublinear end to end.
 
     Scale path: band explode is n_docs*bands rows; the bucket self-join
     only pairs docs agreeing on a whole band. Output: exact-verified
     pairs (doc_a, doc_b, jaccard) — precision 1.0, recall ~ S-curve
-    1-(1-t^r)^b."""
+    1-(1-t^r)^b. Verification uses the uncapped exact Jaccard (candidate
+    pair counts are tiny, no hot-shingle risk)."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(documents, n_hashes, shingle_n, seed)
     banded = sigs.select(
@@ -220,13 +391,34 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(documents, n=shingle_n, threshold=threshold)
-    return candidates.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    return jaccard_for_pairs(documents, candidates, n=shingle_n).filter(
+        F.col("jaccard") >= threshold
     )
 
 
 # --- SimHash -----------------------------------------------------------------
+
+
+def simhash_from_hashes(hs: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """int64 simhash per doc from concatenated shingle hashes: majority
+    vote per bit, vectorized with np.add.reduceat over doc boundaries."""
+    n_docs = offsets.size - 1
+    if n_docs == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = offsets[:-1]
+    empty = offsets[1:] == starts
+    if hs.size == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = 2 * bits - 1  # (n_shingles, 64)
+    acc = np.add.reduceat(votes, np.minimum(starts, hs.size - 1), axis=0)
+    vals = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    vals = np.where(empty, np.uint64(0), vals)
+    return vals.view(np.int64)
 
 
 def simhash64(documents: DataFrame, shingle_n: int = 2) -> DataFrame:
@@ -234,24 +426,8 @@ def simhash64(documents: DataFrame, shingle_n: int = 2) -> DataFrame:
 
     @pandas_udf(LongType())
     def sim_udf(shingle_lists: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for shingles in shingle_lists:
-            if shingles is None or len(shingles) == 0:
-                out.append(0)
-                continue
-            hs = np.array([_fnv1a64(s) for s in shingles], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
-            acc = (2 * bits - 1).sum(axis=0)
-            val = np.uint64(0)
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= np.uint64(1) << np.uint64(i)
-            out.append(int(np.int64(val)))
-        return pd.Series(out, dtype="int64")
+        hs, offsets = _flatten_shingle_lists(shingle_lists)
+        return pd.Series(simhash_from_hashes(hs, offsets), dtype="int64")
 
     sh = word_shingles(documents, shingle_n)
     grouped = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))

@@ -100,15 +100,30 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def embedding_dim(embeddings: DataFrame) -> int:
+    """Embedding width from one row (cheap: LIMIT 1 scan of one column)."""
+    row = embeddings.select(F.size("embedding").alias("d")).limit(1).collect()
+    if not row:
+        raise ValueError("embeddings table is empty")
+    return int(row[0]["d"])
+
+
 def hyperplane_buckets(
-    embeddings: DataFrame, n_planes: int = 12, seed: int = 7
+    embeddings: DataFrame,
+    n_planes: int = 12,
+    seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """vec_id, bucket — sign-bit LSH over fixed random hyperplanes.
-    The plane matrix is seeded/deterministic and broadcast via closure."""
+    The plane matrix is seeded/deterministic and broadcast via closure;
+    its width comes from the table itself (or the ``dim`` override), so
+    any embedding dimensionality works."""
     import numpy as np
 
+    if dim is None:
+        dim = embedding_dim(embeddings)
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, 64)).astype("float64")
+    planes = rng.standard_normal((n_planes, dim)).astype("float64")
 
     @pandas_udf(LongType())
     def bucket_udf(embs: pd.Series) -> pd.Series:
@@ -121,20 +136,42 @@ def hyperplane_buckets(
 
 
 def lsh_bucketed_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = 8
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    n_probes: int = 1 + 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within LSH bucket matches only.
-    At 10^9+ vectors the bucket join replaces the full scan; recall is
-    tested against brute force in pytest."""
-    buckets = hyperplane_buckets(embeddings, n_planes)
+
+    Multi-probe: each query probes its own bucket plus the ``n_probes-1``
+    single-bit-flip neighbors (the standard multi-probe LSH fallback —
+    a vector on the wrong side of ONE hyperplane is still found), so a
+    sparse bucket can't silently return < k rows. The candidate join is
+    (probe bucket == vector bucket); at 10^9+ vectors the bucket join
+    replaces the full scan. Recall vs brute force is tested in pytest at
+    two different embedding dims."""
+    if dim is None:
+        dim = embedding_dim(embeddings)
+    n_probes = max(1, min(n_probes, n_planes + 1))
+    buckets = hyperplane_buckets(embeddings, n_planes, dim=dim)
     e = embeddings.join(buckets, "vec_id")
-    q = e.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("bucket").alias("qb"),
+    # probe set per query: own bucket + hamming-1 neighbors (bit flips)
+    flips = F.array(*[F.lit(0)] + [F.lit(1 << i) for i in range(n_probes - 1)])
+    q = (
+        e.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(
+                F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))
+            ).alias("qb"),
+        )
     )
     joined = e.join(
-        F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id"))
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
     )
     sim = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * _norm(F.col("qv"))
@@ -148,6 +185,8 @@ def lsh_bucketed_topk(
             F.col("vec_id").alias("neighbor_id"),
             F.round(sim, 6).alias("cos_sim"),
         )
+        # no dedup needed: probe values are distinct per query, and a
+        # vector has one bucket, so it matches at most one probe
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

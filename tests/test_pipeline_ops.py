@@ -127,3 +127,135 @@ def test_multimodal_decode_deterministic(spark):
     for r in a:
         assert 64 <= r["fake_width"] < 256 and 64 <= r["fake_height"] < 256
         assert r["n_bytes"] > 0
+
+
+def test_vectorized_hash_kernels_bit_identical():
+    """The batch NumPy kernels must equal the scalar definitions
+    bit-for-bit (VERDICT r01 item 4: no per-row/per-byte Python, same
+    outputs)."""
+    import numpy as np
+
+    from reiz_io_spark.operators.dedup import (
+        _MAX_HASH,
+        _MERSENNE,
+        _fnv1a64,
+        _minhash_params,
+        fnv1a64_batch,
+        minhash_from_hashes,
+        modmul_p61,
+        simhash_from_hashes,
+    )
+
+    strs = ["", "a", "hello_world_foo", "x" * 100, "unicode_ü_ß", "self_data"]
+    assert list(fnv1a64_batch(strs)) == [_fnv1a64(s) for s in strs]
+
+    rng = np.random.RandomState(1)
+    xs = rng.randint(0, 2**63, size=2000).astype(np.uint64) * np.uint64(2) + (
+        rng.randint(0, 2, 2000)
+    ).astype(np.uint64)
+    xs = np.concatenate(
+        [xs, np.array([0, 1, 2**64 - 1, 2**61 - 1, 2**61], dtype=np.uint64)]
+    )
+    for a in [1, _MERSENNE - 1, 0x123456789ABCDEF, int(rng.randint(1, _MERSENNE))]:
+        exp = np.array([(a * int(x)) % _MERSENNE for x in xs], dtype=np.uint64)
+        assert (modmul_p61(a, xs) == exp).all()
+
+    a_p, b_p = _minhash_params(8, seed=42)
+    docs = [["a_b_c", "c_d_e", "x_y_z"], [], ["hello_a_b"], ["a_b_c"] * 3]
+    flat = [s for d in docs for s in d]
+    hs = fnv1a64_batch(flat)
+    offs = np.concatenate(([0], np.cumsum([len(d) for d in docs])))
+    sig = minhash_from_hashes(hs, offs, a_p, b_p)
+    for di, d in enumerate(docs):
+        if not d:
+            exp = [int(_MAX_HASH)] * 8
+        else:
+            hh = [_fnv1a64(s) for s in d]
+            exp = [
+                min(((int(a_p[k]) * h + int(b_p[k])) % _MERSENNE) % (1 << 32) for h in hh)
+                for k in range(8)
+            ]
+        assert list(sig[di]) == exp
+    sh = simhash_from_hashes(hs, offs)
+    assert sh[1] == 0 and sh.dtype == np.int64
+
+
+def test_jaccard_for_pairs_matches_full_join(spark):
+    """Candidate-only Jaccard (the LSH verify path) must agree with the
+    uncapped exhaustive shingle self-join on those pairs."""
+    from reiz_io_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, 3, 0.3, max_shingle_df=None
+        ).collect()
+    }
+    assert full, "fixture needs at least one near-dup pair"
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in full], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_for_pairs(docs, pairs, n=3).collect()
+    }
+    assert got == full
+
+
+def test_hot_shingle_cap_matches_duckdb(spark, duck):
+    """With a stop-phrase present, the capped engine must equal the
+    capped SQL twin (cap applied identically on both sides)."""
+    from reiz_io_spark.operators import dedup
+
+    stop = "the quick brown fox jumps"
+    rows = [(i, f"{stop} doc {i} unique tail {i*7}") for i in range(40)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    sdf.createOrReplaceTempView("capdocs")
+    duck.execute("CREATE OR REPLACE TABLE capdocs AS SELECT * FROM (VALUES "
+                 + ",".join(f"({i}, '{t}')" for i, t in rows)
+                 + ") AS t(doc_id, text)")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(sdf, 2, 0.3, max_shingle_df=10).collect()
+    )
+    sql = dedup.ngram_jaccard_pairs_sql(2, 0.3, max_shingle_df=10).replace(
+        "FROM documents", "FROM capdocs"
+    )
+    exp = sorted(tuple(row) for row in duck.sql(sql).fetchall())
+    assert got == [(a, b, float(j)) for a, b, j in exp]
+    # the stop-phrase shingles are capped out: the 40 stop docs share no
+    # other 2-gram, so no pair among them survives
+    assert all(a >= 100 for a, _, _ in got)
+
+
+def test_ann_lsh_dim32_multiprobe(spark):
+    """LSH ANN must work at a non-64 embedding dim and return k rows per
+    query via multi-probe (VERDICT r01 item 7)."""
+    import numpy as np
+
+    from reiz_io_spark.operators import similarity
+
+    rng = np.random.RandomState(3)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(32)], 0)
+            for i in range(400)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    assert similarity.embedding_dim(emb) == 32
+    got = similarity.lsh_bucketed_topk(emb, [0, 1], k=5, n_planes=6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for q, rs in by_q.items():
+        assert len(rs) == 5, f"query {q} returned {len(rs)} rows"
+    # similarities must equal brute force values for the same pairs
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.brute_force_topk(emb, [0, 1], k=400).collect()
+    }
+    for r in got:
+        assert abs(r["cos_sim"] - bf[(r["query_id"], r["neighbor_id"])]) < 1e-9
