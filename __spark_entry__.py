@@ -150,6 +150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ANSI-SQL statement; correctness is gated by the 54 rank-identity
     # tests against the pure-Python oracle in tests/) -----------------------
     q["code_search_wand"] = _code_search_wand
+    # exact structural semantics + match line numbers (reiz/fetch.py
+    # parity): a `not` query whose index-level candidates contain false
+    # positives that the verify stage must eliminate. Rows-only check;
+    # exactness is pytest-gated against the golden `# tp:` line sets
+    # for all 27 reference queries (tests/test_verify.py).
+    q["code_search_positions"] = _code_search_positions
 
     # --- general relational operators (joins/windows/aggs) --------------------
     q["tpch_pricing_summary"] = lambda s, d: _tpch_pricing(s, d)
@@ -163,16 +169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CODE_INDEX_CACHE: dict[str, str] = {}
 
 
-def _code_search_wand(s: SparkSession, d: str) -> DataFrame:
-    """Deterministic synthetic code corpus -> full index build (salted
-    shuffle, delta/varint blocks, lineage) -> block-max WAND top-10 for
-    Call(Name('len')), metadata-joined. Index cached per process."""
+def _ensure_entry_index(s: SparkSession, d: str) -> None:
     import tempfile
 
     from reiz_io_spark.operators.build import build_index
-    from reiz_io_spark.operators.score import IndexReader, attach_doc_metadata
-    from reiz_io_spark.operators.wand import wand_topk
-    from reiz_io_spark.plans.lower import lower_query
     from reiz_io_spark.sources.corpus import synth_corpus
 
     if d not in _CODE_INDEX_CACHE:
@@ -180,10 +180,38 @@ def _code_search_wand(s: SparkSession, d: str) -> DataFrame:
         corpus = synth_corpus(s, n_filler=150, seed=42)
         build_index(s, corpus, out, build_id="entry", n_shards=4)
         _CODE_INDEX_CACHE[d] = out
+
+
+def _code_search_wand(s: SparkSession, d: str) -> DataFrame:
+    """Deterministic synthetic code corpus -> full index build (salted
+    shuffle, delta/varint blocks, lineage) -> block-max WAND top-10 for
+    Call(Name('len')), metadata-joined. Index cached per process."""
+    from reiz_io_spark.operators.score import IndexReader, attach_doc_metadata
+    from reiz_io_spark.operators.wand import wand_topk
+    from reiz_io_spark.plans.lower import lower_query
+
+    _ensure_entry_index(s, d)
     reader = IndexReader(s, _CODE_INDEX_CACHE[d])
     top = wand_topk(reader, lower_query("flagship", "Call(Name('len'))"), k=10)
     return attach_doc_metadata(reader, top).select(
         "doc_id", "repo", "path", F.round("score", 6).alias("score")
+    )
+
+
+def _code_search_positions(s: SparkSession, d: str) -> DataFrame:
+    """Structural top-10 with exact match linenos for
+    Return(not Constant()) — `not` semantics are exact in the ENGINE
+    output (the BM25 candidates are a recall superset; the distributed
+    matcher stage prunes them and emits positions)."""
+    from reiz_io_spark.operators.score import IndexReader
+    from reiz_io_spark.operators.verify import structural_topk
+    from reiz_io_spark.plans.lower import lower_query
+
+    _ensure_entry_index(s, d)
+    reader = IndexReader(s, _CODE_INDEX_CACHE[d])
+    q = lower_query("not_constant", "Return(not Constant())")
+    return structural_topk(reader, q, k=10).select(
+        "doc_id", "repo", "path", "lineno", F.round("score", 6).alias("score")
     )
 
 

@@ -9,8 +9,12 @@ on arrays (shift/mask matrices) — zero per-row Python, per SURVEY.md
 10^12-file index build.
 
 Layout per block (<= BLOCK_SIZE postings of one term, sorted by doc_id):
-- metadata columns: first_doc_id, last_doc_id, n_docs, max_tf,
-  block_max_score (exact BM25 upper bound for the block)
+- metadata columns: first_doc_id, last_doc_id, n_docs, max_tf, min_dl.
+  The block-max score bound is NOT stored: BM25's tf-normalization is
+  monotone increasing in tf and decreasing in dl, so
+  bm25_contrib(max_tf, min_dl, idf, avgdl_now) >= every posting's
+  contribution — computed query-side (block_bound below), which keeps
+  the bound valid when avgdl drifts under incremental merges
 - ``doc_deltas``: varint(delta(doc_ids)[1:]) — first doc is metadata
 - ``tfs``:        varint(tf)
 - ``dls``:        varint(doclen) — carried per posting so query-time
@@ -99,20 +103,36 @@ def bm25_contrib(
     return idf * (tf * (1.0 + k1)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
 
 
+def block_bound(
+    max_tf: np.ndarray | float,
+    min_dl: np.ndarray | float,
+    idf: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+):
+    """Upper bound on any posting's BM25 contribution within a block:
+    tf-normalization is monotone ↑ in tf and ↓ in dl, so the (max_tf,
+    min_dl) corner dominates. Computed at query time against the
+    CURRENT avgdl so the bound survives incremental merges."""
+    max_tf = np.asarray(max_tf, dtype=np.float64)
+    min_dl = np.asarray(min_dl, dtype=np.float64)
+    return idf * (max_tf * (1.0 + k1)) / (
+        max_tf + k1 * (1.0 - b + b * (min_dl / avgdl))
+    )
+
+
 def encode_term_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
-    k1: float,
-    b: float,
     block_size: int,
 ) -> list[dict]:
     """Chunk one term's sorted postings into compressed blocks.
 
-    block_max_tfnorm is the idf-free score bound (idf is a per-term
-    constant multiplied in at query time); keeping idf out of the
-    shuffle rows lets the build skip the postings⋈dictionary join."""
+    (max_tf, min_dl) are the block-max-WAND bound corner; idf and avgdl
+    are applied at query time (block_bound), keeping the stored metadata
+    collection-stat-free so merged/older blocks never go stale."""
     n = doc_ids.size
     blocks = []
     for start in range(0, n, block_size):
@@ -120,7 +140,6 @@ def encode_term_blocks(
         d = doc_ids[start:end]
         t = tfs[start:end]
         l = dls[start:end]
-        tfnorm = bm25_contrib(t, l, 1.0, avgdl, k1, b)
         blocks.append(
             {
                 "block_no": start // block_size,
@@ -128,7 +147,7 @@ def encode_term_blocks(
                 "last_doc_id": int(d[-1]),
                 "n_docs": int(end - start),
                 "max_tf": int(t.max()),
-                "block_max_tfnorm": float(tfnorm.max()),
+                "min_dl": int(l.min()),
                 "doc_deltas": delta_encode_docids(d),
                 "tfs": varint_encode(t.astype(np.uint64)),
                 "dls": varint_encode(l.astype(np.uint64)),
@@ -143,9 +162,6 @@ def encode_blocks_vectorized(
     tfs: np.ndarray,
     dls: np.ndarray,
     frag_start: np.ndarray,
-    avgdl: float,
-    k1: float,
-    b: float,
     block_size: int,
 ) -> dict:
     """Encode MANY fragments' blocks in one vectorized pass.
@@ -154,7 +170,7 @@ def encode_blocks_vectorized(
     terms for 50k files ⇒ avg posting list < 6 entries), so per-fragment
     Python calls dominate a naive encoder. Here every per-block quantity
     comes from array ops over the whole batch: block boundaries via
-    cumsum arithmetic, max_tf / max_tfnorm via np.maximum.reduceat,
+    cumsum arithmetic, max_tf / min_dl via np.maximum/minimum.reduceat,
     deltas via one np.diff, and ONE varint pass whose per-value byte
     lengths let us slice the stream per block.
 
@@ -173,7 +189,6 @@ def encode_blocks_vectorized(
     block_ends = np.append(block_starts[1:], n)
     n_docs_b = (block_ends - block_starts).astype(np.int32)
 
-    tfnorm = bm25_contrib(tfs, dls, 1.0, avgdl, k1, b)
     u = np.ascontiguousarray(docs, dtype=np.int64).view(np.uint64)
     gaps = np.empty(n, dtype=np.uint64)
     gaps[0] = 0
@@ -209,7 +224,7 @@ def encode_blocks_vectorized(
         "last_doc_id": docs[block_ends - 1],
         "n_docs": n_docs_b,
         "max_tf": np.maximum.reduceat(tfs, block_starts),
-        "block_max_tfnorm": np.maximum.reduceat(tfnorm, block_starts),
+        "min_dl": np.minimum.reduceat(dls, block_starts),
         "doc_deltas": doc_deltas,
         "tfs": tf_blobs,
         "dls": dl_blobs,

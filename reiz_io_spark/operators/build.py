@@ -134,6 +134,9 @@ def stage1_ingest(
         F.col("n_terms").alias("doclen"),
         "parse_ok",
         "terms",
+        "content",  # read ONLY by the structural-verify stage (pruned
+        # everywhere else); the reference stores far more per file (the
+        # whole AST node graph, ~330 nodes/file at 17.5M nodes / 53k files)
         F.lit(build_id).alias("batch"),
         "shard",
     )
@@ -249,6 +252,20 @@ def merge_and_encode(
         .parquet(p["dictionary"])
     )
     dictionary = spark.read.parquet(p["dictionary"])
+    # term_id collision invariant (schema.py BLOCKS note): every term_id
+    # must map to exactly one term — a collision would silently merge two
+    # posting lists. One tiny agg over the dictionary; hard failure.
+    collisions = (
+        dictionary.groupBy("term_id")
+        .agg(F.countDistinct("term").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    if collisions:
+        raise RuntimeError(
+            f"xxhash64 term_id collision on {collisions} ids — "
+            "re-key the dictionary (e.g. widen to (term_id, len(term)))"
+        )
     t_dict = time.perf_counter()
 
     # ---- stage 3: salted re-shuffle + external merge + block encode -------
@@ -270,7 +287,7 @@ def merge_and_encode(
         .na.fill({"n_frag": 1})
         .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.col("n_frag")).cast("int"))
     )
-    encode = _make_block_encoder(avgdl, k1, b, block_size)
+    encode = _make_block_encoder(block_size)
     # Hash partitioning on (term_id, salt): the ONE full-data shuffle of
     # the pipeline, deterministic (no range-sampling pass, which would
     # re-execute the upstream scan), skew-free by construction (hot terms
@@ -294,6 +311,7 @@ def merge_and_encode(
         "b": b,
         "block_size": block_size,
         "n_term_buckets": N_TERM_BUCKETS,
+        "term_id_collisions": collisions,
         "stage23_ms": int((time.perf_counter() - t1) * 1000),
         "t_stats_dict_s": round(t_dict - t1, 2),
         "t_blocks_s": round(t_blocks - t_dict, 2),
@@ -329,7 +347,7 @@ def build_index(
     return meta
 
 
-def _make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
+def _make_block_encoder(block_size: int):
     """mapInPandas encoder: rows sorted by (term_id, salt, doc_id) within
     the partition -> block rows.
 
@@ -356,9 +374,6 @@ def _make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
                 pdf["tf"].to_numpy(np.int64),
                 pdf["dl"].to_numpy(np.int64),
                 frag_start,
-                avgdl,
-                k1,
-                b,
                 block_size,
             )
             if not cols:

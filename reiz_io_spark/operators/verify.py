@@ -1,0 +1,142 @@
+"""Structural post-verification: exact ReizQL semantics + match
+positions in the Spark query path.
+
+The index retrieval (wand_scores) returns a RECALL SUPERSET: every doc
+containing the lowered term conjunction. The reference's answer is
+stricter — the exact set of structurally matching AST nodes with their
+line numbers and source segments (reiz/fetch.py:84-114 projects
+lineno/col_offset and slices the file; the golden harness asserts exact
+line sets, tests/runner.py:204-226). This stage closes that gap: the
+pure-Python structural matcher (plans/matcher.py, the same code the
+test oracle runs) executes distributed over candidate content via
+mapInPandas, eliminating false positives from `not` / `None` / `~ref` /
+sequence-order queries and emitting exact match line numbers.
+
+Scale design
+------------
+Verification parses candidate source with ast.parse — Python-side by
+necessity, so the stage is budgeted, not blanket:
+
+- candidates are ranked FIRST (cheap, index-only), then verified in
+  rank-ordered tranches of growing size (k*OVERSAMPLE, x4 each round)
+  until k docs survive or candidates run out — the expected cost is
+  O(k / precision) parses, independent of corpus size (the same shape
+  as the reference's LIMIT/OFFSET paging, reiz/fetch.py:71-81).
+- each tranche's content is fetched by an IN-list doc_id filter pushed
+  into the docs parquet scan (tranche ids are a driver-side list of at
+  most a few thousand), never a full docs scan.
+- the candidate (doc_id, score) set is persisted once; tranche paging
+  does not recompute retrieval.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from ..plans.lower import LoweredQuery
+from .score import IndexReader
+from .wand import wand_scores
+
+OVERSAMPLE = 4  # first tranche = k * OVERSAMPLE candidate docs
+MAX_TRANCHES = 8  # 4^8 * k — far beyond any real false-positive rate
+
+_POSITIONS_SCHEMA = "doc_id long, lineno int"
+
+
+def _match_positions(query_source: str):
+    """mapInPandas fn: (doc_id, content) batches -> (doc_id, lineno) of
+    exact structural matches (decorated-def position widening included,
+    matcher.match_lines)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..plans.matcher import match_lines
+
+        for pdf in batches:
+            out_doc, out_line = [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    lines = match_lines(content, query_source)
+                except SyntaxError:
+                    continue
+                for ln in sorted(lines):
+                    out_doc.append(int(doc_id))
+                    out_line.append(int(ln))
+            yield pd.DataFrame({"doc_id": out_doc, "lineno": out_line})
+
+    return fn
+
+
+def verify_candidates(
+    reader: IndexReader, doc_ids: list[int], query_source: str
+) -> DataFrame:
+    """(doc_id, lineno) of exact structural matches among the given
+    docs. The IN-list filter is pushed into the parquet scan."""
+    content = reader.docs().filter(F.col("doc_id").isin(doc_ids)).select(
+        "doc_id", "content"
+    )
+    return content.mapInPandas(_match_positions(query_source), _POSITIONS_SCHEMA)
+
+
+def structural_topk(
+    reader: IndexReader,
+    query: LoweredQuery,
+    k: int = 10,
+    offset: int = 0,
+) -> DataFrame:
+    """Exact top-k structurally matching docs with match line numbers.
+
+    Returns one row per (doc, matching line): (doc_id, repo, path,
+    lineno, score) — schema.RESULTS — ranked by BM25 score then doc_id,
+    offset/limit applied over DOCS (reiz/fetch.py:10,71-81 semantics).
+    """
+    spark = reader.spark
+    want = k + offset
+    cand = wand_scores(reader, query, k=None).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        ranked = cand.orderBy(F.desc("score"), F.asc("doc_id"))
+        verified: dict[int, set[int]] = {}  # doc_id -> linenos
+        scores: dict[int, float] = {}
+        order: list[int] = []  # verified doc_ids in rank order
+        taken = 0
+        tranche = max(want * OVERSAMPLE, 16)
+        for _ in range(MAX_TRANCHES):
+            rows = ranked.offset(taken).limit(tranche).collect()
+            if not rows:
+                break
+            ids = [r["doc_id"] for r in rows]
+            scores.update({r["doc_id"]: r["score"] for r in rows})
+            hits = verify_candidates(reader, ids, query.source).collect()
+            by_doc: dict[int, set[int]] = {}
+            for h in hits:
+                by_doc.setdefault(h["doc_id"], set()).add(h["lineno"])
+            for did in ids:  # preserve rank order within the tranche
+                if did in by_doc:
+                    verified[did] = by_doc[did]
+                    order.append(did)
+            taken += len(rows)
+            if len(order) >= want or len(rows) < tranche:
+                break
+            tranche *= 4  # low precision -> escalate exponentially
+        page = order[offset : offset + k]
+        out_rows = [
+            (did, int(ln), float(scores[did]))
+            for did in page
+            for ln in sorted(verified[did])
+        ]
+    finally:
+        cand.unpersist()
+    hits_df = spark.createDataFrame(out_rows, "doc_id long, lineno int, score double")
+    meta = reader.docs().select("doc_id", "repo", "path")
+    return (
+        F.broadcast(hits_df)
+        .join(meta, "doc_id")
+        .select("doc_id", "repo", "path", "lineno", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("lineno"))
+    )

@@ -1,4 +1,4 @@
-"""Block-max WAND top-k over the compressed block index.
+"""Block-max WAND / MaxScore top-k over the compressed block index.
 
 The production query path (SURVEY.md §7.1 step 7): reads only the
 query terms' blocks (term_bucket partition pruning + term predicate
@@ -15,26 +15,32 @@ Spark (F.shiftright) and NumPy, no float wobble at bucket edges. A block
 spanning several buckets is exploded to each (rare-term blocks span wide
 ranges; at real corpus sizes a 128-posting block covers a sliver of the
 space, so the fan-out shrinks as the corpus grows — the design gets
-CHEAPER at scale). Each bucket's UDF call decodes its blocks, clips to
-the bucket range (dedup across the explode), and runs the conjunction:
+CHEAPER at scale). Each bucket's UDF call runs the scoring kernel
+(score_bucket_kernel, importable and unit-tested with skip stats):
 
-1. groups sorted by estimated selectivity (min df); the rarest group's
-   docs form the seed candidates,
-2. other terms decode only blocks overlapping the candidate span
-   (first/last doc_id metadata = the block-skip of classic BMW),
-3. exact BM25 contributions accumulated in ascending-term order
-   (bit-identical to the oracle and the naive path),
-4. local top-k, then global orderBy(score desc, doc_id).limit(k).
+- multi-group (CNF conjunction): groups sorted by estimated selectivity
+  (min df); the rarest group's docs seed the candidates; other terms
+  decode only blocks overlapping the candidate span AND containing at
+  least one candidate (block skip via first/last doc_id metadata).
+- single wide OR-group (e.g. a LIKE marker expanded to many dictionary
+  terms): term-at-a-time MaxScore (Turtle & Flood '95) with the
+  block-max bound — terms processed in descending upper-bound order
+  (ub = idf * block_bound(max_tf, min_dl)); once the summed bound of
+  the unprocessed tail cannot reach the running kth score, no new doc
+  is admitted, accumulated docs below threshold are dropped, and the
+  remaining terms decode ONLY blocks containing a surviving candidate.
 
-Scores are exact (no quantization) — rank-identity is a hard gate.
-block_max_score / dictionary max_score provide an admission bound: a
-group whose total upper bound cannot reach the running local kth score
-can stop decoding early (conjunctions make this mostly a no-op, but it
-matters for wide OR-groups).
+Scores are exact (no quantization, no approximation of the returned
+top-k): the pruning pass uses a 1e-9 safety margin below the running
+kth score, and survivors are re-scored with the same ascending-term
+float accumulation order as the naive path and the pure-Python oracle,
+so rank identity — including tie-breaks — is preserved (54 rank-
+identity tests + an explicit skipped>0 MaxScore test).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,6 +51,7 @@ from .score import IndexReader, _empty_results
 
 DOC_BUCKET_SHIFT = 58  # 64 buckets over the int64 doc-id space
 TARGET_DOCS_PER_BUCKET = 250_000  # adaptive: ~task-sized intersection work
+_PRUNE_MARGIN = 1e-9  # float-safety margin for score-bound pruning
 
 
 def _adaptive_shift(n_docs: int) -> int:
@@ -57,12 +64,354 @@ def _adaptive_shift(n_docs: int) -> int:
     return 64 - bits
 
 
-def wand_topk(
+class _BucketBlocks:
+    """Column-array view over one bucket's block rows (no iterrows)."""
+
+    def __init__(self, pdf: pd.DataFrame):
+        self.term_id = pdf["term_id"].to_numpy(np.int64)
+        self.first = pdf["first_doc_id"].to_numpy(np.int64)
+        self.last = pdf["last_doc_id"].to_numpy(np.int64)
+        self.n_docs = pdf["n_docs"].to_numpy(np.int64)
+        self.max_tf = pdf["max_tf"].to_numpy(np.int64)
+        self.min_dl = pdf["min_dl"].to_numpy(np.int64)
+        self.doc_deltas = pdf["doc_deltas"].to_numpy(object)
+        self.tfs = pdf["tfs"].to_numpy(object)
+        self.dls = pdf["dls"].to_numpy(object)
+        self.rows_by_tid: dict[int, np.ndarray] = {}
+        order = np.argsort(self.term_id, kind="stable")
+        bounds = np.flatnonzero(
+            np.concatenate(([True], self.term_id[order][1:] != self.term_id[order][:-1]))
+        )
+        for s, e in zip(bounds, np.append(bounds[1:], order.size)):
+            self.rows_by_tid[int(self.term_id[order[s]])] = order[s:e]
+
+    def decode_rows(self, idx: np.ndarray, lo: int, hi: int):
+        """Decode the given block rows, clipped to bucket [lo, hi]."""
+        docs_l, tfs_l, dls_l = [], [], []
+        for i in idx:
+            d = codec.delta_decode_docids(
+                int(self.first[i]), self.doc_deltas[i], int(self.n_docs[i])
+            )
+            t = codec.varint_decode(self.tfs[i]).view(np.int64)
+            l = codec.varint_decode(self.dls[i]).view(np.int64)
+            m = (d >= lo) & (d <= hi)
+            if m.any():
+                docs_l.append(d[m])
+                tfs_l.append(t[m])
+                dls_l.append(l[m])
+        if not docs_l:
+            e = np.empty(0, np.int64)
+            return e, e, e
+        d = np.concatenate(docs_l)
+        t = np.concatenate(tfs_l)
+        l = np.concatenate(dls_l)
+        order = np.argsort(d, kind="stable")
+        # fragments may repeat a doc only if encode emitted duplicates
+        # (they cannot: salt is a function of doc_id) — no dedup needed.
+        return d[order], t[order], l[order]
+
+    def select_rows(
+        self,
+        tid: int,
+        lo: int,
+        hi: int,
+        span: tuple[int, int] | None = None,
+        cand: np.ndarray | None = None,
+        stats: dict | None = None,
+    ) -> np.ndarray:
+        """Row indices of tid's blocks that can contain a wanted doc.
+
+        Skips (counted in stats["blocks_skipped"]): outside the bucket,
+        outside the candidate span, or — the fine-grained block-max WAND
+        skip — containing NO current candidate (searchsorted on the
+        sorted candidate array vs the block's [first, last] metadata)."""
+        idx = self.rows_by_tid.get(tid)
+        if idx is None:
+            return np.empty(0, np.int64)
+        first, last = self.first[idx], self.last[idx]
+        keep = (last >= lo) & (first <= hi)
+        if span is not None:
+            keep &= (last >= span[0]) & (first <= span[1])
+        if cand is not None and cand.size:
+            # block contains a candidate iff some cand in [first, last]
+            pos_f = np.searchsorted(cand, first, side="left")
+            in_range = (pos_f < cand.size) & (cand[np.minimum(pos_f, cand.size - 1)] <= last)
+            keep &= in_range
+        if stats is not None:
+            stats["blocks_skipped"] += int((~keep).sum())
+            stats["blocks_decoded"] += int(keep.sum())
+        return idx[keep]
+
+
+def _merge_accumulate(
+    acc_docs: np.ndarray,
+    acc_scores: np.ndarray,
+    d: np.ndarray,
+    contrib: np.ndarray,
+    admit: bool,
+):
+    """Sorted-merge (d, contrib) into the accumulator. admit=False only
+    updates docs already present."""
+    if d.size == 0:
+        return acc_docs, acc_scores
+    if acc_docs.size == 0:
+        return (d.copy(), contrib.copy()) if admit else (acc_docs, acc_scores)
+    pos = np.searchsorted(acc_docs, d)
+    safe = np.minimum(pos, acc_docs.size - 1)
+    hit = acc_docs[safe] == d
+    np.add.at(acc_scores, safe[hit], contrib[hit])
+    if admit and (~hit).any():
+        new_d = d[~hit]
+        new_s = contrib[~hit]
+        acc_docs = np.concatenate([acc_docs, new_d])
+        acc_scores = np.concatenate([acc_scores, new_s])
+        order = np.argsort(acc_docs, kind="stable")
+        acc_docs, acc_scores = acc_docs[order], acc_scores[order]
+    return acc_docs, acc_scores
+
+
+def _kth_largest(scores: np.ndarray, k: int) -> float:
+    if scores.size < k:
+        return -np.inf
+    return float(np.partition(scores, scores.size - k)[scores.size - k])
+
+
+def _exact_rescore(
+    survivors: np.ndarray,
+    term_cache: dict[str, tuple],
+    idf_by_term: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> np.ndarray:
+    """Ascending-term float accumulation — bit-identical to the naive
+    path / oracle (summation order is part of the rank-identity gate)."""
+    scores = np.zeros(survivors.size, dtype=np.float64)
+    for term in sorted(idf_by_term):
+        dec = term_cache.get(term)
+        if dec is None:
+            continue
+        d, t, l = dec
+        if d.size == 0:
+            continue
+        pos = np.searchsorted(d, survivors)
+        pos = np.clip(pos, 0, d.size - 1)
+        hit = d[pos] == survivors
+        if not hit.any():
+            continue
+        contrib = codec.bm25_contrib(
+            t[pos[hit]], l[pos[hit]], idf_by_term[term], avgdl, k1, b
+        )
+        scores[hit] += contrib
+    return scores
+
+
+def _maxscore_union_topk(
+    blocks: _BucketBlocks,
+    terms: list[str],
+    tid_of: dict[str, int],
+    idf_by_term: dict[str, float],
+    lo: int,
+    hi: int,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    stats: dict,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Single wide OR-group: TAAT MaxScore with block-max bounds.
+
+    Terms processed in DESCENDING upper-bound order; once the tail's
+    summed bound cannot reach the running (margin-adjusted) kth score,
+    new docs stop being admitted and sub-threshold accumulated docs are
+    dropped, which lets select_rows skip whole blocks. Survivors are
+    exactly re-scored in ascending-term order for rank identity."""
+    ub: dict[str, float] = {}
+    for t in terms:
+        idx = blocks.rows_by_tid.get(tid_of[t])
+        if idx is None or idx.size == 0 or t not in idf_by_term:
+            continue
+        bnd = codec.block_bound(
+            blocks.max_tf[idx], blocks.min_dl[idx], idf_by_term[t], avgdl, k1, b
+        )
+        ub[t] = float(np.max(bnd))
+    if not ub:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    order = sorted(ub, key=lambda t: (-ub[t], t))
+    tail_ub = np.concatenate([np.cumsum([ub[t] for t in order][::-1])[::-1], [0.0]])
+
+    acc_docs = np.empty(0, np.int64)
+    acc_scores = np.empty(0, np.float64)
+    term_cache: dict[str, tuple] = {}
+    admit = True
+    for i, term in enumerate(order):
+        theta = _kth_largest(acc_scores, k)
+        if admit and np.isfinite(theta) and tail_ub[i] < theta - _PRUNE_MARGIN:
+            admit = False  # no unseen doc can reach the top-k
+            stats["admit_stopped_at_term"] = i
+        if not admit:
+            # drop accumulated docs that cannot reach theta anymore
+            keep = acc_scores + tail_ub[i] >= theta - _PRUNE_MARGIN
+            acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+            if acc_docs.size == 0:
+                break
+        cand = acc_docs if not admit else None
+        idx = blocks.select_rows(tid_of[term], lo, hi, cand=cand, stats=stats)
+        d, tf, dl = blocks.decode_rows(idx, lo, hi)
+        term_cache[term] = (d, tf, dl)
+        if d.size == 0:
+            continue
+        contrib = codec.bm25_contrib(tf, dl, idf_by_term[term], avgdl, k1, b)
+        acc_docs, acc_scores = _merge_accumulate(
+            acc_docs, acc_scores, d, contrib, admit
+        )
+    if acc_docs.size == 0:
+        return acc_docs, acc_scores
+    # final prune, then exact ascending-order rescore of the survivors
+    theta = _kth_largest(acc_scores, k)
+    keep = acc_scores >= theta - _PRUNE_MARGIN
+    survivors = acc_docs[keep]
+    idf_present = {t: idf_by_term[t] for t in term_cache}
+    exact = _exact_rescore(survivors, term_cache, idf_present, avgdl, k1, b)
+    return survivors, exact
+
+
+def _conjunctive_topk(
+    blocks: _BucketBlocks,
+    group_list: list[tuple],
+    tid_of: dict[str, int],
+    idf_by_term: dict[str, float],
+    df_by_term: dict[str, int],
+    lo: int,
+    hi: int,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    stats: dict,
+) -> tuple[np.ndarray, np.ndarray]:
+    """CNF conjunction: rarest group seeds candidates; every other term
+    decodes only blocks overlapping the candidate span and containing at
+    least one candidate."""
+    ordered_groups = sorted(
+        group_list, key=lambda g: min(df_by_term.get(t, 0) for t in g)
+    )
+    candidates: np.ndarray | None = None
+    term_cache: dict[str, tuple] = {}
+    for gi, g in enumerate(ordered_groups):
+        if candidates is not None and candidates.size == 0:
+            break
+        span = (
+            (int(candidates.min()), int(candidates.max()))
+            if candidates is not None and candidates.size
+            else None
+        )
+        cand = candidates if candidates is not None else None
+        docs_g = []
+        for t in g:
+            if t not in idf_by_term:
+                continue
+            idx = blocks.select_rows(
+                tid_of[t], lo, hi, span=span, cand=cand, stats=stats
+            )
+            dec = blocks.decode_rows(idx, lo, hi)
+            if cand is not None and dec[0].size:
+                # clip decoded postings to the current candidates
+                pos = np.searchsorted(cand, dec[0])
+                safe = np.minimum(pos, cand.size - 1)
+                m = cand[safe] == dec[0]
+                dec = (dec[0][m], dec[1][m], dec[2][m])
+            term_cache[t] = dec
+            docs_g.append(dec[0])
+        union = (
+            np.unique(np.concatenate(docs_g)) if docs_g else np.empty(0, np.int64)
+        )
+        candidates = (
+            union
+            if candidates is None
+            else np.intersect1d(candidates, union, assume_unique=True)
+        )
+    if candidates is None or candidates.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
+    # exact scoring, ascending-term accumulation order (oracle parity).
+    # terms decoded against an older (wider) candidate set are already
+    # cached; terms never decoded (possible only if absent) contribute 0.
+    for term in sorted(idf_by_term):
+        if term not in term_cache:
+            idx = blocks.select_rows(
+                tid_of[term],
+                lo,
+                hi,
+                span=(int(candidates.min()), int(candidates.max())),
+                cand=candidates,
+                stats=stats,
+            )
+            term_cache[term] = blocks.decode_rows(idx, lo, hi)
+    scores = _exact_rescore(candidates, term_cache, idf_by_term, avgdl, k1, b)
+    return candidates, scores
+
+
+def score_bucket_kernel(
+    pdf: pd.DataFrame,
+    group_list: list[tuple],
+    tid_of: dict[str, int],
+    idf_by_term: dict[str, float],
+    df_by_term: dict[str, int],
+    shift: int,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    stats: dict | None = None,
+) -> pd.DataFrame:
+    """One doc-range bucket's top-k (importable + unit-tested; the Spark
+    path wraps it in applyInPandas). stats (optional) accumulates
+    blocks_skipped / blocks_decoded / admit_stopped_at_term."""
+    if stats is None:
+        stats = {"blocks_skipped": 0, "blocks_decoded": 0}
+    stats.setdefault("blocks_skipped", 0)
+    stats.setdefault("blocks_decoded", 0)
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        }
+    )
+    if pdf.empty:
+        return empty
+    qb = int(pdf["qb"].iloc[0])
+    # exact integer bucket bounds: qb in [-2^(63-shift), 2^(63-shift)-1]
+    lo = np.int64(qb * (1 << shift))
+    hi = np.int64(min((qb + 1) * (1 << shift) - 1, 2**63 - 1))
+    blocks = _BucketBlocks(pdf)
+
+    if len(group_list) == 1 and len(group_list[0]) > 1:
+        docs, scores = _maxscore_union_topk(
+            blocks, list(group_list[0]), tid_of, idf_by_term,
+            int(lo), int(hi), k, avgdl, k1, b, stats,
+        )
+    else:
+        docs, scores = _conjunctive_topk(
+            blocks, group_list, tid_of, idf_by_term, df_by_term,
+            int(lo), int(hi), k, avgdl, k1, b, stats,
+        )
+    if docs.size == 0:
+        return empty
+    order = np.lexsort((docs, -scores))[:k]
+    return pd.DataFrame({"doc_id": docs[order], "score": scores[order]})
+
+
+def wand_scores(
     reader: IndexReader,
     query: LoweredQuery,
-    k: int = 10,
+    k: int | None = 10,
     bucket_shift: int | None = None,
 ) -> DataFrame:
+    """Unordered (doc_id, score) of the query's candidates. With k, each
+    bucket returns only its local top-k (MaxScore pruning active); with
+    k=None every conjunction-satisfying doc is returned with its exact
+    score — the input of the structural post-verification stage."""
     spark = reader.spark
     groups = reader.resolve_groups(query)
     if not groups or any(len(g) == 0 for g in groups):
@@ -98,111 +447,25 @@ def wand_topk(
     )
 
     idf_by_term = {t: float(m["idf"]) for t, m in tmeta.items()}
-    group_list = [tuple(g) for g in groups]
     df_by_term = {t: int(m["df"]) for t, m in tmeta.items()}
+    group_list = [tuple(g) for g in groups]
     shift = bucket_shift
-    kk = k
+    kk = k if k is not None else 1 << 31  # no pruning, all candidates
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        if pdf.empty:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "score": pd.Series([], dtype="float64")})
-        qb = int(pdf["qb"].iloc[0])
-        # exact integer bucket bounds: qb in [-2^(63-shift), 2^(63-shift)-1]
-        lo = np.int64(qb * (1 << shift))
-        hi = np.int64(min((qb + 1) * (1 << shift) - 1, 2**63 - 1))
-
-        by_tid: dict[int, list] = {}
-        for _, row in pdf.iterrows():
-            by_tid.setdefault(int(row["term_id"]), []).append(row)
-
-        def decode_term(term: str, span: tuple[int, int] | None) -> tuple:
-            """Decode this bucket's postings for `term`, clipped to the
-            bucket range and optionally to the candidate span (block skip)."""
-            docs_l, tfs_l, dls_l = [], [], []
-            for row in by_tid.get(tid_of[term], ()):  # blocks, each sorted
-                if span is not None and (
-                    row["last_doc_id"] < span[0] or row["first_doc_id"] > span[1]
-                ):
-                    continue  # block-skip via metadata
-                d, t, l = codec.decode_block(row)
-                m = (d >= lo) & (d <= hi)
-                if span is not None:
-                    m &= (d >= span[0]) & (d <= span[1])
-                if m.any():
-                    docs_l.append(d[m])
-                    tfs_l.append(t[m])
-                    dls_l.append(l[m])
-            if not docs_l:
-                e = np.empty(0, np.int64)
-                return e, e, e
-            d = np.concatenate(docs_l)
-            t = np.concatenate(tfs_l)
-            l = np.concatenate(dls_l)
-            order = np.argsort(d, kind="stable")
-            d, t, l = d[order], t[order], l[order]
-            # fragments may repeat a doc only if encode emitted duplicates
-            # (they cannot: salt is a function of doc_id) — no dedup needed.
-            return d, t, l
-
-        # 1. candidates = intersection over groups (rarest group first)
-        ordered_groups = sorted(
-            group_list, key=lambda g: min(df_by_term.get(t, 0) for t in g)
-        )
-        candidates: "np.ndarray | None" = None
-        term_cache: dict[str, tuple] = {}
-        for g in ordered_groups:
-            span = (
-                (int(candidates.min()), int(candidates.max()))
-                if candidates is not None and candidates.size
-                else None
-            )
-            if candidates is not None and candidates.size == 0:
-                break
-            docs_g = []
-            for t in g:
-                if t not in idf_by_term:
-                    continue
-                dec = decode_term(t, span)
-                term_cache[t] = dec
-                docs_g.append(dec[0])
-            union = (
-                np.unique(np.concatenate(docs_g)) if docs_g else np.empty(0, np.int64)
-            )
-            candidates = (
-                union
-                if candidates is None
-                else np.intersect1d(candidates, union, assume_unique=True)
-            )
-        if candidates is None or candidates.size == 0:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "score": pd.Series([], dtype="float64")})
-
-        # 2. exact scoring, ascending-term accumulation order (oracle parity)
-        scores = np.zeros(candidates.size, dtype=np.float64)
-        for term in sorted(idf_by_term):
-            dec = term_cache.get(term)
-            if dec is None:
-                dec = decode_term(term, (int(candidates.min()), int(candidates.max())))
-            d, t, l = dec
-            if d.size == 0:
-                continue
-            pos = np.searchsorted(d, candidates)
-            pos = np.clip(pos, 0, d.size - 1)
-            hit = d[pos] == candidates
-            if not hit.any():
-                continue
-            contrib = codec.bm25_contrib(
-                t[pos[hit]], l[pos[hit]], idf_by_term[term], avgdl, k1, b
-            )
-            scores[hit] += contrib
-
-        order = np.lexsort((candidates, -scores))[:kk]
-        return pd.DataFrame(
-            {"doc_id": candidates[order], "score": scores[order]}
+        return score_bucket_kernel(
+            pdf, group_list, tid_of, idf_by_term, df_by_term,
+            shift, kk, avgdl, k1, b,
         )
 
-    out = blk.groupBy("qb").applyInPandas(score_bucket, "doc_id long, score double")
+    return blk.groupBy("qb").applyInPandas(score_bucket, "doc_id long, score double")
+
+
+def wand_topk(
+    reader: IndexReader,
+    query: LoweredQuery,
+    k: int = 10,
+    bucket_shift: int | None = None,
+) -> DataFrame:
+    out = wand_scores(reader, query, k=k, bucket_shift=bucket_shift)
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -51,7 +51,10 @@ TOKENIZED = StructType(
 
 # Document stats + identity. doc_id = xxhash64(repo, path) — deterministic
 # under retries (no row_number over unordered data). content_sha256 is the
-# per-row invariant vs. the source table.
+# per-row invariant vs. the source table. content (the raw source) is
+# carried for the structural post-verification stage (reiz/fetch.py
+# projects positions and slices the stored source, fetch.py:84-114);
+# parquet column pruning means no other reader ever pays for it.
 DOCS = StructType(
     [
         StructField("doc_id", LongType(), False),
@@ -61,27 +64,31 @@ DOCS = StructType(
         StructField("content_sha256", StringType(), False),
         StructField("doclen", LongType(), False),
         StructField("parse_ok", BooleanType(), False),
+        StructField("content", StringType(), True),
     ]
 )
 
-# Posting runs: the (term, docID, tf) triples the north rule names.
-POSTINGS = StructType(
+# Posting runs as written by stage1_ingest (term, docID, tf, dl; batch /
+# shard are hive partition columns on disk).
+RUNS = StructType(
     [
         StructField("term", StringType(), False),
         StructField("doc_id", LongType(), False),
         StructField("tf", LongType(), False),
+        StructField("dl", LongType(), False),
     ]
 )
 
-# Term dictionary with collection stats; idf = Lucene BM25 idf.
+# Term dictionary with collection stats. idf / max_score are NOT stored:
+# both are pure functions of (n_docs, df, k1) and are derived driver-side
+# per query (IndexReader.term_meta) so the dictionary never goes stale as
+# the corpus grows. term_bucket is a hive partition column on disk.
 DICTIONARY = StructType(
     [
         StructField("term", StringType(), False),
-        StructField("term_id", LongType(), False),
         StructField("df", LongType(), False),
         StructField("cf", LongType(), False),
-        StructField("idf", DoubleType(), False),
-        StructField("max_score", DoubleType(), False),
+        StructField("term_id", LongType(), False),
     ]
 )
 
@@ -90,12 +97,15 @@ DICTIONARY = StructType(
 # metadata for block-max WAND. first/last doc_id enable block skipping.
 # Terms are carried as term_id = xxhash64(term) (8 bytes) so the big
 # shuffle never ships strings; the dictionary maps term <-> term_id
-# (collisions are astronomically unlikely below ~10^9 terms and are
-# detected by the dictionary-stage invariant countDistinct(term) per
-# term_id == 1, surfaced in build metrics).
-# block_max_tfnorm is the idf-free upper bound max(tf*(1+k1)/denom);
-# the query side multiplies by idf — bounds only gate block skipping,
-# exact scores are always recomputed from decoded (tf, dl).
+# (collisions are astronomically unlikely below ~10^9 terms; the
+# merge stage enforces countDistinct(term) == 1 per term_id and fails
+# the build otherwise — see merge_and_encode).
+# (max_tf, min_dl) is the block-max bound corner: BM25 tf-normalization
+# is monotone ↑ tf / ↓ dl, so codec.block_bound(max_tf, min_dl, idf,
+# avgdl) dominates every posting in the block. idf/avgdl are applied at
+# QUERY time, so the stored metadata never goes stale under incremental
+# merges — bounds only gate skipping, exact scores are always
+# recomputed from decoded (tf, dl).
 BLOCKS = StructType(
     [
         StructField("term_id", LongType(), False),
@@ -104,7 +114,7 @@ BLOCKS = StructType(
         StructField("last_doc_id", LongType(), False),
         StructField("n_docs", IntegerType(), False),
         StructField("max_tf", LongType(), False),
-        StructField("block_max_tfnorm", DoubleType(), False),
+        StructField("min_dl", LongType(), False),
         StructField("doc_deltas", BinaryType(), False),
         StructField("tfs", BinaryType(), False),
         StructField("dls", BinaryType(), False),
@@ -127,14 +137,16 @@ LINEAGE = StructType(
     ]
 )
 
-# Query results (the reference's fixed projection, reiz/fetch.py:14-29).
+# Query results with exact match positions (the reference's fixed
+# projection incl. lineno, reiz/fetch.py:14-29) — the schema returned by
+# operators/verify.structural_topk.
 RESULTS = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("repo", StringType(), False),
         StructField("path", StringType(), False),
+        StructField("lineno", IntegerType(), False),
         StructField("score", DoubleType(), False),
-        StructField("rank", IntegerType(), False),
     ]
 )
 

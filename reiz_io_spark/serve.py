@@ -1,0 +1,300 @@
+"""Warm query serving tier: driver-side decoded-postings cache with a
+distributed fallback.
+
+The reference's production path is a long-lived process holding
+prepared queries and a Redis result cache in front of the database
+(reiz/web/api.py:50-63, reiz/ir/builder.py:54-68); its published
+25-287 ms latencies are measured against that warm tier. Spark's
+fixed per-job scheduling cost (~0.2-1 s) makes "one Spark job per
+interactive query" the wrong serving shape at ANY corpus size, so this
+module gives the engine the same two-tier design:
+
+- QueryService caches the DECODED posting lists of query terms (and the
+  dictionary rows, Like expansions, and doc metadata) in the serving
+  process. Scoring runs the same exact BM25 kernel semantics as the
+  distributed path (ascending-term float accumulation — rank identity
+  vs naive_bm25_topk is pytest-gated).
+- Terms whose total df exceeds ``max_driver_postings`` route the query
+  to the distributed wand_topk path instead (a hot-term scan at 10^12
+  docs is cluster work; a 5-term conjunction over rare terms is not).
+  Cache misses fetch ONLY the missing terms' blocks via one pruned
+  parquet read (term_bucket partition filter + term_id pushdown).
+
+On a real cluster this process is the query frontend; executors keep
+serving big scans. Nothing here is required for correctness — it is a
+latency tier, exactly like the reference's Redis."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions import codec
+from .functions.hashing import spark_xxhash64
+from .plans.lower import LoweredQuery
+from .operators.score import IndexReader
+from .operators import wand as wand_mod
+
+
+class QueryService:
+    def __init__(
+        self,
+        reader: IndexReader,
+        max_driver_postings: int = 5_000_000,
+        max_driver_docmeta: int = 5_000_000,
+    ):
+        self.reader = reader
+        self.max_driver_postings = max_driver_postings
+        self.meta = reader.meta
+        self.k1 = float(self.meta["k1"])
+        self.b = float(self.meta["b"])
+        self.avgdl = float(self.meta["avgdl"])
+        self.n_docs = int(self.meta["n_docs"])
+        self._postings: dict[str, tuple] = {}  # term -> (d, tf, dl) sorted
+        self._tmeta: dict[str, dict] = {}
+        self._absent: set[str] = set()
+        self._like_cache: dict[tuple, list[str]] = {}
+        self._docmeta: dict[int, tuple] | None = None
+        if 0 < self.n_docs <= max_driver_docmeta:
+            rows = reader.docs().select("doc_id", "repo", "path").collect()
+            self._docmeta = {r["doc_id"]: (r["repo"], r["path"]) for r in rows}
+        self._content: dict[int, str | None] = {}
+
+    # -- term resolution (cached) ---------------------------------------------
+
+    def resolve_groups(self, query: LoweredQuery) -> list[tuple[str, ...]]:
+        def expand(namespace: str, regex: str) -> list[str]:
+            key = (namespace, regex)
+            if key not in self._like_cache:
+                self._like_cache[key] = self.reader.dictionary_terms_for(
+                    namespace, regex
+                )
+            return self._like_cache[key]
+
+        from .plans.lower import expand_groups
+
+        return expand_groups(query, expand)
+
+    def term_meta(self, terms: list[str]) -> dict[str, dict]:
+        missing = [t for t in terms if t not in self._tmeta and t not in self._absent]
+        if missing:
+            got = self.reader.term_meta(missing)
+            self._tmeta.update(got)
+            self._absent.update(t for t in missing if t not in got)
+        return {t: self._tmeta[t] for t in terms if t in self._tmeta}
+
+    # -- postings cache ---------------------------------------------------------
+
+    def _fetch_postings(self, terms: list[str]) -> None:
+        """One pruned blocks read for all missing terms."""
+        missing = [t for t in terms if t not in self._postings]
+        if not missing:
+            return
+        tid_of = {spark_xxhash64(t): t for t in missing}
+        buckets = self.reader.term_buckets(missing)
+        rows = (
+            self.reader.blocks()
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term_id").isin(list(tid_of.keys())))
+            .collect()
+        )
+        by_term: dict[str, list] = {t: [] for t in missing}
+        for r in rows:
+            by_term[tid_of[r["term_id"]]].append(r)
+        for t, blks in by_term.items():
+            if not blks:
+                self._postings[t] = (
+                    np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+                )
+                continue
+            ds, tfs, dls = [], [], []
+            for r in blks:
+                d, tf, dl = codec.decode_block(r)
+                ds.append(d)
+                tfs.append(tf)
+                dls.append(dl)
+            d = np.concatenate(ds)
+            tf = np.concatenate(tfs)
+            dl = np.concatenate(dls)
+            order = np.argsort(d, kind="stable")
+            self._postings[t] = (d[order], tf[order], dl[order])
+
+    # -- scoring (exact, oracle accumulation order) ------------------------------
+
+    def _score_driver(
+        self, groups: list[tuple[str, ...]], tmeta: dict, k: int
+    ) -> list[tuple[int, float]]:
+        candidates: np.ndarray | None = None
+        for g in sorted(groups, key=lambda g: min(
+            (tmeta[t]["df"] for t in g if t in tmeta), default=0
+        )):
+            docs_g = [self._postings[t][0] for t in g if t in tmeta]
+            union = (
+                np.unique(np.concatenate(docs_g))
+                if docs_g
+                else np.empty(0, np.int64)
+            )
+            candidates = (
+                union
+                if candidates is None
+                else np.intersect1d(candidates, union, assume_unique=True)
+            )
+            if candidates.size == 0:
+                return []
+        if candidates is None or candidates.size == 0:
+            return []
+        scores = np.zeros(candidates.size, dtype=np.float64)
+        for term in sorted(t for t in tmeta):
+            d, tf, dl = self._postings[term]
+            if d.size == 0:
+                continue
+            pos = np.clip(np.searchsorted(d, candidates), 0, d.size - 1)
+            hit = d[pos] == candidates
+            if not hit.any():
+                continue
+            scores[hit] += codec.bm25_contrib(
+                tf[pos[hit]], dl[pos[hit]], float(tmeta[term]["idf"]),
+                self.avgdl, self.k1, self.b,
+            )
+        order = np.lexsort((candidates, -scores))[:k]
+        return [(int(candidates[i]), float(scores[i])) for i in order]
+
+    def query_topk(
+        self, query: LoweredQuery, k: int = 10, offset: int = 0
+    ) -> list[dict]:
+        """Ranked results as dicts. Warm path: zero Spark jobs once the
+        query's terms are cached. Fallback: distributed wand_topk."""
+        groups = self.resolve_groups(query)
+        if not groups or any(len(g) == 0 for g in groups):
+            return []
+        all_terms = sorted({t for g in groups for t in g})
+        tmeta = self.term_meta(all_terms)
+        for g in groups:
+            if all(t not in tmeta for t in g):
+                return []
+        total_df = sum(m["df"] for m in tmeta.values())
+        if total_df > self.max_driver_postings:
+            top = (
+                wand_mod.wand_topk(self.reader, query, k=k + offset)
+                .offset(offset)
+                .collect()
+            )
+            ranked = [(r["doc_id"], r["score"]) for r in top]
+        else:
+            self._fetch_postings(list(tmeta))
+            ranked = self._score_driver(groups, tmeta, k + offset)[offset:]
+        out = []
+        for rank, (doc_id, score) in enumerate(ranked, start=offset + 1):
+            repo, path = self._doc_meta(doc_id)
+            out.append(
+                {"doc_id": doc_id, "repo": repo, "path": path,
+                 "score": score, "rank": rank}
+            )
+        return out
+
+    def query_positions(
+        self, query: LoweredQuery, k: int = 10, offset: int = 0
+    ) -> list[dict]:
+        """Structurally verified results with exact match line numbers —
+        the serving twin of operators/verify.structural_topk (same
+        tranche escalation, driver-side matcher over cached content)."""
+        from .plans.matcher import match_lines
+
+        groups = self.resolve_groups(query)
+        if not groups or any(len(g) == 0 for g in groups):
+            return []
+        all_terms = sorted({t for g in groups for t in g})
+        tmeta = self.term_meta(all_terms)
+        for g in groups:
+            if all(t not in tmeta for t in g):
+                return []
+        self._fetch_postings(list(tmeta))
+        want = k + offset
+        tranche = max(want * 4, 16)
+        verified: list[tuple[int, float, list[int]]] = []
+        seen = 0
+        while True:
+            ranked = self._score_driver(groups, tmeta, seen + tranche)[seen:]
+            if not ranked:
+                break
+            self._fetch_content([d for d, _ in ranked])
+            for doc_id, score in ranked:
+                content = self._content.get(doc_id)
+                if content is None:
+                    continue
+                try:
+                    lines = sorted(match_lines(content, query.source))
+                except SyntaxError:
+                    continue
+                if lines:
+                    verified.append((doc_id, score, lines))
+            seen += len(ranked)
+            if len(verified) >= want or len(ranked) < tranche:
+                break
+            tranche *= 4
+        out = []
+        for rank, (doc_id, score, lines) in enumerate(
+            verified[offset : offset + k], start=offset + 1
+        ):
+            repo, path = self._doc_meta(doc_id)
+            out.append(
+                {"doc_id": doc_id, "repo": repo, "path": path, "score": score,
+                 "rank": rank, "linenos": lines}
+            )
+        return out
+
+    def analyze(self, query: LoweredQuery) -> dict:
+        """Lowered plan + per-term stats (the reference's POST /analyze,
+        reiz/web/api.py:96-119 returns the compiled EdgeQL; we return
+        the lowered CNF + index stats + chosen route)."""
+        groups = self.resolve_groups(query)
+        all_terms = sorted({t for g in groups for t in g})
+        tmeta = self.term_meta(all_terms)
+        total_df = sum(m["df"] for m in tmeta.values())
+        return {
+            "query": query.source,
+            "groups": [list(g) for g in groups],
+            "terms": {
+                t: {"df": m["df"], "cf": m["cf"], "idf": m["idf"]}
+                for t, m in tmeta.items()
+            },
+            "route": (
+                "distributed-wand"
+                if total_df > self.max_driver_postings
+                else "driver-cache"
+            ),
+            "total_df": total_df,
+            "n_docs": self.n_docs,
+        }
+
+    # -- metadata / content lookups ----------------------------------------------
+
+    def _doc_meta(self, doc_id: int) -> tuple[str, str]:
+        if self._docmeta is not None and doc_id in self._docmeta:
+            return self._docmeta[doc_id]
+        rows = (
+            self.reader.docs()
+            .filter(F.col("doc_id") == doc_id)
+            .select("repo", "path")
+            .collect()
+        )
+        meta = (rows[0]["repo"], rows[0]["path"]) if rows else ("?", "?")
+        if self._docmeta is not None:
+            self._docmeta[doc_id] = meta
+        return meta
+
+    def _fetch_content(self, doc_ids: list[int]) -> None:
+        missing = [d for d in doc_ids if d not in self._content]
+        if not missing:
+            return
+        rows = (
+            self.reader.docs()
+            .filter(F.col("doc_id").isin(missing))
+            .select("doc_id", "content")
+            .collect()
+        )
+        got = {r["doc_id"]: r["content"] for r in rows}
+        for d in missing:
+            self._content[d] = got.get(d)

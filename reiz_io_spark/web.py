@@ -1,0 +1,132 @@
+"""Minimal HTTP query service over a warm QueryService.
+
+The analog of the reference's production entry point
+(reiz/web/api.py:71-119): POST /query runs a ReizQL pattern and returns
+ranked results, POST /analyze returns the lowered plan (the reference
+returns the compiled EdgeQL; we return the CNF term groups + per-term
+index stats + the chosen execution route), GET /stats returns corpus
+statistics. Response envelope mirrors the reference
+(status/results/exception, api.py:130-142); an in-process result cache
+keyed by the request body plays the Redis role (api.py:50-63), and a
+simple per-client sliding-window rate limit plays sanic-limiter's
+(api.py:72 "240 per hour;10/minute").
+
+stdlib http.server only (no web framework in the container); the
+serving work happens in QueryService — this file is routing."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .plans.lower import lower_query
+from .serve import QueryService
+
+RATE_LIMIT_PER_MINUTE = 60
+
+
+def make_handler(service: QueryService):
+    cache: dict[str, list] = {}
+    cache_lock = threading.Lock()
+    hits: dict[str, list[float]] = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet test output
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, message: str, code: int = 400) -> None:
+            self._send(code, {"status": "error", "results": [],
+                              "exception": message})
+
+        def _rate_limited(self) -> bool:
+            now = time.monotonic()
+            key = self.client_address[0]
+            window = [t for t in hits.get(key, []) if now - t < 60.0]
+            window.append(now)
+            hits[key] = window
+            return len(window) > RATE_LIMIT_PER_MINUTE
+
+        def _read_json(self) -> dict | None:
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                return json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                self._error("invalid JSON body")
+                return None
+
+        def do_GET(self):
+            if self.path != "/stats":
+                return self._error("not found", 404)
+            m = service.meta
+            self._send(200, {"status": "success", "results": {
+                "n_docs": m.get("n_docs"), "total_dl": m.get("total_dl"),
+                "avgdl": m.get("avgdl"), "build_id": m.get("build_id"),
+            }})
+
+        def do_POST(self):
+            if self._rate_limited():
+                return self._error("rate limit exceeded", 429)
+            body = self._read_json()
+            if body is None:
+                return
+            if "query" not in body:
+                return self._error("Missing 'query' data")
+            if not body["query"]:  # empty queries allowed (api.py:80-81)
+                return self._send(200, {"status": "success", "results": [],
+                                        "exception": None})
+            try:
+                q = lower_query("http", body["query"])
+            except (SyntaxError, ValueError) as exc:
+                return self._error(f"syntax error: {exc}")
+            if self.path == "/analyze":
+                return self._send(200, {"status": "success",
+                                        **service.analyze(q)})
+            if self.path != "/query":
+                return self._error("not found", 404)
+            k = int(body.get("limit", 10))
+            offset = int(body.get("offset", 0))
+            positions = bool(body.get("positions", False))
+            key = json.dumps(body, sort_keys=True)
+            with cache_lock:
+                if key in cache:
+                    return self._send(200, {"status": "success",
+                                            "results": cache[key],
+                                            "exception": None, "cached": True})
+            try:
+                if positions:
+                    results = service.query_positions(q, k=k, offset=offset)
+                else:
+                    results = service.query_topk(q, k=k, offset=offset)
+            except Exception as exc:  # noqa: BLE001 — reference returns tracebacks
+                return self._error(repr(exc), 500)
+            with cache_lock:
+                cache[key] = results
+            self._send(200, {"status": "success", "results": results,
+                             "exception": None, "cached": False})
+
+    return Handler
+
+
+def serve(service: QueryService, host: str = "127.0.0.1", port: int = 8099):
+    """Blocking server (CLI use). Returns the server for .shutdown()."""
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd.serve_forever()
+    return httpd
+
+
+def start_background(service: QueryService, host: str = "127.0.0.1", port: int = 0):
+    """Start on a daemon thread; returns (server, actual_port)."""
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, httpd.server_address[1]

@@ -51,15 +51,18 @@ def test_block_roundtrip(postings, block_size):
     docs = np.array([p[0] for p in postings], dtype=np.int64)
     tfs = np.array([p[1] for p in postings], dtype=np.int64)
     dls = np.array([p[2] for p in postings], dtype=np.int64)
-    blocks = codec.encode_term_blocks(docs, tfs, dls, 80.0, 1.2, 0.75, block_size)
+    blocks = codec.encode_term_blocks(docs, tfs, dls, block_size)
     got_docs, got_tfs, got_dls = [], [], []
     for blk in blocks:
         assert blk["n_docs"] <= block_size
         d, t, l = codec.decode_block(blk)
         assert blk["first_doc_id"] == d[0] and blk["last_doc_id"] == d[-1]
         assert blk["max_tf"] == t.max()
-        expected_max = codec.bm25_contrib(t, l, 1.0, 80.0, 1.2, 0.75).max()
-        assert blk["block_max_tfnorm"] == pytest.approx(expected_max, abs=0)
+        assert blk["min_dl"] == l.min()
+        # query-side bound must dominate every posting's contribution
+        bound = codec.block_bound(blk["max_tf"], blk["min_dl"], 1.3, 80.0, 1.2, 0.75)
+        contribs = codec.bm25_contrib(t, l, 1.3, 80.0, 1.2, 0.75)
+        assert float(bound) >= contribs.max() - 1e-12
         got_docs.append(d)
         got_tfs.append(t)
         got_dls.append(l)

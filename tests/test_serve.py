@@ -1,0 +1,130 @@
+"""Warm serving tier: rank identity with the distributed path, fallback
+routing, and the HTTP front-end (reiz/web/api.py analog)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from reiz_io_spark.operators.score import IndexReader, naive_bm25_topk
+from reiz_io_spark.plans.queries import lowered_reference_queries
+from reiz_io_spark.serve import QueryService
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def reader(spark, built_index):
+    return IndexReader(spark, built_index[0])
+
+
+@pytest.fixture(scope="module")
+def service(reader):
+    return QueryService(reader)
+
+
+@pytest.mark.parametrize("name", sorted(lowered_reference_queries()))
+def test_service_rank_identity(name, spark, reader, service):
+    q = lowered_reference_queries()[name]
+    got = [(r["doc_id"], r["score"]) for r in service.query_topk(q, k=K)]
+    want = [
+        (r["doc_id"], r["score"]) for r in naive_bm25_topk(reader, q, k=K).collect()
+    ]
+    assert got == want, name
+
+
+def test_service_positions_match_structural(spark, reader, service):
+    from reiz_io_spark.operators.verify import structural_topk
+
+    q = lowered_reference_queries()["simple/not_constant"]
+    got = service.query_positions(q, k=K)
+    want_rows = structural_topk(reader, q, k=K).collect()
+    want: dict[int, list[int]] = {}
+    order = []
+    for r in want_rows:
+        if r["doc_id"] not in want:
+            order.append(r["doc_id"])
+        want.setdefault(r["doc_id"], []).append(r["lineno"])
+    assert [r["doc_id"] for r in got] == order
+    for r in got:
+        assert r["linenos"] == sorted(want[r["doc_id"]])
+
+
+def test_distributed_fallback_identical(spark, reader):
+    svc = QueryService(reader, max_driver_postings=0)  # force wand route
+    q = lowered_reference_queries()["simple/classmethod"]
+    assert svc.analyze(q)["route"] == "distributed-wand"
+    got = [(r["doc_id"], r["score"]) for r in svc.query_topk(q, k=K)]
+    want = [
+        (r["doc_id"], r["score"]) for r in naive_bm25_topk(reader, q, k=K).collect()
+    ]
+    assert got == want
+
+
+def test_service_offset_paging(service):
+    q = lowered_reference_queries()["simple/simple_name_match"]
+    full = service.query_topk(q, k=6)
+    page = service.query_topk(q, k=3, offset=3)
+    assert [r["doc_id"] for r in page] == [r["doc_id"] for r in full[3:6]]
+    assert [r["rank"] for r in page] == [4, 5, 6]
+
+
+# --- HTTP front-end -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def server(service):
+    from reiz_io_spark.web import start_background
+
+    httpd, port = start_background(service)
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _post(base: str, path: str, payload: dict) -> dict:
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return json.loads(e.read())
+
+
+def test_http_query_matches_service(server, service):
+    q = lowered_reference_queries()["simple/classmethod"]
+    want = service.query_topk(q, k=K)
+    got = _post(server, "/query", {"query": q.source, "limit": K})
+    assert got["status"] == "success"
+    assert got["results"] == [
+        {k: v for k, v in r.items()} for r in json.loads(json.dumps(want))
+    ]
+    # second hit is served from the result cache (the Redis analog)
+    again = _post(server, "/query", {"query": q.source, "limit": K})
+    assert again["cached"] is True and again["results"] == got["results"]
+
+
+def test_http_positions_and_analyze(server):
+    src = "Return(not Constant())"
+    got = _post(server, "/query", {"query": src, "limit": 5, "positions": True})
+    assert got["status"] == "success" and got["results"]
+    assert all("linenos" in r and r["linenos"] for r in got["results"])
+    ana = _post(server, "/analyze", {"query": src})
+    assert ana["status"] == "success"
+    assert ana["groups"] and ana["route"] in ("driver-cache", "distributed-wand")
+
+
+def test_http_errors_and_stats(server):
+    assert _post(server, "/query", {})["status"] == "error"
+    assert _post(server, "/query", {"query": ""})["results"] == []
+    bad = _post(server, "/query", {"query": "Call(("})
+    assert bad["status"] == "error" and "syntax" in bad["exception"]
+    with urllib.request.urlopen(server + "/stats") as resp:
+        stats = json.loads(resp.read())
+    assert stats["results"]["n_docs"] > 0
