@@ -48,6 +48,20 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="index stats (the reference's /stats)")
     st.add_argument("--index", required=True)
 
+    sv = sub.add_parser(
+        "serve", help="HTTP query service over a warm index (POST /query, "
+        "/analyze; GET /stats — the reference's web/api.py analog)"
+    )
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8099)
+
+    mg = sub.add_parser(
+        "merge", help="incremental merge of newly ingested batches "
+        "(streaming maintenance; reads only new runs)"
+    )
+    mg.add_argument("--index", required=True)
+
     args = ap.parse_args(argv)
     from .session import get_spark
 
@@ -104,6 +118,25 @@ def _dispatch(args, spark) -> int:
         df = synth_corpus_distributed(spark, args.files, seed=args.seed)
         df.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"files": args.files, "out": args.out}))
+        return 0
+
+    if args.cmd == "serve":
+        from .operators.score import IndexReader
+        from .serve import QueryService
+        from .web import serve as http_serve
+
+        reader = IndexReader(spark, args.index).warm()
+        service = QueryService(reader)
+        print(json.dumps({"serving": f"http://{args.host}:{args.port}"}),
+              file=sys.stderr)
+        http_serve(service, host=args.host, port=args.port)
+        return 0
+
+    if args.cmd == "merge":
+        from .operators.build import merge_incremental
+
+        meta = merge_incremental(spark, args.index)
+        print(json.dumps(meta))
         return 0
 
     if args.cmd == "stats":

@@ -46,7 +46,13 @@ from pyspark.sql.pandas.functions import pandas_udf
 from .. import BLOCK_SIZE, BM25_B, BM25_K1
 from ..functions import codec
 from ..functions.tokenizer import with_tokens
-from ..schema import BLOCKS_WITH_BUCKET, LINEAGE
+from ..schema import (
+    BLOCKS_ON_DISK,
+    BLOCKS_WITH_BUCKET,
+    DICTIONARY_ON_DISK,
+    LINEAGE,
+    RUNS_ON_DISK,
+)
 
 FRAGMENT_POSTINGS = 262_144  # target postings per salted fragment
 N_TERM_BUCKETS = 32
@@ -120,6 +126,24 @@ def stage1_ingest(
     pending = (
         prepared.filter(~F.col("shard").isin(done_ids)) if done_ids else prepared
     )
+    # Cross-batch idempotence: a (repo, path) re-delivered in a LATER
+    # batch (overlapping micro-batches, file re-sends) must not create a
+    # second row under the same doc_id — that would inflate df/cf and
+    # put duplicate doc_ids in one posting list. Anti-join against the
+    # doc_ids of all OTHER batches (a doc_id-only columnar scan; replay
+    # of the SAME batch stays idempotent via the partition overwrite +
+    # lineage anti-join above). Updates-in-place are out of contract:
+    # ingest is append-only-new-files, like the reference's ingest cache
+    # (reiz/serialization/cache.py:8-25 skips known filenames).
+    try:
+        existing = (
+            spark.read.parquet(p["docs"])
+            .filter(F.col("batch") != build_id)
+            .select("doc_id")
+        )
+        pending = pending.join(existing, "doc_id", "left_anti")
+    except Exception:
+        pass  # first batch: no docs table yet
 
     # The docs table carries the per-doc tf map (the forward index): the
     # tokenizer UDF runs EXACTLY ONCE per document; runs are derived from
@@ -215,7 +239,7 @@ def merge_and_encode(
     after more batches produces the superset index."""
     p = _paths(out_dir)
     t1 = time.perf_counter()
-    all_runs = spark.read.parquet(p["runs"])
+    all_runs = spark.read.schema(RUNS_ON_DISK).parquet(p["runs"])
     # Collection stats come from the LINEAGE table (n_batches x n_shards
     # rows), not a docs re-scan: n_docs = sum(n_files - n_parse_failed),
     # total_dl = sum n_terms (failed parses contribute 0 terms). Integer
@@ -273,35 +297,22 @@ def merge_and_encode(
     # term string; the df-driven fan-out map covers ONLY hot terms
     # (df > fragment target — a Zipf head of a few thousand rows) and is
     # broadcast, so there is no 10^12-row postings-dictionary shuffle.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    hot = (
-        dictionary.filter(F.col("df") > fragment_postings)
-        .select(
-            "term_id",
-            F.ceil(F.col("df") / F.lit(fragment_postings)).cast("int").alias("n_frag"),
-        )
+    hot = _hot_map(dictionary, fragment_postings)
+    postings = all_runs.withColumn("term_id", F.xxhash64("term")).select(
+        "term_id", "doc_id", "tf", "dl"
     )
-    salted = (
-        all_runs.withColumn("term_id", F.xxhash64("term"))
-        .join(F.broadcast(hot), "term_id", "left")
-        .na.fill({"n_frag": 1})
-        .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.col("n_frag")).cast("int"))
-    )
-    encode = _make_block_encoder(block_size)
-    # Hash partitioning on (term_id, salt): the ONE full-data shuffle of
-    # the pipeline, deterministic (no range-sampling pass, which would
-    # re-execute the upstream scan), skew-free by construction (hot terms
-    # fan out over salt). Each task writes at most N_TERM_BUCKETS files —
-    # bounded, compactable small-file cost instead of a second data pass.
-    blocks = (
-        salted.repartition(n_part, "term_id", "salt")
-        .sortWithinPartitions("term_id", "salt", "doc_id")
-        .select("term_id", "salt", "doc_id", "tf", "dl")
-        .mapInPandas(encode, schema=BLOCKS_WITH_BUCKET)
-    )
+    blocks = _encode_postings(spark, postings, hot, block_size)
     blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(p["blocks"])
     t_blocks = time.perf_counter()
 
+    merged_batches = sorted(
+        r["build_id"]
+        for r in spark.read.schema(LINEAGE).parquet(p["lineage"])
+        .filter(F.col("status") == "done")
+        .select("build_id")
+        .distinct()
+        .collect()
+    )
     meta = {
         "build_id": build_id,
         "n_docs": n_docs,
@@ -310,12 +321,246 @@ def merge_and_encode(
         "k1": k1,
         "b": b,
         "block_size": block_size,
+        "fragment_postings": fragment_postings,
         "n_term_buckets": N_TERM_BUCKETS,
         "term_id_collisions": collisions,
+        "merged_batches": merged_batches,
         "stage23_ms": int((time.perf_counter() - t1) * 1000),
         "t_stats_dict_s": round(t_dict - t1, 2),
         "t_blocks_s": round(t_blocks - t_dict, 2),
     }
+    with open(p["meta"], "w") as fh:
+        json.dump(meta, fh, indent=2)
+    return meta
+
+
+def _hot_map(dictionary: DataFrame, fragment_postings: int) -> DataFrame:
+    """(term_id, n_frag) for hot terms only — broadcast-sized Zipf head."""
+    return dictionary.filter(F.col("df") > fragment_postings).select(
+        "term_id",
+        F.ceil(F.col("df") / F.lit(fragment_postings)).cast("int").alias("n_frag"),
+    )
+
+
+def _encode_postings(
+    spark: SparkSession, postings: DataFrame, hot: DataFrame, block_size: int
+) -> DataFrame:
+    """(term_id, doc_id, tf, dl) -> compressed block rows.
+
+    Hash partitioning on (term_id, salt): the ONE full-data shuffle of
+    the pipeline, deterministic (no range-sampling pass, which would
+    re-execute the upstream scan), skew-free by construction (hot terms
+    fan out over salt = pmod(xxhash64(doc_id), n_frag) — a pure function
+    of doc_id, so fragment membership is stable across full and
+    incremental builds). Each task writes at most N_TERM_BUCKETS files —
+    bounded, compactable small-file cost instead of a second data pass."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    salted = (
+        postings.join(F.broadcast(hot), "term_id", "left")
+        .na.fill({"n_frag": 1})
+        .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.col("n_frag")).cast("int"))
+    )
+    encode = _make_block_encoder(block_size)
+    return (
+        salted.repartition(n_part, "term_id", "salt")
+        .sortWithinPartitions("term_id", "salt", "doc_id")
+        .select("term_id", "salt", "doc_id", "tf", "dl")
+        .mapInPandas(encode, schema=BLOCKS_WITH_BUCKET)
+    )
+
+
+def _decode_blocks_to_postings(blocks_df: DataFrame) -> DataFrame:
+    """Inverse of the encoder: block rows -> (term_id, doc_id, tf, dl).
+    Per-block decode is vectorized (codec round-trip is pytest-gated)."""
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tid = pdf["term_id"].to_numpy(np.int64)
+            fd = pdf["first_doc_id"].to_numpy(np.int64)
+            nd = pdf["n_docs"].to_numpy(np.int64)
+            dd = pdf["doc_deltas"].to_numpy(object)
+            tfb = pdf["tfs"].to_numpy(object)
+            dlb = pdf["dls"].to_numpy(object)
+            tids, ds, ts, ls = [], [], [], []
+            for i in range(len(pdf)):
+                d = codec.delta_decode_docids(int(fd[i]), dd[i], int(nd[i]))
+                tids.append(np.full(d.size, tid[i], dtype=np.int64))
+                ds.append(d)
+                ts.append(codec.varint_decode(tfb[i]).view(np.int64))
+                ls.append(codec.varint_decode(dlb[i]).view(np.int64))
+            yield pd.DataFrame(
+                {
+                    "term_id": np.concatenate(tids),
+                    "doc_id": np.concatenate(ds),
+                    "tf": np.concatenate(ts),
+                    "dl": np.concatenate(ls),
+                }
+            )
+
+    return blocks_df.mapInPandas(dec, "term_id long, doc_id long, tf long, dl long")
+
+
+def _swap_partitions(final_dir: str, staging_dir: str, buckets: list[int]) -> None:
+    """Replace the affected term_bucket partition dirs with the staged
+    ones. On a real deployment this is an Iceberg RewriteFiles /
+    dynamic-overwrite snapshot commit (atomic); on a posix test FS it is
+    a per-bucket directory swap — merge_incremental's postings-level
+    distinct() makes a crash-and-replay of the merge idempotent."""
+    import shutil
+
+    for b in buckets:
+        part = f"term_bucket={b}"
+        src = os.path.join(staging_dir, part)
+        dst = os.path.join(final_dir, part)
+        if not os.path.exists(src):
+            continue
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.move(src, dst)
+    shutil.rmtree(staging_dir, ignore_errors=True)
+
+
+def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
+    """Merge batches ingested since the last merge into the existing
+    dictionary + blocks — WITHOUT re-reading or re-encoding untouched
+    data (VERDICT r01 item 5; the scale contract for streaming ingest).
+
+    Reads: ONLY the new batches' runs partitions (partition pruning on
+    batch=...), the dictionary/blocks of the term_buckets containing
+    affected terms, and the (tiny) lineage table. Terms untouched by the
+    new batches keep their existing block files byte-for-byte.
+
+    Steps: new runs -> new (df, cf) per term -> outer-merge into the
+    affected buckets' dictionary rows; old blocks of affected terms are
+    decoded back to postings, unioned with the new postings (distinct ->
+    idempotent under replay of a half-committed merge), re-salted with
+    the UPDATED df (fragment membership is a pure function of doc_id, so
+    the result is content-identical to a from-scratch rebuild — pytest-
+    gated), re-encoded, and swapped in per term_bucket. Collection stats
+    (n_docs, avgdl) come from the lineage table over ALL batches; block
+    metadata is avgdl-free (codec.block_bound), so older blocks stay
+    valid as avgdl drifts."""
+    p = _paths(out_dir)
+    with open(p["meta"]) as fh:
+        meta = json.load(fh)
+    block_size = int(meta["block_size"])
+    fragment_postings = int(meta.get("fragment_postings", FRAGMENT_POSTINGS))
+    merged = set(meta.get("merged_batches", []))
+    lin = spark.read.schema(LINEAGE).parquet(p["lineage"]).filter(
+        F.col("status") == "done"
+    )
+    all_batches = sorted(r["build_id"] for r in lin.select("build_id").distinct().collect())
+    new_batches = [bb for bb in all_batches if bb not in merged]
+    if not new_batches:
+        return meta
+    t0 = time.perf_counter()
+
+    # batch is a hive partition column: this scan reads ONLY the new
+    # batches' partition dirs (functionally asserted in
+    # tests/test_incremental.py by deleting the old batches' runs files
+    # before merging).
+    new_runs = spark.read.schema(RUNS_ON_DISK).parquet(p["runs"]).filter(
+        F.col("batch").isin(new_batches)
+    )
+    new_stats = (
+        new_runs.groupBy("term")
+        .agg(F.count("*").alias("df_new"), F.sum("tf").alias("cf_new"))
+        .withColumn("term_id", F.xxhash64("term"))
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
+        )
+    ).persist()
+    affected_buckets = sorted(
+        r["term_bucket"] for r in new_stats.select("term_bucket").distinct().collect()
+    )
+    affected_ids = new_stats.select("term_id").distinct()
+
+    # --- dictionary: outer-merge within the affected buckets only ----------
+    old_dict = spark.read.schema(DICTIONARY_ON_DISK).parquet(p["dictionary"]).filter(
+        F.col("term_bucket").isin(affected_buckets)
+    )
+    upd_dict = (
+        old_dict.select("term", "df", "cf")
+        .join(new_stats.select("term", "df_new", "cf_new"), "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("df_new", F.lit(0))).alias("df"),
+            (F.coalesce("cf", F.lit(0)) + F.coalesce("cf_new", F.lit(0))).alias("cf"),
+        )
+        .withColumn("term_id", F.xxhash64("term"))
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
+        )
+    )
+    collisions = (
+        upd_dict.groupBy("term_id")
+        .agg(F.countDistinct("term").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    if collisions:
+        raise RuntimeError(f"xxhash64 term_id collision on {collisions} ids")
+    dict_staging = os.path.join(out_dir, "dictionary_staging")
+    (
+        upd_dict.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(dict_staging)
+    )
+
+    # --- blocks: re-encode ONLY the affected terms --------------------------
+    old_blocks = spark.read.schema(BLOCKS_ON_DISK).parquet(p["blocks"]).filter(
+        F.col("term_bucket").isin(affected_buckets)
+    )
+    keep_blocks = old_blocks.join(affected_ids, "term_id", "left_anti")
+    old_postings = _decode_blocks_to_postings(
+        old_blocks.join(affected_ids, "term_id", "left_semi")
+    )
+    new_postings = new_runs.withColumn("term_id", F.xxhash64("term")).select(
+        "term_id", "doc_id", "tf", "dl"
+    )
+    postings = old_postings.unionByName(new_postings).distinct()
+    hot = _hot_map(
+        spark.read.parquet(dict_staging).filter(
+            F.col("term_bucket").isin(affected_buckets)
+        ),
+        fragment_postings,
+    )
+    new_blocks = _encode_postings(spark, postings, hot, block_size)
+    blocks_staging = os.path.join(out_dir, "blocks_staging")
+    cols = [f.name for f in BLOCKS_WITH_BUCKET.fields]
+    (
+        keep_blocks.select(*cols)
+        .unionByName(new_blocks.select(*cols))
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(blocks_staging)
+    )
+    new_stats.unpersist()
+
+    # --- commit: swap affected partitions, then stats + meta ----------------
+    _swap_partitions(p["blocks"], blocks_staging, affected_buckets)
+    _swap_partitions(p["dictionary"], dict_staging, affected_buckets)
+    stats = lin.agg(
+        F.sum(F.col("n_files") - F.col("n_parse_failed")).alias("n_docs"),
+        F.sum("n_terms").alias("total_dl"),
+    ).collect()[0]
+    n_docs, total_dl = int(stats["n_docs"] or 0), int(stats["total_dl"] or 0)
+    meta.update(
+        {
+            "n_docs": n_docs,
+            "total_dl": total_dl,
+            "avgdl": total_dl / n_docs if n_docs else 0.0,
+            "merged_batches": all_batches,
+            "term_id_collisions": collisions,
+            "last_merge_ms": int((time.perf_counter() - t0) * 1000),
+            "last_merge_new_batches": new_batches,
+            "last_merge_affected_buckets": affected_buckets,
+        }
+    )
     with open(p["meta"], "w") as fh:
         json.dump(meta, fh, indent=2)
     return meta

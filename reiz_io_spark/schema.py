@@ -156,4 +156,17 @@ BLOCKS_WITH_BUCKET = StructType(
     list(BLOCKS.fields) + [StructField("term_bucket", IntegerType(), False)]
 )
 
+# On-disk shapes INCLUDING hive partition columns — passed as explicit
+# read schemas so scans never run parquet footer inference (a job that
+# touches file footers; at 10^12 run files it is real work, and it
+# breaks partition-pruning isolation guarantees).
+RUNS_ON_DISK = StructType(
+    list(RUNS.fields)
+    + [StructField("batch", StringType(), False), StructField("shard", IntegerType(), False)]
+)
+DICTIONARY_ON_DISK = StructType(
+    list(DICTIONARY.fields) + [StructField("term_bucket", IntegerType(), False)]
+)
+BLOCKS_ON_DISK = BLOCKS_WITH_BUCKET
+
 TERMS_ARRAY = ArrayType(StringType())

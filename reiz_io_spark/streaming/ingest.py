@@ -11,10 +11,16 @@ thin adapter:
     ... then one merge (stages 2-3) when querying is needed.
 
 Each micro-batch appends whole shards; the batch build's lineage
-anti-join makes the pipeline idempotent under micro-batch replay
-(exactly-once effect on the index from at-least-once delivery — shard
-rows are only recorded after their data lands). ``finalize_index``
-runs the deterministic merge + block encode over all runs, exactly the
+anti-join makes the pipeline idempotent under micro-batch replay, and
+a cross-batch doc_id anti-join (stage1_ingest) makes RE-DELIVERY of an
+already-ingested (repo, path) in a later batch a no-op (exactly-once
+effect on the index from at-least-once delivery — shard rows are only
+recorded after their data lands). The contract is append-only-new-
+files, like the reference's ingest cache; in-place file updates need a
+delete+reingest cycle, which the reference cannot do either.
+``finalize_index`` is a full merge the first time and an INCREMENTAL
+merge afterwards (only new batches' runs are read; only affected
+terms' blocks are re-encoded) — the result is content-identical to the
 batch path, so every correctness guarantee (rank identity, codec
 round-trip, sha256 invariant) carries over unchanged.
 
@@ -73,11 +79,21 @@ def finalize_index(
     b: float = BM25_B,
     fragment_postings: int = FRAGMENT_POSTINGS,
 ) -> dict:
-    """Merge + block-encode everything ingested so far (batch stages 2-3
-    over ALL runs — deterministic, so re-running after more batches just
-    produces the superset index)."""
-    from ..operators.build import merge_and_encode
+    """Make everything ingested so far queryable.
 
+    First call: full merge (stages 2-3 over all runs). Subsequent calls:
+    INCREMENTAL merge — only the new batches' runs partitions are read,
+    only the affected terms' blocks are re-encoded, untouched terms keep
+    their files (operators/build.merge_incremental; content-identity
+    with a from-scratch rebuild is pytest-gated). This is the streaming
+    maintenance loop at scale: per-micro-batch cost is proportional to
+    the batch, never to the index."""
+    import os
+
+    from ..operators.build import _paths, merge_and_encode, merge_incremental
+
+    if os.path.exists(_paths(out_dir)["meta"]):
+        return merge_incremental(spark, out_dir)
     return merge_and_encode(
         spark, out_dir, build_id=build_id, block_size=block_size,
         k1=k1, b=b, fragment_postings=fragment_postings,
