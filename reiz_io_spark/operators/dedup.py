@@ -192,22 +192,21 @@ def fnv1a64_batch(strings: list[str]) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     bs = [s.encode("utf-8") for s in strings]
     lens = np.fromiter((len(x) for x in bs), dtype=np.int64, count=n)
-    maxlen = int(lens.max()) if n else 0
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    if maxlen == 0:
+    if not lens.any():
         return h
     flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
     offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
-    col = np.arange(maxlen, dtype=np.int64)
-    idx = np.minimum(offs[:, None] + col[None, :], max(flat.size - 1, 0))
-    mat = flat[idx]  # (n, maxlen); garbage beyond lens, masked below
-    valid = col[None, :] < lens[:, None]
+    # active-rows column sweep: iteration j touches only strings longer
+    # than j — total element work == total bytes, no (n x maxlen) matrix
+    active = np.flatnonzero(lens > 0)
+    j = 0
     with np.errstate(over="ignore"):
-        for j in range(maxlen):
-            m = valid[:, j]
-            if not m.any():
-                break
-            h[m] = (h[m] ^ mat[:, j][m].astype(np.uint64)) * _FNV_PRIME
+        while active.size:
+            byte = flat[offs[active] + j].astype(np.uint64)
+            h[active] = (h[active] ^ byte) * _FNV_PRIME
+            j += 1
+            active = active[lens[active] > j]
     return h
 
 
@@ -251,11 +250,28 @@ def minhash_from_hashes(
     starts = offsets[:-1]
     empty = offsets[1:] == starts
     safe_starts = np.minimum(starts, max(hs.size - 1, 0))
+    # hoist the 32-bit limb split of the shingle hashes out of the
+    # per-hash loop (the a-dependent half of modmul_p61 stays inside)
+    x1 = hs >> np.uint64(32)
+    x0 = hs & _LOW32
     for k in range(n_hashes):
         if hs.size == 0:
             sig[:, k] = _MAX_HASH
             continue
-        vals = modmul_p61(int(a_params[k]), hs) + np.uint64(int(b_params[k]))
+        a = int(a_params[k])
+        a1 = np.uint64(a >> 32)
+        a0 = np.uint64(a & 0xFFFFFFFF)
+        p11 = _red61(a1 * x1)
+        t_hi = _red61(np.uint64(8) * p11)
+        mid = _red61(a1 * x0) + _red61(a0 * x1)
+        mh = mid >> np.uint64(29)
+        ml = mid & np.uint64((1 << 29) - 1)
+        t_mid = _red61(mh + (ml << np.uint64(32)))
+        t_lo = _red61(a0 * x0)
+        total = _red61(t_hi + t_mid + t_lo)
+        vals = np.where(total >= _M61, total - _M61, total) + np.uint64(
+            int(b_params[k])
+        )
         vals = np.where(vals >= _M61, vals - _M61, vals) & _LOW32
         mins = np.minimum.reduceat(vals, safe_starts)
         sig[:, k] = np.where(empty, np.uint64(_MAX_HASH), mins).astype(np.int64)
@@ -269,7 +285,20 @@ def _minhash_params(n_hashes: int, seed: int = 42):
     return a, b
 
 
-def _flatten_shingle_lists(shingle_lists: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+def _py_shingles(text: str, n: int) -> list[str]:
+    """Pure-Python twin of word_shingles for ONE document: distinct
+    '_'-joined word n-grams. Split semantics match Spark's
+    F.split(F.lower(text), TOKEN_SPLIT) exactly for the `[^a-z0-9]+`
+    pattern (ASCII lower + same split/empty-filter behavior)."""
+    import re
+
+    toks = [t for t in re.split(TOKEN_SPLIT, text.lower()) if t]
+    if len(toks) < n:
+        return []
+    return list({"_".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
+def _flatten_shingle_lists(shingle_lists) -> tuple[np.ndarray, np.ndarray]:
     """Concatenate a batch of shingle lists -> (all shingles' FNV hashes,
     per-doc offsets into them)."""
     counts = np.fromiter(
@@ -289,19 +318,29 @@ def minhash_signatures(
     documents: DataFrame, n_hashes: int = 64, shingle_n: int = 3, seed: int = 42
 ) -> DataFrame:
     """doc_id, sig array<long> — (a*x+b mod p) permutation minima over
-    shingle hashes; the whole Arrow batch is hashed and reduced in
-    NumPy (fnv1a64_batch + minhash_from_hashes)."""
+    shingle hashes.
+
+    MAP-ONLY: shingling + hashing + minima all happen inside one Arrow
+    batch per partition (_py_shingles + fnv1a64_batch +
+    minhash_from_hashes) — no explode, no groupBy, ZERO shuffles. At
+    10^9 docs the signature stage is a single pass over the text column;
+    the only shuffles in the whole LSH path are the (n_docs x bands)-row
+    bucket join and the candidate-pair verification."""
     a_params, b_params = _minhash_params(n_hashes, seed)
 
     @pandas_udf(ArrayType(LongType()))
-    def sig_udf(shingle_lists: pd.Series) -> pd.Series:
-        hs, offsets = _flatten_shingle_lists(shingle_lists)
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        sh_lists = [_py_shingles(t or "", shingle_n) for t in texts]
+        hs, offsets = _flatten_shingle_lists(sh_lists)
         sig = minhash_from_hashes(hs, offsets, a_params, b_params)
-        return pd.Series(list(sig))
+        # shingle-less docs get an EMPTY signature (not a constant one —
+        # constant sigs would band every empty doc into one bucket and
+        # explode the candidate join); banding filters them out.
+        return pd.Series(
+            [list(sig[i]) if sh_lists[i] else [] for i in range(len(sh_lists))]
+        )
 
-    sh = word_shingles(documents, shingle_n)
-    grouped = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
-    return grouped.select("doc_id", sig_udf("shingles").alias("sig"))
+    return documents.select("doc_id", sig_udf("text").alias("sig"))
 
 
 def jaccard_for_pairs(
@@ -310,18 +349,22 @@ def jaccard_for_pairs(
     """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs.
 
     Cost is proportional to the candidate docs' shingle sets, never the
-    corpus: the shingle table is semi-join-pruned to candidate docs, and
-    the intersection count comes from joining each pair to its A-side
-    shingles and matching them against the B-side (co-partitioned equi-
-    join on (doc, shingle) — no all-pairs shingle self-join anywhere).
+    corpus: the DOCS table is semi-join-pruned to candidate docs BEFORE
+    shingling (so the explode runs over |candidates| rows, not the
+    corpus), and the intersection count comes from joining each pair to
+    its A-side shingles and matching them against the B-side
+    (co-partitioned equi-join on (doc, shingle) — no all-pairs shingle
+    self-join anywhere).
     """
-    sh = word_shingles(documents, n)
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    shc = sh.join(cand_docs, "doc_id", "left_semi")
+    docs_c = documents.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+    shc = word_shingles(docs_c, n)
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = shc.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = shc.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -363,7 +406,16 @@ def minhash_lsh_pairs(
     1-(1-t^r)^b. Verification uses the uncapped exact Jaccard (candidate
     pair counts are tiny, no hot-shingle risk)."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(documents, n_hashes, shingle_n, seed)
+    # localCheckpoint: the banded self-join and the verification both
+    # reference the signature table several times; without truncating
+    # the lineage every branch re-runs the signature UDF over the whole
+    # corpus. Checkpointed data lives on executors (memory+disk) and is
+    # freed by the ContextCleaner when the plan is GC'd.
+    sigs = (
+        minhash_signatures(documents, n_hashes, shingle_n, seed)
+        .filter(F.size("sig") > 0)
+        .localCheckpoint(eager=False)
+    )
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -390,6 +442,7 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .localCheckpoint(eager=False)  # reused 3x by the verification join
     )
     return jaccard_for_pairs(documents, candidates, n=shingle_n).filter(
         F.col("jaccard") >= threshold
@@ -422,13 +475,13 @@ def simhash_from_hashes(hs: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 
 def simhash64(documents: DataFrame, shingle_n: int = 2) -> DataFrame:
-    """doc_id, simhash (64-bit, as signed long) over word shingles."""
+    """doc_id, simhash (64-bit, as signed long) over word shingles.
+    Map-only like minhash_signatures — zero shuffles."""
 
     @pandas_udf(LongType())
-    def sim_udf(shingle_lists: pd.Series) -> pd.Series:
-        hs, offsets = _flatten_shingle_lists(shingle_lists)
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        sh_lists = [_py_shingles(t or "", shingle_n) for t in texts]
+        hs, offsets = _flatten_shingle_lists(sh_lists)
         return pd.Series(simhash_from_hashes(hs, offsets), dtype="int64")
 
-    sh = word_shingles(documents, shingle_n)
-    grouped = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
-    return grouped.select("doc_id", sim_udf("shingles").alias("simhash"))
+    return documents.select("doc_id", sim_udf("text").alias("simhash"))
