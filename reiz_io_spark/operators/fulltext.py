@@ -80,12 +80,17 @@ def bm25_topk(
     b: float = BM25_B,
 ) -> DataFrame:
     """BM25 top-k with conjunctive (every term) or disjunctive (any term)
-    semantics; deterministic tie-break (score desc, doc_id asc)."""
-    n_docs = documents.count()
-    avg_row = (
-        tokens(documents).agg(F.sum(F.size("toks")).alias("s"), F.count("*").alias("n"))
+    semantics; deterministic tie-break (score desc, doc_id asc).
+
+    This is the index-free, DuckDB-checkable twin — it re-derives
+    collection stats from the raw table per call (one stats job + one
+    scoring job). The SERVING path is the code-engine index
+    (IndexReader/QueryService); never route interactive traffic here."""
+    stats = tokens(documents).agg(
+        F.sum(F.size("toks")).alias("s"), F.count("*").alias("n")
     ).collect()[0]
-    avgdl = int(avg_row["s"] or 0) / int(avg_row["n"])
+    n_docs = int(stats["n"])
+    avgdl = int(stats["s"] or 0) / n_docs
 
     p = postings(documents).filter(F.col("term").isin(query_terms))
     d = (

@@ -465,7 +465,12 @@ def wand_topk(
     reader: IndexReader,
     query: LoweredQuery,
     k: int = 10,
+    offset: int = 0,
     bucket_shift: int | None = None,
 ) -> DataFrame:
-    out = wand_scores(reader, query, k=k, bucket_shift=bucket_shift)
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    """Global top-k with LIMIT/OFFSET paging (reiz/fetch.py:10,71-81)."""
+    out = wand_scores(reader, query, k=k + offset, bucket_shift=bucket_shift)
+    ranked = out.orderBy(F.desc("score"), F.asc("doc_id"))
+    if offset:
+        ranked = ranked.offset(offset)
+    return ranked.limit(k)

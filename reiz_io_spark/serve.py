@@ -176,11 +176,7 @@ class QueryService:
                 return []
         total_df = sum(m["df"] for m in tmeta.values())
         if total_df > self.max_driver_postings:
-            top = (
-                wand_mod.wand_topk(self.reader, query, k=k + offset)
-                .offset(offset)
-                .collect()
-            )
+            top = wand_mod.wand_topk(self.reader, query, k=k, offset=offset).collect()
             ranked = [(r["doc_id"], r["score"]) for r in top]
         else:
             self._fetch_postings(list(tmeta))
