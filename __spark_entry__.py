@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = lambda s, d: similarity.lsh_bucketed_topk(
         _emb(s, d), ANN_QUERY_IDS, k=10
     )
+    q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
+        _emb(s, d), ANN_QUERY_IDS, k=10, n_lists=16, n_probe=4
+    )
 
     # --- text analysis --------------------------------------------------------
     q["text_langid"] = lambda s, d: textstats.language_id(_docs(s, d))
@@ -484,7 +487,9 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2
 """
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / mm_media_decode_stub
-    # / code_search_wand: non-SQL-expressible (seeded hash mixing, stubbed
-    # decode, full index build + WAND) -> rows-only checks.
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk /
+    # mm_media_decode_stub / code_search_wand / code_search_positions:
+    # non-SQL-expressible (seeded hash mixing, k-means training, stubbed
+    # decode, full index build + WAND, structural AST matching) ->
+    # rows-only checks; each has a pytest gate (recall/parity/golden-tp).
     return o

@@ -259,3 +259,37 @@ def test_ann_lsh_dim32_multiprobe(spark):
     }
     for r in got:
         assert abs(r["cos_sim"] - bf[(r["query_id"], r["neighbor_id"])]) < 1e-9
+
+
+def test_ivf_ann_recall_and_parity(spark):
+    """IVF: k rows per query, similarity values equal brute force, and
+    recall@10 over the probed lists is high on the test embeddings."""
+    from reiz_io_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    got = similarity.ivf_topk(emb, [0, 1, 2], k=10, n_lists=16, n_probe=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    bf = similarity.brute_force_topk(emb, [0, 1, 2], k=10).collect()
+    bf_pairs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in bf}
+    bf_all = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.brute_force_topk(emb, [0, 1, 2], k=10_000).collect()
+    }
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        assert abs(r["cos_sim"] - bf_all[key]) < 1e-9
+    hits = sum(1 for key in bf_pairs if key in {
+        (r["query_id"], r["neighbor_id"]) for r in got})
+    assert hits >= 0.5 * len(bf_pairs), f"IVF recall too low: {hits}/{len(bf_pairs)}"
+
+
+def test_ivf_assignments_deterministic(spark):
+    from reiz_io_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    _, a1 = similarity.ivf_assignments(emb, n_lists=8)
+    _, a2 = similarity.ivf_assignments(emb, n_lists=8)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))

@@ -78,3 +78,29 @@ def test_fulltext_bm25_wholestage_codegen(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_verify_content_scan_pushes_docid_inlist(spark, built_index):
+    """The structural-verify stage fetches candidate content via an
+    IN-list filter pushed into the docs parquet scan (never a full
+    docs-table read)."""
+    from reiz_io_spark.operators.verify import verify_candidates
+
+    reader = IndexReader(spark, built_index[0])
+    some_ids = [r["doc_id"] for r in reader.docs().limit(5).collect()]
+    plan = _plan(verify_candidates(reader, some_ids, "Name()"))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:500]
+    assert "doc_id" in pushed and "In" in pushed
+    # column pruning: only (doc_id, content) are read
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    assert "content" in read_schema and "terms" not in read_schema
+
+
+def test_docs_scan_prunes_content_column(spark, built_index):
+    """Nothing except the verify stage pays for the stored source text."""
+    reader = IndexReader(spark, built_index[0])
+    q = lower_query("t", "Call(Name('len'))")
+    plan = _plan(attach_doc_metadata(reader, wand_topk(reader, q, k=5)))
+    read_schemas = [s[:300] for s in plan.split("ReadSchema")[1:]]
+    assert all("content:" not in s for s in read_schemas), read_schemas
