@@ -73,13 +73,13 @@ def run_level(cores: int, n_files: int) -> dict:
 
         qps = 0.0
         with ThreadPoolExecutor(max_workers=2 * cores) as pool:
-            for _ in range(2):
-                t1 = time.perf_counter()
-                list(pool.map(
-                    lambda nq: wand_topk(reader, nq[1], k=10).collect(),
-                    queries * 2,
-                ))
-                qps = max(qps, 2 * len(queries) / (time.perf_counter() - t1))
+            pool.map(lambda nq: None, queries)  # spin up threads
+            t1 = time.perf_counter()
+            list(pool.map(
+                lambda nq: wand_topk(reader, nq[1], k=10).collect(),
+                queries * 2,
+            ))
+            qps = 2 * len(queries) / (time.perf_counter() - t1)
 
         # serving tier (warm QueryService): the user-facing latency path
         from reiz_io_spark.serve import QueryService
