@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_media_features"] = lambda s, d: multimodal.media_features_oracle_checkable(
         _docs(s, d)
     )
+    q["mm_frame_sample"] = lambda s, d: multimodal.sample_frames(
+        multimodal.to_media_table(_docs(s, d)), every_n=4
+    ).select("doc_id", "frame_no", "frame_offset", "frame_len")
     q["mm_media_decode_stub"] = lambda s, d: multimodal.extract_media_features(
         multimodal.to_media_table(_docs(s, d))
     ).select("doc_id", "n_bytes", "fake_width", "fake_height",
@@ -437,6 +440,7 @@ FROM documents GROUP BY sha256(text)
 SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS payload_sha256
 FROM documents
 """
+    o["mm_frame_sample"] = multimodal.frame_sample_sql(every_n=4)
     o["tpch_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,

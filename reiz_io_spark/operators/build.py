@@ -244,17 +244,20 @@ def merge_and_encode(
     # rows), not a docs re-scan: n_docs = sum(n_files - n_parse_failed),
     # total_dl = sum n_terms (failed parses contribute 0 terms). Integer
     # sums => the avgdl float division is bit-identical to the oracle's.
-    lin = (
+    lin_rows = (
         spark.read.schema(LINEAGE).parquet(p["lineage"])
         .filter(F.col("status") == "done")
+        .groupBy("build_id")  # one tiny job: stats AND the batch list
         .agg(
             F.sum(F.col("n_files") - F.col("n_parse_failed")).alias("n_docs"),
             F.sum("n_terms").alias("total_dl"),
         )
-        .collect()[0]
+        .collect()
     )
-    n_docs, total_dl = int(lin["n_docs"] or 0), int(lin["total_dl"] or 0)
+    n_docs = sum(int(r["n_docs"] or 0) for r in lin_rows)
+    total_dl = sum(int(r["total_dl"] or 0) for r in lin_rows)
     avgdl = total_dl / n_docs if n_docs else 0.0
+    merged_batches = sorted(r["build_id"] for r in lin_rows)
 
     # Final dictionary in ONE write (parquet, not .persist(): at 10^9
     # terms a cache would not fit; a columnar roundtrip always scales).
@@ -275,16 +278,17 @@ def merge_and_encode(
         .partitionBy("term_bucket")
         .parquet(p["dictionary"])
     )
-    dictionary = spark.read.parquet(p["dictionary"])
+    dictionary = spark.read.schema(DICTIONARY_ON_DISK).parquet(p["dictionary"])
     # term_id collision invariant (schema.py BLOCKS note): every term_id
     # must map to exactly one term — a collision would silently merge two
-    # posting lists. One tiny agg over the dictionary; hard failure.
-    collisions = (
-        dictionary.groupBy("term_id")
-        .agg(F.countDistinct("term").alias("n"))
-        .filter(F.col("n") > 1)
-        .count()
-    )
+    # posting lists. The dictionary is grouped by term, so rows ==
+    # distinct terms; collisions exist iff count(*) > countDistinct(
+    # term_id). ONE partial-agg pass (no groupBy-per-id job); hard fail.
+    inv = dictionary.agg(
+        F.count("*").alias("n_terms"),
+        F.countDistinct("term_id").alias("n_ids"),
+    ).collect()[0]
+    collisions = int(inv["n_terms"]) - int(inv["n_ids"])
     if collisions:
         raise RuntimeError(
             f"xxhash64 term_id collision on {collisions} ids — "
@@ -305,14 +309,6 @@ def merge_and_encode(
     blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(p["blocks"])
     t_blocks = time.perf_counter()
 
-    merged_batches = sorted(
-        r["build_id"]
-        for r in spark.read.schema(LINEAGE).parquet(p["lineage"])
-        .filter(F.col("status") == "done")
-        .select("build_id")
-        .distinct()
-        .collect()
-    )
     meta = {
         "build_id": build_id,
         "n_docs": n_docs,
@@ -495,14 +491,6 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
         )
     )
-    collisions = (
-        upd_dict.groupBy("term_id")
-        .agg(F.countDistinct("term").alias("n"))
-        .filter(F.col("n") > 1)
-        .count()
-    )
-    if collisions:
-        raise RuntimeError(f"xxhash64 term_id collision on {collisions} ids")
     dict_staging = os.path.join(out_dir, "dictionary_staging")
     (
         upd_dict.repartition("term_bucket")
@@ -510,6 +498,16 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
         .partitionBy("term_bucket")
         .parquet(dict_staging)
     )
+    # collision invariant over the staged parquet (not the join plan, so
+    # the outer-join isn't computed twice): rows are one-per-term, so a
+    # collision exists iff count(*) > countDistinct(term_id)
+    staged_dict = spark.read.schema(DICTIONARY_ON_DISK).parquet(dict_staging)
+    inv = staged_dict.agg(
+        F.count("*").alias("n_terms"), F.countDistinct("term_id").alias("n_ids")
+    ).collect()[0]
+    collisions = int(inv["n_terms"]) - int(inv["n_ids"])
+    if collisions:
+        raise RuntimeError(f"xxhash64 term_id collision on {collisions} ids")
 
     # --- blocks: re-encode ONLY the affected terms --------------------------
     old_blocks = spark.read.schema(BLOCKS_ON_DISK).parquet(p["blocks"]).filter(
@@ -524,7 +522,7 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
     )
     postings = old_postings.unionByName(new_postings).distinct()
     hot = _hot_map(
-        spark.read.parquet(dict_staging).filter(
+        staged_dict.filter(
             F.col("term_bucket").isin(affected_buckets)
         ),
         fragment_postings,

@@ -107,3 +107,113 @@ def media_features_oracle_checkable(documents: DataFrame) -> DataFrame:
     features are covered by the rows-only check + pytest determinism."""
     out = extract_media_features(to_media_table(documents))
     return out.select("doc_id", "n_bytes", "payload_sha256")
+
+
+FRAME_SIZE = 256  # fake container: fixed-size frame records
+
+
+def resize_stub(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Resize stage PLUMBING: payload -> payload' with new dimensions.
+
+    STUB decode/re-encode (no media libs in this container): the
+    "resized" payload is a deterministic digest-expansion of the
+    original bytes sized target_w*target_h (a real deployment swaps the
+    body for PIL resize + re-encode; the mapInPandas batch shape,
+    schema, and determinism contract are what this stage pins down)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                buf = bytearray()
+                counter = 0
+                while len(buf) < n_out:  # deterministic byte expansion
+                    buf += hashlib.sha256(raw + counter.to_bytes(4, "big")).digest()
+                    counter += 1
+                out.append(bytes(buf[:n_out]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "payload": out,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("media_type", StringType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    return media.mapInPandas(run, schema)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("frame_offset", LongType(), False),
+        StructField("frame_len", LongType(), False),
+        StructField("frame_sha256", StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 4, frame_size: int = FRAME_SIZE
+) -> DataFrame:
+    """Frame-sampling PLUMBING (video shape): treat the payload as a
+    container of fixed-size frame records and emit every ``every_n``-th
+    frame — the 1->N mapInPandas explode with memory bounded by the
+    Arrow batch, never the video length. Offsets/lengths are pure
+    arithmetic (SQL-oracle-checkable); the frame payload digest stands
+    in for the decoded frame tensor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_ids, frame_nos, offsets, lens, shas = [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                n_frames = (len(raw) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every_n):
+                    off = i * frame_size
+                    chunk = raw[off : off + frame_size]
+                    doc_ids.append(int(doc_id))
+                    frame_nos.append(i)
+                    offsets.append(off)
+                    lens.append(len(chunk))
+                    shas.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_no": pd.Series(frame_nos, dtype="int32"),
+                    "frame_offset": pd.Series(offsets, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_sha256": shas,
+                }
+            )
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
+def frame_sample_sql(every_n: int = 4, frame_size: int = FRAME_SIZE) -> str:
+    """DuckDB twin of sample_frames' arithmetic projection over the
+    documents-as-media adapter (frame digests are UDF-side only)."""
+    return f"""
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id, CAST(i AS INT) AS frame_no,
+       CAST(i * {frame_size} AS BIGINT) AS frame_offset,
+       CAST(least({frame_size}, n - i * {frame_size}) AS BIGINT) AS frame_len
+FROM b, unnest(range(0, CAST(ceil(n / {frame_size}.0) AS BIGINT), {every_n})) AS t(i)
+"""

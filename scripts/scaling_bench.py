@@ -33,7 +33,7 @@ from reiz_io_spark.session import get_spark
 from reiz_io_spark.sources.corpus import synth_corpus
 
 
-def run_level(cores: int, n_files: int) -> dict:
+def run_level(cores: int, n_files: int, repeats: int = 2) -> dict:
     spark = get_spark(
         app_name=f"scaling-{cores}",
         master=f"local[{cores}]",
@@ -50,7 +50,7 @@ def run_level(cores: int, n_files: int) -> dict:
         # best-of-2: the sandbox host is shared and noisy (load spikes
         # from co-tenants); min wall is the honest capacity number.
         build_s = float("inf")
-        for _ in range(2):
+        for _ in range(repeats):
             shutil.rmtree(index_dir, ignore_errors=True)
             t0 = time.perf_counter()
             build_index(spark, corpus, index_dir, build_id="scale", n_shards=cores * 2)
@@ -114,8 +114,9 @@ def main():
     # exactly 32 cores could never show a 4x speedup anyway.
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    lo = run_level(n_small, n_files)
-    hi = run_level(n_small * 4, n_files)
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    lo = run_level(n_small, n_files, repeats)
+    hi = run_level(n_small * 4, n_files, repeats)
     eff_build = hi["files_per_sec"] / (4 * lo["files_per_sec"])
     eff_query = hi["queries_per_sec"] / (4 * lo["queries_per_sec"])
     summary = {

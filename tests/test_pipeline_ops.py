@@ -293,3 +293,37 @@ def test_ivf_assignments_deterministic(spark):
     _, a1 = similarity.ivf_assignments(emb, n_lists=8)
     _, a2 = similarity.ivf_assignments(emb, n_lists=8)
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_frame_sample_matches_duckdb(spark, duck):
+    from reiz_io_spark.operators import multimodal
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    got = sorted(
+        (r["doc_id"], r["frame_no"], r["frame_offset"], r["frame_len"])
+        for r in multimodal.sample_frames(
+            multimodal.to_media_table(docs), every_n=4
+        ).collect()
+    )
+    exp = sorted(tuple(row) for row in duck.sql(
+        multimodal.frame_sample_sql(every_n=4)).fetchall())
+    assert got == exp
+    # frame digests are deterministic and frame_len-consistent
+    rows = multimodal.sample_frames(
+        multimodal.to_media_table(docs.limit(20)), every_n=2
+    ).collect()
+    assert all(len(r["frame_sha256"]) == 64 for r in rows)
+
+
+def test_resize_stub_deterministic_shape(spark):
+    from reiz_io_spark.operators import multimodal
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(10)
+    a = multimodal.resize_stub(multimodal.to_media_table(docs), 16, 8).collect()
+    b = multimodal.resize_stub(multimodal.to_media_table(docs), 16, 8).collect()
+    assert sorted((r["doc_id"], bytes(r["payload"])) for r in a) == sorted(
+        (r["doc_id"], bytes(r["payload"])) for r in b
+    )
+    for r in a:
+        assert len(bytes(r["payload"])) == 16 * 8
+        assert (r["width"], r["height"]) == (16, 8)
