@@ -96,6 +96,13 @@ def main() -> None:
         queries["code_query_p50"] = round(statistics.median(slat), 4)
         extra["code_query_p90"] = round(sorted(slat)[int(0.9 * (len(slat) - 1))], 4)
 
+        # the whole 27-query suite as ONE Spark job (bulk/offline shape)
+        from reiz_io_spark.operators.wand import wand_topk_batch
+
+        t1 = time.perf_counter()
+        wand_topk_batch(reader, lowered_reference_queries(), k=10).collect()
+        extra["code_query_batch27"] = round(time.perf_counter() - t1, 3)
+
         # hot disjunction (single 8-term OR group): the MaxScore path
         from reiz_io_spark.plans.lower import Group, LoweredQuery
 

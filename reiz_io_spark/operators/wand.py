@@ -381,25 +381,43 @@ def score_bucket_kernel(
     if pdf.empty:
         return empty
     qb = int(pdf["qb"].iloc[0])
-    # exact integer bucket bounds: qb in [-2^(63-shift), 2^(63-shift)-1]
-    lo = np.int64(qb * (1 << shift))
-    hi = np.int64(min((qb + 1) * (1 << shift) - 1, 2**63 - 1))
     blocks = _BucketBlocks(pdf)
-
-    if len(group_list) == 1 and len(group_list[0]) > 1:
-        docs, scores = _maxscore_union_topk(
-            blocks, list(group_list[0]), tid_of, idf_by_term,
-            int(lo), int(hi), k, avgdl, k1, b, stats,
-        )
-    else:
-        docs, scores = _conjunctive_topk(
-            blocks, group_list, tid_of, idf_by_term, df_by_term,
-            int(lo), int(hi), k, avgdl, k1, b, stats,
-        )
+    docs, scores = _score_with_blocks(
+        blocks, qb, group_list, tid_of, idf_by_term, df_by_term,
+        shift, k, avgdl, k1, b, stats,
+    )
     if docs.size == 0:
         return empty
     order = np.lexsort((docs, -scores))[:k]
     return pd.DataFrame({"doc_id": docs[order], "score": scores[order]})
+
+
+def _score_with_blocks(
+    blocks: _BucketBlocks,
+    qb: int,
+    group_list: list[tuple],
+    tid_of: dict[str, int],
+    idf_by_term: dict[str, float],
+    df_by_term: dict[str, int],
+    shift: int,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    stats: dict,
+) -> tuple:
+    # exact integer bucket bounds: qb in [-2^(63-shift), 2^(63-shift)-1]
+    lo = int(np.int64(qb * (1 << shift)))
+    hi = int(np.int64(min((qb + 1) * (1 << shift) - 1, 2**63 - 1)))
+    if len(group_list) == 1 and len(group_list[0]) > 1:
+        return _maxscore_union_topk(
+            blocks, list(group_list[0]), tid_of, idf_by_term,
+            lo, hi, k, avgdl, k1, b, stats,
+        )
+    return _conjunctive_topk(
+        blocks, group_list, tid_of, idf_by_term, df_by_term,
+        lo, hi, k, avgdl, k1, b, stats,
+    )
 
 
 def wand_scores(
@@ -474,3 +492,121 @@ def wand_topk(
     if offset:
         ranked = ranked.offset(offset)
     return ranked.limit(k)
+
+
+def wand_topk_batch(
+    reader: IndexReader,
+    queries: dict[str, LoweredQuery],
+    k: int = 10,
+    bucket_shift: int | None = None,
+) -> DataFrame:
+    """Run MANY queries in ONE Spark job: (query_name, doc_id, score,
+    rank).
+
+    Spark's fixed per-job scheduling cost (~0.5-1 s) dominates
+    single-query latency on the distributed tier; a bulk workload (the
+    27-query reference suite, offline evaluation, re-ranking sweeps)
+    should pay it ONCE. One pruned blocks scan covers the union of all
+    queries' terms; each doc-range bucket's task scores every query
+    against its (already column-resident) blocks with the same exact
+    kernels as wand_topk — per-query results are rank-identical to the
+    one-at-a-time path (pytest-gated)."""
+    spark = reader.spark
+    meta = reader.meta
+    if bucket_shift is None:
+        bucket_shift = _adaptive_shift(int(meta.get("n_docs", 0)))
+    k1, b, avgdl = float(meta["k1"]), float(meta["b"]), float(meta["avgdl"])
+
+    ctx = []  # (qid, group_list) for satisfiable queries
+    all_terms: set[str] = set()
+    resolved: dict[str, list] = {}
+    for qid, query in queries.items():
+        groups = reader.resolve_groups(query)
+        if not groups or any(len(g) == 0 for g in groups):
+            continue
+        resolved[qid] = [tuple(g) for g in groups]
+        all_terms.update(t for g in groups for t in g)
+    terms_sorted = sorted(all_terms)
+    tmeta = reader.term_meta(terms_sorted)  # ONE dictionary lookup
+    idf_by_term = {t: float(m["idf"]) for t, m in tmeta.items()}
+    df_by_term = {t: int(m["df"]) for t, m in tmeta.items()}
+    for qid, group_list in resolved.items():
+        if any(all(t not in tmeta for t in g) for g in group_list):
+            continue  # some group entirely absent -> empty result
+        # scoring dicts restricted to THIS query's terms: the exact
+        # rescore iterates the idf dict, so the union dict would add
+        # other queries' contributions
+        q_terms = {t for g in group_list for t in g}
+        q_idf = {t: idf_by_term[t] for t in q_terms if t in idf_by_term}
+        q_df = {t: df_by_term[t] for t in q_terms if t in df_by_term}
+        ctx.append((qid, group_list, q_idf, q_df))
+    if not ctx:
+        return spark.createDataFrame(
+            [], "query_name string, doc_id long, score double, rank int"
+        )
+
+    from ..functions.hashing import spark_xxhash64
+
+    tid_of = {t: spark_xxhash64(t) for t in terms_sorted}
+    buckets = reader.term_buckets(terms_sorted)
+    blk = (
+        reader.blocks()
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term_id").isin(list(tid_of.values())))
+        .withColumn(
+            "qb",
+            F.explode(
+                F.sequence(
+                    F.shiftright("first_doc_id", bucket_shift),
+                    F.shiftright("last_doc_id", bucket_shift),
+                )
+            ),
+        )
+    )
+    shift, kk = bucket_shift, k
+
+    def score_bucket_multi(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"query_name": pd.Series([], dtype="object"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        qb = int(pdf["qb"].iloc[0])
+        blocks = _BucketBlocks(pdf)
+        names, out_docs, out_scores = [], [], []
+        for qid, group_list, q_idf, q_df in ctx:
+            stats = {"blocks_skipped": 0, "blocks_decoded": 0}
+            docs, scores = _score_with_blocks(
+                blocks, qb, group_list, tid_of, q_idf, q_df,
+                shift, kk, avgdl, k1, b, stats,
+            )
+            if docs.size == 0:
+                continue
+            order = np.lexsort((docs, -scores))[:kk]
+            names.extend([qid] * order.size)
+            out_docs.append(docs[order])
+            out_scores.append(scores[order])
+        if not names:
+            return pd.DataFrame(
+                {"query_name": pd.Series([], dtype="object"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"query_name": names,
+             "doc_id": np.concatenate(out_docs),
+             "score": np.concatenate(out_scores)}
+        )
+
+    out = blk.groupBy("qb").applyInPandas(
+        score_bucket_multi, "query_name string, doc_id long, score double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_name").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_name", "doc_id", "score", "rank")
+    )

@@ -154,3 +154,21 @@ def test_conjunctive_block_skip_counted(spark, fine_reader):
     got = list(zip(merged["doc_id"].astype(np.int64), merged["score"]))
     assert got == naive
     assert stats["blocks_decoded"] > 0
+
+
+def test_batched_queries_rank_identical(spark, reader):
+    """wand_topk_batch (27 queries, ONE job) must equal the per-query
+    path rank for rank, including queries with empty results."""
+    from reiz_io_spark.operators.wand import wand_topk, wand_topk_batch
+    from reiz_io_spark.plans.queries import lowered_reference_queries
+
+    queries = lowered_reference_queries()
+    batched = wand_topk_batch(reader, queries, k=10).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(batched, key=lambda r: (r["query_name"], r["rank"])):
+        by_q.setdefault(r["query_name"], []).append((r["doc_id"], r["score"]))
+    for name, q in sorted(queries.items()):
+        want = [
+            (r["doc_id"], r["score"]) for r in wand_topk(reader, q, k=10).collect()
+        ]
+        assert by_q.get(name, []) == want, name
