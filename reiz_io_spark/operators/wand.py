@@ -507,17 +507,20 @@ def wand_topk_batch(
     single-query latency on the distributed tier; a bulk workload (the
     27-query reference suite, offline evaluation, re-ranking sweeps)
     should pay it ONCE. One pruned blocks scan covers the union of all
-    queries' terms; each doc-range bucket's task scores every query
-    against its (already column-resident) blocks with the same exact
-    kernels as wand_topk — per-query results are rank-identical to the
-    one-at-a-time path (pytest-gated)."""
+    queries' terms; a broadcast (term_id -> query) map fans each block
+    out to the queries that need it, and the work is partitioned by
+    (query, doc-bucket) — parallelism = n_queries x n_buckets tasks, so
+    the batch scales with cores even when the corpus fits one doc
+    bucket. Each task runs the same exact kernels as wand_topk —
+    per-query results are rank-identical to the one-at-a-time path
+    (pytest-gated)."""
     spark = reader.spark
     meta = reader.meta
     if bucket_shift is None:
         bucket_shift = _adaptive_shift(int(meta.get("n_docs", 0)))
     k1, b, avgdl = float(meta["k1"]), float(meta["b"]), float(meta["avgdl"])
 
-    ctx = []  # (qid, group_list) for satisfiable queries
+    ctx: dict[str, tuple] = {}  # qid -> (group_list, q_idf, q_df)
     all_terms: set[str] = set()
     resolved: dict[str, list] = {}
     for qid, query in queries.items():
@@ -539,7 +542,7 @@ def wand_topk_batch(
         q_terms = {t for g in group_list for t in g}
         q_idf = {t: idf_by_term[t] for t in q_terms if t in idf_by_term}
         q_df = {t: df_by_term[t] for t in q_terms if t in df_by_term}
-        ctx.append((qid, group_list, q_idf, q_df))
+        ctx[qid] = (group_list, q_idf, q_df)
     if not ctx:
         return spark.createDataFrame(
             [], "query_name string, doc_id long, score double, rank int"
@@ -549,10 +552,25 @@ def wand_topk_batch(
 
     tid_of = {t: spark_xxhash64(t) for t in terms_sorted}
     buckets = reader.term_buckets(terms_sorted)
+    # broadcast fan-out: (term_id, qid) pairs route each block to every
+    # query referencing its term, so the work partitions by
+    # (query, doc-bucket) — parallelism = n_queries x n_buckets tasks
+    # even when the whole corpus fits one doc bucket
+    fan_rows = sorted(
+        {
+            (tid_of[t], qid)
+            for qid, (group_list, _, _) in ctx.items()
+            for g in group_list
+            for t in g
+            if t in tmeta
+        }
+    )
+    fan = spark.createDataFrame(fan_rows, "term_id long, query_name string")
     blk = (
         reader.blocks()
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term_id").isin(list(tid_of.values())))
+        .join(F.broadcast(fan), "term_id")
         .withColumn(
             "qb",
             F.explode(
@@ -566,40 +584,32 @@ def wand_topk_batch(
     shift, kk = bucket_shift, k
 
     def score_bucket_multi(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_name": pd.Series([], dtype="object"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
         if pdf.empty:
-            return pd.DataFrame(
-                {"query_name": pd.Series([], dtype="object"),
-                 "doc_id": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")}
-            )
+            return empty
+        qid = pdf["query_name"].iloc[0]
         qb = int(pdf["qb"].iloc[0])
+        group_list, q_idf, q_df = ctx[qid]
         blocks = _BucketBlocks(pdf)
-        names, out_docs, out_scores = [], [], []
-        for qid, group_list, q_idf, q_df in ctx:
-            stats = {"blocks_skipped": 0, "blocks_decoded": 0}
-            docs, scores = _score_with_blocks(
-                blocks, qb, group_list, tid_of, q_idf, q_df,
-                shift, kk, avgdl, k1, b, stats,
-            )
-            if docs.size == 0:
-                continue
-            order = np.lexsort((docs, -scores))[:kk]
-            names.extend([qid] * order.size)
-            out_docs.append(docs[order])
-            out_scores.append(scores[order])
-        if not names:
-            return pd.DataFrame(
-                {"query_name": pd.Series([], dtype="object"),
-                 "doc_id": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")}
-            )
+        stats = {"blocks_skipped": 0, "blocks_decoded": 0}
+        docs, scores = _score_with_blocks(
+            blocks, qb, group_list, tid_of, q_idf, q_df,
+            shift, kk, avgdl, k1, b, stats,
+        )
+        if docs.size == 0:
+            return empty
+        order = np.lexsort((docs, -scores))[:kk]
         return pd.DataFrame(
-            {"query_name": names,
-             "doc_id": np.concatenate(out_docs),
-             "score": np.concatenate(out_scores)}
+            {"query_name": [qid] * order.size,
+             "doc_id": docs[order],
+             "score": scores[order]}
         )
 
-    out = blk.groupBy("qb").applyInPandas(
+    out = blk.groupBy("query_name", "qb").applyInPandas(
         score_bucket_multi, "query_name string, doc_id long, score double"
     )
     from pyspark.sql.window import Window

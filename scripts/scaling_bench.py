@@ -84,6 +84,19 @@ def run_level(cores: int, n_files: int, repeats: int = 2) -> dict:
             ))
             qps = 2 * len(queries) / (time.perf_counter() - t1)
 
+        # bulk tier: the whole 27-query suite as ONE Spark job — the
+        # query-THROUGHPUT scaling metric (per-job driver scheduling is
+        # a constant, so this measures the scoring work itself)
+        from reiz_io_spark.operators.wand import wand_topk_batch
+
+        qdict = dict(queries)
+        wand_topk_batch(reader, qdict, k=10).collect()  # warm
+        batch_s = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            wand_topk_batch(reader, qdict, k=10).collect()
+            batch_s = min(batch_s, time.perf_counter() - t1)
+
         # serving tier (warm QueryService): the user-facing latency path
         from reiz_io_spark.serve import QueryService
 
@@ -97,6 +110,7 @@ def run_level(cores: int, n_files: int, repeats: int = 2) -> dict:
             slat.append(time.perf_counter() - s)
         return {
             "serve_p50_ms": round(statistics.median(slat) * 1000, 2),
+            "batch27_s": round(batch_s, 3),
             "cores": cores,
             "n_files": n,
             "build_s": round(build_s, 2),
@@ -152,11 +166,13 @@ def main():
     hi = spawn(n_small * 4)
     eff_build = hi["files_per_sec"] / (4 * lo["files_per_sec"])
     eff_query = hi["queries_per_sec"] / (4 * lo["queries_per_sec"])
+    eff_batch = lo["batch27_s"] / (4 * hi["batch27_s"])
     summary = {
         "low": lo,
         "high": hi,
         "build_scaling_efficiency": round(eff_build, 3),
         "query_scaling_efficiency": round(eff_query, 3),
+        "batch_query_scaling_efficiency": round(eff_batch, 3),
         "build_speedup": round(hi["files_per_sec"] / lo["files_per_sec"], 2),
     }
     print(json.dumps(summary))
@@ -188,10 +204,10 @@ Methodology notes:
   N={n_small} vs 4N={n_small * 4} cores so the high level has real CPU
   headroom on the 32-core host.
 
-| level | cores | files | build s | build files/sec | dist query p50 s | concurrent qps | serve p50 ms |
-|---|---|---|---|---|---|---|---|
-| N  | {lo['cores']} | {lo['n_files']} | {lo['build_s']} | {lo['files_per_sec']} | {lo['query_p50_s']} | {lo['queries_per_sec']} | {lo['serve_p50_ms']} |
-| 4N | {hi['cores']} | {hi['n_files']} | {hi['build_s']} | {hi['files_per_sec']} | {hi['query_p50_s']} | {hi['queries_per_sec']} | {hi['serve_p50_ms']} |
+| level | cores | files | build s | build files/sec | dist query p50 s | concurrent qps | batch-27 s | serve p50 ms |
+|---|---|---|---|---|---|---|---|---|
+| N  | {lo['cores']} | {lo['n_files']} | {lo['build_s']} | {lo['files_per_sec']} | {lo['query_p50_s']} | {lo['queries_per_sec']} | {lo['batch27_s']} | {lo['serve_p50_ms']} |
+| 4N | {hi['cores']} | {hi['n_files']} | {hi['build_s']} | {hi['files_per_sec']} | {hi['query_p50_s']} | {hi['queries_per_sec']} | {hi['batch27_s']} | {hi['serve_p50_ms']} |
 
 - index-build speedup {s['build_speedup']}x -> **scaling efficiency
   {s['build_scaling_efficiency']}** = files/sec@{hi['cores']} / (4 x files/sec@{n_small})
