@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.lower import LoweredQuery, expand_groups
+from ..schema import BLOCKS_ON_DISK, DICTIONARY_ON_DISK, DOCS_ON_DISK, RUNS_ON_DISK
 from .build import N_TERM_BUCKETS, _paths
 
 
@@ -40,27 +41,37 @@ class IndexReader:
         cache (reiz/ir/builder.py:54-68, web/api.py:50-63). On a real
         cluster this is cluster-memory-resident serving; cold queries
         still work, they just pay the parquet scan."""
+        schemas = {"dictionary": DICTIONARY_ON_DISK, "blocks": BLOCKS_ON_DISK}
         for name in ("dictionary", "blocks"):
-            df = self.spark.read.parquet(self.paths[name]).persist()
+            df = self.spark.read.schema(schemas[name]).parquet(self.paths[name]).persist()
             df.count()
             self._cached[name] = df
         return self
 
+    # All reads pass EXPLICIT schemas: parquet footer inference is a
+    # real job over file footers (at 10^12 run/doc files it is real
+    # work), and a known shape lets Catalyst prune/push down without
+    # touching data files at plan time.
+
     def dictionary(self) -> DataFrame:
-        return self._cached.get("dictionary") or self.spark.read.parquet(
+        cached = self._cached.get("dictionary")
+        if cached is not None:
+            return cached
+        return self.spark.read.schema(DICTIONARY_ON_DISK).parquet(
             self.paths["dictionary"]
         )
 
     def runs(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths["runs"])
+        return self.spark.read.schema(RUNS_ON_DISK).parquet(self.paths["runs"])
 
     def blocks(self) -> DataFrame:
-        return self._cached.get("blocks") or self.spark.read.parquet(
-            self.paths["blocks"]
-        )
+        cached = self._cached.get("blocks")
+        if cached is not None:
+            return cached
+        return self.spark.read.schema(BLOCKS_ON_DISK).parquet(self.paths["blocks"])
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths["docs"])
+        return self.spark.read.schema(DOCS_ON_DISK).parquet(self.paths["docs"])
 
     # -- query-term resolution ----------------------------------------------
 

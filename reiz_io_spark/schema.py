@@ -160,6 +160,14 @@ BLOCKS_WITH_BUCKET = StructType(
 # read schemas so scans never run parquet footer inference (a job that
 # touches file footers; at 10^12 run files it is real work, and it
 # breaks partition-pruning isolation guarantees).
+DOCS_ON_DISK = StructType(
+    list(DOCS.fields)
+    + [
+        StructField("terms", MapType(StringType(), LongType()), True),
+        StructField("batch", StringType(), False),
+        StructField("shard", IntegerType(), False),
+    ]
+)
 RUNS_ON_DISK = StructType(
     list(RUNS.fields)
     + [StructField("batch", StringType(), False), StructField("shard", IntegerType(), False)]
