@@ -11,12 +11,17 @@ Layout
 ------
 - ``sources/``    corpus readers + deterministic synthetic corpus
 - ``functions/``  tokenizers (AST + text), posting-list codec, hashing
-- ``operators/``  index build, block encode, BM25 (naive + WAND),
-                  dedup, similarity, multimodal plumbing, lineage
+- ``operators/``  index build + incremental merge, block encode, BM25
+                  (naive + WAND/MaxScore + batched), structural verify
+                  (exact semantics + match positions), dedup, similarity
+                  (brute/LSH/IVF), textstats, multimodal plumbing
 - ``plans/``      ReizQL lowering to term conjunctions; the 27-query set;
-                  pure-Python structural matcher (test oracle)
-- ``streaming/``  N/A in the reference (batch only); incremental index
-                  maintenance is lineage-based (see operators/lineage.py)
+                  pure-Python structural matcher (shared by the verify
+                  stage and the test oracle)
+- ``streaming/``  incremental index maintenance (foreachBatch + lineage)
+                  and stateful sessionization (applyInPandasWithState)
+- ``serve.py``    warm query service (driver-cached postings, df-gated
+                  distributed fallback); ``web.py`` HTTP front-end
 - ``oracle.py``   single-node golden BM25 implementation (rank-identity)
 """
 

@@ -1,15 +1,15 @@
-"""Streaming: intentionally N/A.
+"""Structured Streaming operators (beyond the reference, which is
+batch-only: thread-pool ingest reiz/serialization/insert.py:105-120,
+request/response queries reiz/web/api.py:71-99).
 
-The reference is batch-only — ingest via a thread pool
-(reiz/serialization/insert.py:105-120), queries via request/response
-(reiz/web/api.py:71-99). There are no watermarks, windows, or stateful
-streaming operators to reproduce (SURVEY.md §2.10 considered and marked
-N/A, not skipped).
-
-Incremental index maintenance is handled by the batch lineage design
-instead (operators/build.py): new corpus shards are detected by the
-lineage anti-join and tokenized incrementally; the merge + block stage
-re-runs over all runs. A Structured Streaming front-end would drop
-micro-batches of corpus rows into new shards and trigger the same merge
-— the shard/lineage contract is the stream-batch boundary.
+- ``ingest.py`` — readStream -> foreachBatch(stage-1 ingest) with
+  idempotent replay (per-batch partition overwrite + lineage anti-join
+  + cross-batch doc_id anti-join); ``finalize_index`` is a full merge
+  the first time and an INCREMENTAL merge afterwards
+  (operators/build.merge_incremental: only new batches' runs are read,
+  only affected terms' blocks re-encoded).
+- ``sessions.py`` — gap-based session windows as a custom stateful
+  operator (applyInPandasWithState): per-user open-session state across
+  micro-batches, event-time timeout under a watermark, update-mode
+  emits keyed by (user_id, sess_no).
 """
