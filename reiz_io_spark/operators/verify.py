@@ -40,10 +40,15 @@ from pyspark import StorageLevel
 
 from ..plans.lower import LoweredQuery
 from .score import IndexReader
-from .wand import wand_scores
+from .wand import wand_scores, wand_topk
 
 OVERSAMPLE = 4  # first tranche = k * OVERSAMPLE candidate docs
 MAX_TRANCHES = 8  # 4^8 * k — far beyond any real false-positive rate
+# above this candidate estimate, retrieval itself is tranche-escalated
+# (ranked top-N prefixes with MaxScore pruning) instead of materializing
+# every conjunction-satisfying doc — a near-universal query (`Name()`)
+# over 10^12 docs must never persist 10^12 candidate rows
+CANDIDATE_BUDGET = 2_000_000
 
 _POSITIONS_SCHEMA = "doc_id long, lineno int"
 
@@ -84,54 +89,101 @@ def verify_candidates(
     return content.mapInPandas(_match_positions(query_source), _POSITIONS_SCHEMA)
 
 
+def _candidate_estimate(reader: IndexReader, query: LoweredQuery) -> int:
+    """Upper bound on the conjunction's candidate count: the smallest
+    group's summed df (driver-side dictionary lookup, no Spark job for
+    plain terms)."""
+    groups = reader.resolve_groups(query)
+    if not groups:
+        return 0
+    tmeta = reader.term_meta(sorted({t for g in groups for t in g}))
+    best = None
+    for g in groups:
+        s = sum(int(tmeta[t]["df"]) for t in g if t in tmeta)
+        best = s if best is None else min(best, s)
+    return int(best or 0)
+
+
 def structural_topk(
     reader: IndexReader,
     query: LoweredQuery,
     k: int = 10,
     offset: int = 0,
+    candidate_budget: int = CANDIDATE_BUDGET,
 ) -> DataFrame:
     """Exact top-k structurally matching docs with match line numbers.
 
     Returns one row per (doc, matching line): (doc_id, repo, path,
     lineno, score) — schema.RESULTS — ranked by BM25 score then doc_id,
     offset/limit applied over DOCS (reiz/fetch.py:10,71-81 semantics).
-    """
+
+    Retrieval strategy is adaptive: selective conjunctions materialize
+    the full candidate set once (persisted; tranche paging re-sorts but
+    never re-scores), while hot queries whose candidate estimate
+    exceeds ``candidate_budget`` escalate through ranked wand_topk
+    PREFIXES — each a global exact top-N with MaxScore pruning — so no
+    plan ever materializes a corpus-sized candidate list. Both routes
+    return identical results (pytest-gated)."""
     spark = reader.spark
     want = k + offset
-    cand = wand_scores(reader, query, k=None).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        ranked = cand.orderBy(F.desc("score"), F.asc("doc_id"))
-        verified: dict[int, set[int]] = {}  # doc_id -> linenos
-        scores: dict[int, float] = {}
-        order: list[int] = []  # verified doc_ids in rank order
-        taken = 0
+    verified: dict[int, set[int]] = {}  # doc_id -> linenos
+    scores: dict[int, float] = {}
+    order: list[int] = []  # verified doc_ids in rank order
+
+    def consume(rows, seen_ids: set) -> int:
+        """Verify a rank-ordered tranche; returns rows consumed."""
+        ids = [r["doc_id"] for r in rows if r["doc_id"] not in seen_ids]
+        seen_ids.update(ids)
+        if not ids:
+            return 0
+        scores.update({r["doc_id"]: r["score"] for r in rows})
+        hits = verify_candidates(reader, ids, query.source).collect()
+        by_doc: dict[int, set[int]] = {}
+        for h in hits:
+            by_doc.setdefault(h["doc_id"], set()).add(h["lineno"])
+        for did in ids:  # preserve rank order within the tranche
+            if did in by_doc:
+                verified[did] = by_doc[did]
+                order.append(did)
+        return len(ids)
+
+    est = _candidate_estimate(reader, query)
+    seen: set = set()
+    if est > candidate_budget:
+        # hot query: exact ranked prefixes, growing; MaxScore pruning
+        # applies inside each retrieval (k is finite)
         tranche = max(want * OVERSAMPLE, 16)
         for _ in range(MAX_TRANCHES):
-            rows = ranked.offset(taken).limit(tranche).collect()
-            if not rows:
-                break
-            ids = [r["doc_id"] for r in rows]
-            scores.update({r["doc_id"]: r["score"] for r in rows})
-            hits = verify_candidates(reader, ids, query.source).collect()
-            by_doc: dict[int, set[int]] = {}
-            for h in hits:
-                by_doc.setdefault(h["doc_id"], set()).add(h["lineno"])
-            for did in ids:  # preserve rank order within the tranche
-                if did in by_doc:
-                    verified[did] = by_doc[did]
-                    order.append(did)
-            taken += len(rows)
+            rows = wand_topk(reader, query, k=tranche).collect()
+            consume(rows, seen)
             if len(order) >= want or len(rows) < tranche:
                 break
-            tranche *= 4  # low precision -> escalate exponentially
-        page = order[offset : offset + k]
-        out_rows = [
-            (did, int(ln), float(scores[did]))
-            for did in page
-            for ln in sorted(verified[did])
-        ]
-    finally:
-        cand.unpersist()
+            tranche *= 4
+    else:
+        cand = wand_scores(reader, query, k=None).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            ranked = cand.orderBy(F.desc("score"), F.asc("doc_id"))
+            taken = 0
+            tranche = max(want * OVERSAMPLE, 16)
+            for _ in range(MAX_TRANCHES):
+                rows = ranked.offset(taken).limit(tranche).collect()
+                if not rows:
+                    break
+                consume(rows, seen)
+                taken += len(rows)
+                if len(order) >= want or len(rows) < tranche:
+                    break
+                tranche *= 4  # low precision -> escalate exponentially
+        finally:
+            cand.unpersist()
+    page = order[offset : offset + k]
+    out_rows = [
+        (did, int(ln), float(scores[did]))
+        for did in page
+        for ln in sorted(verified[did])
+    ]
     hits_df = spark.createDataFrame(out_rows, "doc_id long, lineno int, score double")
     meta = reader.docs().select("doc_id", "repo", "path")
     return (

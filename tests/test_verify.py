@@ -87,3 +87,22 @@ def test_scores_match_wand(spark, reader):
     assert got
     for r in got:
         assert r["score"] == cand[r["doc_id"]]
+
+
+def test_hot_query_escalation_route_identical(spark, reader):
+    """Forcing the budget to 0 routes retrieval through ranked wand_topk
+    prefixes; results must equal the materialize-all route exactly."""
+    for name in ("simple/simple_name_match", "simple/classmethod",
+                 "simple/not_constant"):
+        query = lowered_reference_queries()[name]
+        a = [
+            (r["doc_id"], r["lineno"], r["score"])
+            for r in structural_topk(reader, query, k=7).collect()
+        ]
+        b = [
+            (r["doc_id"], r["lineno"], r["score"])
+            for r in structural_topk(
+                reader, query, k=7, candidate_budget=0
+            ).collect()
+        ]
+        assert a == b, name
