@@ -206,6 +206,22 @@ class QueryService:
         for g in groups:
             if all(t not in tmeta for t in g):
                 return []
+        if sum(m["df"] for m in tmeta.values()) > self.max_driver_postings:
+            # hot query: distributed verify stage (adaptive retrieval)
+            from .operators.verify import structural_topk
+
+            rows = structural_topk(self.reader, query, k=k, offset=offset).collect()
+            out: list[dict] = []
+            for r in rows:
+                if out and out[-1]["doc_id"] == r["doc_id"]:
+                    out[-1]["linenos"].append(r["lineno"])
+                    continue
+                out.append(
+                    {"doc_id": r["doc_id"], "repo": r["repo"], "path": r["path"],
+                     "score": r["score"], "rank": offset + len(out) + 1,
+                     "linenos": [r["lineno"]]}
+                )
+            return out
         self._fetch_postings(list(tmeta))
         want = k + offset
         tranche = max(want * 4, 16)

@@ -128,3 +128,15 @@ def test_http_errors_and_stats(server):
     with urllib.request.urlopen(server + "/stats") as resp:
         stats = json.loads(resp.read())
     assert stats["results"]["n_docs"] > 0
+
+
+def test_positions_distributed_fallback_identical(spark, reader, service):
+    """Hot queries route query_positions to the distributed verify
+    stage; output must equal the driver-cache route."""
+    svc0 = QueryService(reader, max_driver_postings=0)
+    q = lowered_reference_queries()["simple/not_constant"]
+    a = service.query_positions(q, k=5)
+    b = svc0.query_positions(q, k=5)
+    assert [(r["doc_id"], r["linenos"], r["score"]) for r in a] == [
+        (r["doc_id"], r["linenos"], r["score"]) for r in b
+    ]
