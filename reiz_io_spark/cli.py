@@ -144,6 +144,8 @@ def _dispatch(args, spark) -> int:
 
         from .operators.score import IndexReader
 
+        from .serve import QueryService
+
         reader = IndexReader(spark, args.index)
         docs = reader.docs()
         stats = {
@@ -152,6 +154,8 @@ def _dispatch(args, spark) -> int:
             "n_parse_failed": docs.filter(~F.col("parse_ok")).count(),
             "n_terms_in_dictionary": reader.dictionary().count(),
             "n_blocks": reader.blocks().count(),
+            # the reference's Module/AST/stmt/expr counts (fetch.py:12)
+            **QueryService(reader, max_driver_docmeta=0).statistics(),
         }
         print(json.dumps(stats))
         return 0

@@ -281,6 +281,32 @@ class QueryService:
             "n_docs": self.n_docs,
         }
 
+    def statistics(self) -> dict:
+        """The reference's /stats numbers (reiz/fetch.py:12,31-36 counts
+        Module / AST / stmt / expr instances): derived from the
+        dictionary's node: term collection frequencies — cf("node:T") is
+        exactly the number of T instances across parsed files, so one
+        tiny dictionary scan answers all four."""
+        import ast as _ast
+
+        rows = (
+            self.reader.dictionary()
+            .filter(F.col("term").startswith("node:"))
+            .select("term", "cf")
+            .collect()
+        )
+        stmt_types = {c.__name__ for c in _ast.stmt.__subclasses__()}
+        expr_types = {c.__name__ for c in _ast.expr.__subclasses__()}
+        counts = {r["term"][len("node:"):]: int(r["cf"]) for r in rows}
+        return {
+            "Module": counts.get("Module", 0),
+            "AST": sum(counts.values()),
+            "stmt": sum(v for t, v in counts.items() if t in stmt_types),
+            "expr": sum(v for t, v in counts.items() if t in expr_types),
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+        }
+
     # -- metadata / content lookups ----------------------------------------------
 
     def _doc_meta(self, doc_id: int) -> tuple[str, str]:

@@ -71,6 +71,9 @@ def make_handler(service: QueryService):
             self._send(200, {"status": "success", "results": {
                 "n_docs": m.get("n_docs"), "total_dl": m.get("total_dl"),
                 "avgdl": m.get("avgdl"), "build_id": m.get("build_id"),
+                # the reference's Module/AST/stmt/expr instance counts
+                # (reiz/fetch.py:12, web/api.py:117-121)
+                **service.statistics(),
             }})
 
         def do_POST(self):

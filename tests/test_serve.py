@@ -140,3 +140,27 @@ def test_positions_distributed_fallback_identical(spark, reader, service):
     assert [(r["doc_id"], r["linenos"], r["score"]) for r in a] == [
         (r["doc_id"], r["linenos"], r["score"]) for r in b
     ]
+
+
+def test_statistics_match_ast_walk(spark, small_corpus, service):
+    """Module/AST/stmt/expr counts (the reference's /stats,
+    reiz/fetch.py:12) must equal a direct ast.walk count over the
+    parsed corpus."""
+    import ast
+
+    want = {"Module": 0, "AST": 0, "stmt": 0, "expr": 0}
+    for r in small_corpus.filter("lang = 'python'").collect():
+        try:
+            tree = ast.parse(r["content"])
+        except SyntaxError:
+            continue
+        for node in ast.walk(tree):
+            want["AST"] += 1
+            if isinstance(node, ast.Module):
+                want["Module"] += 1
+            if isinstance(node, ast.stmt):
+                want["stmt"] += 1
+            if isinstance(node, ast.expr):
+                want["expr"] += 1
+    got = service.statistics()
+    assert {k: got[k] for k in want} == want
