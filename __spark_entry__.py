@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), n_hashes=64, bands=16, shingle_n=JACCARD_N, threshold=JACCARD_T
     )
     q["dedup_simhash"] = lambda s, d: dedup.simhash64(_docs(s, d))
+    q["dedup_clusters"] = lambda s, d: dedup.dup_clusters(
+        _docs(s, d), n=JACCARD_N, threshold=JACCARD_T
+    )
 
     # --- similarity search ---------------------------------------------------
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk(
@@ -431,6 +434,7 @@ FROM documents GROUP BY sha256(text)
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(
         n=JACCARD_N, threshold=JACCARD_T
     )
+    o["dedup_clusters"] = dedup.dup_clusters_sql(n=JACCARD_N, threshold=JACCARD_T)
     o["ann_cosine_topk"] = similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=10)
     o["text_langid"] = textstats.language_id_sql()
     o["text_quality"] = textstats.quality_score_sql()

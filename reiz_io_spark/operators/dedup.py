@@ -485,3 +485,99 @@ def simhash64(documents: DataFrame, shingle_n: int = 2) -> DataFrame:
         return pd.Series(simhash_from_hashes(hs, offsets), dtype="int64")
 
     return documents.select("doc_id", sim_udf("text").alias("simhash"))
+
+
+# --- near-dup clusters (connected components) ----------------------------------
+
+
+def dup_clusters(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components over the near-dup pair
+    graph — the canonicalization step of a training-data dedup pipeline
+    (keep min-doc_id per cluster, drop the rest).
+
+    Distributed min-label propagation: every doc starts labeled with its
+    own id; each round takes the min label across neighbors; terminates
+    when no label changes (rounds <= component diameter — near-dup
+    components are shallow). Labels are localCheckpoint'ed per round so
+    the plan doesn't grow with iterations; each round is one join +
+    one aggregate on the EDGE set (tiny relative to the corpus), never a
+    corpus-sized shuffle. Docs with no near-dup edge keep cluster_id ==
+    doc_id. Exact-SQL twin: a recursive CTE (dup_clusters_sql)."""
+    pairs = ngram_jaccard_pairs(
+        documents, n=n, threshold=threshold, max_shingle_df=max_shingle_df
+    ).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=False)  # reused every round
+
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("cluster_id").alias("nb_cluster"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nb_cluster").alias("nb_min"))
+        )
+        updated = (
+            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce("nb_min", F.col("cluster_id")) < F.col("cluster_id"))
+                .cast("int")
+                .alias("changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = updated.select("doc_id", "cluster_id").localCheckpoint(eager=False)
+        if n_changed == 0:
+            break
+    singletons = documents.select("doc_id").join(
+        labels, "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    return labels.unionByName(singletons)
+
+
+def dup_clusters_sql(
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> str:
+    """DuckDB oracle twin: recursive CTE computing, per doc, the minimum
+    doc id reachable in the near-dup graph (== min-label fixpoint)."""
+    pairs_sql = ngram_jaccard_pairs_sql(n, threshold, max_shingle_df)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+reach(src, node) AS (
+  SELECT doc_a AS src, doc_a AS node FROM edges
+  UNION
+  SELECT r.src, e.doc_b AS node
+  FROM reach r JOIN edges e ON r.node = e.doc_a
+),
+clustered AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src)
+SELECT d.doc_id AS doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN clustered c ON d.doc_id = c.doc_id
+"""

@@ -327,3 +327,38 @@ def test_resize_stub_deterministic_shape(spark):
     for r in a:
         assert len(bytes(r["payload"])) == 16 * 8
         assert (r["width"], r["height"]) == (16, 8)
+
+
+def test_dup_clusters_match_duckdb(spark, duck):
+    """Connected components over the near-dup graph == recursive-CTE
+    oracle, full table."""
+    from reiz_io_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.dup_clusters(docs, 3, 0.5).collect()
+    )
+    exp = sorted(tuple(r) for r in duck.sql(dedup.dup_clusters_sql(3, 0.5)).fetchall())
+    assert got == exp
+
+
+def test_dup_clusters_transitive(spark):
+    """A~B and B~C (but A!~C directly) must land in ONE cluster —
+    the propagation is transitive, not pairwise."""
+    from reiz_io_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split()
+    a = " ".join(toks)
+    b = " ".join(toks[:8] + ["mu", "nu"])          # close to a
+    c = " ".join(toks[:6] + ["mu", "nu", "xi", "om"])  # close to b, less to a
+    rows = [(1, a), (2, b), (3, c), (9, "totally different text entirely here")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.ngram_jaccard_pairs(sdf, 2, 0.4).collect()}
+    clusters = {r["doc_id"]: r["cluster_id"]
+                for r in dedup.dup_clusters(sdf, 2, 0.4).collect()}
+    if (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs:
+        assert clusters[1] == clusters[2] == clusters[3] == 1
+    assert clusters[9] == 9
