@@ -135,6 +135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
         _emb(s, d), ANN_QUERY_IDS, k=10, n_lists=16, n_probe=4
     )
+    # exact embedding-cosine near-dup pairs (threshold tuned to the
+    # random test embeddings so the check is non-trivial; the LSH scale
+    # variant needs true near-dups to be meaningful and is pytest-gated
+    # on planted noisy copies instead)
+    q["dedup_embedding_exact"] = lambda s, d: similarity.embedding_dup_pairs_exact(
+        _emb(s, d), threshold=0.25
+    )
 
     # --- text analysis --------------------------------------------------------
     q["text_langid"] = lambda s, d: textstats.language_id(_docs(s, d))
@@ -436,6 +443,9 @@ FROM documents GROUP BY sha256(text)
     )
     o["dedup_clusters"] = dedup.dup_clusters_sql(n=JACCARD_N, threshold=JACCARD_T)
     o["ann_cosine_topk"] = similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=10)
+    o["dedup_embedding_exact"] = similarity.embedding_dup_pairs_exact_sql(
+        threshold=0.25
+    )
     o["text_langid"] = textstats.language_id_sql()
     o["text_quality"] = textstats.quality_score_sql()
     o["text_token_counts"] = textstats.token_counts_sql()

@@ -306,3 +306,93 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- embedding-cosine near-dup (dedup over the embeddings table) ---------------
+
+
+def embedding_dup_pairs_exact(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Exact cosine near-dup pairs (vec_a < vec_b, cos >= threshold):
+    the O(n^2) baseline — correct at any size, affordable for recall
+    evaluation on samples; the LSH variant is the scale path."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_dup_pairs_exact_sql(threshold: float = 0.95) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+         6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+         6) >= {threshold}
+"""
+
+
+def embedding_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path: candidate pairs share a hyperplane-LSH bucket (or a
+    hamming-1 neighbor — near-identical vectors disagree on at most a
+    plane or two), then exact cosine verifies. Candidate count ~
+    n_docs^2 / 2^planes per bucket family instead of n^2; precision is
+    exact, recall is the LSH S-curve (pytest-gated vs the exact pairs)."""
+    if dim is None:
+        dim = embedding_dim(embeddings)
+    buckets = hyperplane_buckets(embeddings, n_planes, dim=dim)
+    e = embeddings.join(buckets, "vec_id")
+    # probe set: own bucket + single-bit flips (symmetric, so generate
+    # flips on one side only)
+    flips = F.array(*[F.lit(0)] + [F.lit(1 << i) for i in range(n_planes)])
+    probed = e.select(
+        "vec_id",
+        F.explode(
+            F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))
+        ).alias("pb"),
+    )
+    cand = (
+        probed.alias("a")
+        .join(
+            e.select("vec_id", "bucket").alias("b"),
+            (F.col("a.pb") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -362,3 +362,51 @@ def test_dup_clusters_transitive(spark):
     if (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs:
         assert clusters[1] == clusters[2] == clusters[3] == 1
     assert clusters[9] == 9
+
+
+def test_embedding_dup_exact_matches_duckdb(spark, duck):
+    from reiz_io_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    got = sorted(
+        (r["vec_a"], r["vec_b"], format(r["cos_sim"], ".6f"))
+        for r in similarity.embedding_dup_pairs_exact(emb, 0.25).collect()
+    )
+    exp = sorted(
+        (a, b, format(c, ".6f"))
+        for a, b, c in duck.sql(
+            similarity.embedding_dup_pairs_exact_sql(0.25)
+        ).fetchall()
+    )
+    assert got == exp
+    assert got, "fixture should contain at least one pair at this threshold"
+
+
+def test_embedding_dup_lsh_recall_on_planted_near_dups(spark):
+    """LSH near-dup detection on data that HAS near-dups: plant noisy
+    copies (cos ~0.99); verified pairs are a subset of exact with high
+    recall, and none of the random-vector noise pairs appear."""
+    import numpy as np
+
+    from reiz_io_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((120, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        if i % 3 == 0:  # planted near-dup: tiny additive noise
+            noisy = v + 0.05 * rng.standard_normal(32)
+            rows.append((1000 + i, [float(x) for x in noisy], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_dup_pairs_exact(emb, 0.95).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_dup_pairs_lsh(emb, 0.95, n_planes=10).collect()
+    }
+    assert exact, "planted near-dups must exist at cos >= 0.95"
+    assert lsh <= exact
+    assert len(lsh) >= 0.9 * len(exact), (len(lsh), len(exact))
