@@ -112,3 +112,30 @@ def test_cross_batch_reingest_is_noop(spark, split_corpus, tmp_path):
     assert _decoded_index(spark, out) == before
     assert meta1["n_docs"] == meta0["n_docs"]
     assert meta1["avgdl"] == meta0["avgdl"]
+
+
+def test_three_batch_incremental_chain(spark, split_corpus, tmp_path):
+    """Two successive incremental merges (3 batches total) still equal
+    the one-shot rebuild — merged_batches bookkeeping survives chains."""
+    corpus, a, b = split_corpus
+    b1 = b.filter(F.pmod(F.xxhash64("repo"), F.lit(2)) == 0)
+    b2 = b.filter(F.pmod(F.xxhash64("repo"), F.lit(2)) == 1)
+
+    inc_dir = str(tmp_path / "chain")
+    stage1_ingest(spark, a, inc_dir, build_id="c0", n_shards=4)
+    merge_and_encode(spark, inc_dir, build_id="c0", fragment_postings=64)
+    stage1_ingest(spark, b1, inc_dir, build_id="c1", n_shards=4)
+    m1 = merge_incremental(spark, inc_dir)
+    assert m1["last_merge_new_batches"] == ["c1"]
+    stage1_ingest(spark, b2, inc_dir, build_id="c2", n_shards=4)
+    m2 = merge_incremental(spark, inc_dir)
+    assert m2["last_merge_new_batches"] == ["c2"]
+    assert set(m2["merged_batches"]) == {"c0", "c1", "c2"}
+
+    full_dir = str(tmp_path / "chain_full")
+    stage1_ingest(spark, a, full_dir, build_id="c0", n_shards=4)
+    stage1_ingest(spark, b1, full_dir, build_id="c1", n_shards=4)
+    stage1_ingest(spark, b2, full_dir, build_id="c2", n_shards=4)
+    merge_and_encode(spark, full_dir, build_id="full", fragment_postings=64)
+    assert _block_rows(spark, inc_dir) == _block_rows(spark, full_dir)
+    assert _decoded_index(spark, inc_dir) == _decoded_index(spark, full_dir)
