@@ -66,34 +66,36 @@ def tokenize_source(content: str) -> tuple[Counter[str], bool]:
         tree = ast.parse(content)
     except (SyntaxError, ValueError, MemoryError, RecursionError):
         return Counter(), False
-    terms: Counter[str] = Counter()
     # Iterative DFS carrying the ancestor-edge set per node (the reference
     # computes the same set recursively, transformers.py:144-151).
     # Hot-path notes: ancestor sets carry pre-rendered "in:P.f" strings
-    # (rendered once per distinct edge via edge_str), and the child set is
-    # built once per FIELD, not per child — siblings share it.
+    # (rendered once per distinct edge via edge_str); the child set is
+    # built once per FIELD, not per child — siblings share it; and terms
+    # are appended to a flat list counted ONCE at the end (C-speed
+    # Counter(list) beats per-term dict increments).
+    out: list[str] = []
+    ap = out.append
     edge_str: dict[tuple[str, str], str] = {}
     stack: list[tuple[ast.AST, frozenset[str]]] = [(tree, frozenset())]
     while stack:
         node, ancestors = stack.pop()
         name = type(node).__name__
-        terms["node:" + name] += 1
-        for pair_s in ancestors:
-            terms[pair_s] += 1
+        ap("node:" + name)
+        out.extend(ancestors)
         ident_fields = IDENTIFIER_FIELDS.get(name)
         if ident_fields:
             for fld in ident_fields:
                 val = getattr(node, fld, None)
                 if isinstance(val, str):
-                    terms["id:" + val] += 1
-                    terms["idci:" + val.lower()] += 1
+                    ap("id:" + val)
+                    ap("idci:" + val.lower())
                 elif isinstance(val, list):  # Global/Nonlocal.names
                     for v in val:
                         if isinstance(v, str):
-                            terms["id:" + v] += 1
-                            terms["idci:" + v.lower()] += 1
+                            ap("id:" + v)
+                            ap("idci:" + v.lower())
         if name == "Constant":
-            terms["lit:" + repr(node.value)] += 1
+            ap("lit:" + repr(node.value))
         for fld, value in ast.iter_fields(node):
             if isinstance(value, ast.AST):
                 children = (value,)
@@ -110,7 +112,7 @@ def tokenize_source(content: str) -> tuple[Counter[str], bool]:
             child_anc = ancestors if s in ancestors else ancestors | {s}
             for child in children:
                 stack.append((child, child_anc))
-    return terms, True
+    return Counter(out), True
 
 
 def structural_tag(node: ast.AST) -> int:
