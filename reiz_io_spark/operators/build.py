@@ -235,8 +235,11 @@ def merge_and_encode(
     fragment_postings: int = FRAGMENT_POSTINGS,
 ) -> dict:
     """Stages 2-3: dictionary + salted merge + block encode over ALL
-    ingested batches. Deterministic given the runs tables — re-running
-    after more batches produces the superset index."""
+    ingested batches (the one-shot / first-merge path; subsequent
+    batches should use merge_incremental, which reads only new runs).
+    Deterministic given the runs tables — re-running after more batches
+    produces the superset index, byte-identical to the incremental
+    chain (pytest-gated)."""
     p = _paths(out_dir)
     t1 = time.perf_counter()
     all_runs = spark.read.schema(RUNS_ON_DISK).parquet(p["runs"])
