@@ -50,30 +50,39 @@ MAX_TRANCHES = 8  # 4^8 * k — far beyond any real false-positive rate
 # over 10^12 docs must never persist 10^12 candidate rows
 CANDIDATE_BUDGET = 2_000_000
 
-_POSITIONS_SCHEMA = "doc_id long, lineno int"
+_POSITIONS_SCHEMA = (
+    "doc_id long, lineno int, col_offset int, end_lineno int, segment string"
+)
 
 
 def _match_positions(query_source: str):
-    """mapInPandas fn: (doc_id, content) batches -> (doc_id, lineno) of
-    exact structural matches (decorated-def position widening included,
-    matcher.match_lines)."""
+    """mapInPandas fn: (doc_id, content) batches -> one row per exact
+    structural match with the reference's full position projection
+    (lineno/col_offset/end_lineno + sliced source segment,
+    reiz/fetch.py:14-29; decorated-def widening included)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..plans.matcher import match_lines
+        from ..plans.matcher import match_spans
 
         for pdf in batches:
-            out_doc, out_line = [], []
+            docs, lns, cols, ends, segs = [], [], [], [], []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 if content is None:
                     continue
                 try:
-                    lines = match_lines(content, query_source)
+                    spans = match_spans(content, query_source)
                 except SyntaxError:
                     continue
-                for ln in sorted(lines):
-                    out_doc.append(int(doc_id))
-                    out_line.append(int(ln))
-            yield pd.DataFrame({"doc_id": out_doc, "lineno": out_line})
+                for lineno, col, end_ln, _end_col, segment in spans:
+                    docs.append(int(doc_id))
+                    lns.append(int(lineno))
+                    cols.append(int(col))
+                    ends.append(int(end_ln))
+                    segs.append(segment)
+            yield pd.DataFrame(
+                {"doc_id": docs, "lineno": lns, "col_offset": cols,
+                 "end_lineno": ends, "segment": segs}
+            )
 
     return fn
 
@@ -126,7 +135,7 @@ def structural_topk(
     return identical results (pytest-gated)."""
     spark = reader.spark
     want = k + offset
-    verified: dict[int, set[int]] = {}  # doc_id -> linenos
+    verified: dict[int, list] = {}  # doc_id -> [(lineno, col, end, segment)]
     scores: dict[int, float] = {}
     order: list[int] = []  # verified doc_ids in rank order
 
@@ -138,9 +147,11 @@ def structural_topk(
             return 0
         scores.update({r["doc_id"]: r["score"] for r in rows})
         hits = verify_candidates(reader, ids, query.source).collect()
-        by_doc: dict[int, set[int]] = {}
+        by_doc: dict[int, list] = {}
         for h in hits:
-            by_doc.setdefault(h["doc_id"], set()).add(h["lineno"])
+            by_doc.setdefault(h["doc_id"], []).append(
+                (h["lineno"], h["col_offset"], h["end_lineno"], h["segment"])
+            )
         for did in ids:  # preserve rank order within the tranche
             if did in by_doc:
                 verified[did] = by_doc[did]
@@ -180,15 +191,21 @@ def structural_topk(
             cand.unpersist()
     page = order[offset : offset + k]
     out_rows = [
-        (did, int(ln), float(scores[did]))
+        (did, int(ln), int(col), int(end_ln), seg, float(scores[did]))
         for did in page
-        for ln in sorted(verified[did])
+        for ln, col, end_ln, seg in sorted(verified[did])
     ]
-    hits_df = spark.createDataFrame(out_rows, "doc_id long, lineno int, score double")
+    hits_df = spark.createDataFrame(
+        out_rows,
+        "doc_id long, lineno int, col_offset int, end_lineno int,"
+        " segment string, score double",
+    )
     meta = reader.docs().select("doc_id", "repo", "path")
     return (
         F.broadcast(hits_df)
         .join(meta, "doc_id")
-        .select("doc_id", "repo", "path", "lineno", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("lineno"))
+        .select("doc_id", "repo", "path", "lineno", "col_offset",
+                "end_lineno", "segment", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("lineno"),
+                 F.asc("col_offset"))
     )

@@ -274,12 +274,19 @@ def _ref_key(value):
     return ("val", repr(value))
 
 
-def match_lines(source: str, query_source: str) -> set[int]:
-    """All line numbers where the query structurally matches, with the
-    reference's decorated-def position widening (transformers.py:161-170)."""
+def match_spans(source: str, query_source: str) -> list[tuple]:
+    """Every structural match as (lineno, col_offset, end_lineno,
+    end_col_offset, segment) — the reference's result projection
+    (reiz/fetch.py:14-29 selects exactly these positions and slices the
+    stored source into the reported segment). lineno carries the
+    decorated-def widening (transformers.py:161-170: a matched def/class
+    with decorators reports the first decorator's line), and the segment
+    spans from the (widened) first line through end_lineno."""
     tree = ast.parse(source)
     matcher = Matcher(query_source)
-    hits: set[int] = set()
+    lines = source.splitlines()
+    hits: list[tuple] = []
+    seen: set[tuple] = set()
     stack: list[tuple[ast.AST, tuple]] = [(tree, ())]
     while stack:
         node, ancestors = stack.pop()
@@ -288,14 +295,27 @@ def match_lines(source: str, query_source: str) -> set[int]:
             deco = getattr(node, "decorator_list", None)
             if deco:
                 lineno = min(d.lineno for d in deco)
-            hits.add(lineno)
+            end_lineno = getattr(node, "end_lineno", node.lineno) or node.lineno
+            key = (lineno, node.col_offset, end_lineno,
+                   getattr(node, "end_col_offset", 0) or 0)
+            if key in seen:
+                continue
+            seen.add(key)
+            segment = "\n".join(lines[lineno - 1 : end_lineno])
+            hits.append((*key, segment))
         name = type(node).__name__
         for fld, value in ast.iter_fields(node):
             children = value if isinstance(value, list) else [value]
             for child in children:
                 if isinstance(child, ast.AST):
                     stack.append((child, ancestors + ((name, fld),)))
-    return hits
+    return sorted(hits)
+
+
+def match_lines(source: str, query_source: str) -> set[int]:
+    """All line numbers where the query structurally matches, with the
+    reference's decorated-def position widening (transformers.py:161-170)."""
+    return {h[0] for h in match_spans(source, query_source)}
 
 
 def annotated_tp_lines(source: str) -> set[int]:

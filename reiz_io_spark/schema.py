@@ -146,6 +146,9 @@ RESULTS = StructType(
         StructField("repo", StringType(), False),
         StructField("path", StringType(), False),
         StructField("lineno", IntegerType(), False),
+        StructField("col_offset", IntegerType(), False),
+        StructField("end_lineno", IntegerType(), False),
+        StructField("segment", StringType(), False),
         StructField("score", DoubleType(), False),
     ]
 )

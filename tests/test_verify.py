@@ -106,3 +106,20 @@ def test_hot_query_escalation_route_identical(spark, reader):
             ).collect()
         ]
         assert a == b, name
+
+
+def test_positions_carry_spans_and_segments(spark, reader, corpus_sources):
+    """fetch.py:14-29 projection parity: every returned row carries the
+    node's col_offset / end_lineno and the sliced source segment, and
+    the segment really is those lines of the file."""
+    query = lowered_reference_queries()["simple/classmethod"]
+    rows = structural_topk(reader, query, k=K_ALL).collect()
+    assert rows
+    for r in rows:
+        src = corpus_sources[(r["repo"], r["path"])]
+        lines = src.splitlines()
+        assert 1 <= r["lineno"] <= r["end_lineno"] <= len(lines)
+        assert r["col_offset"] >= 0
+        assert r["segment"] == "\n".join(lines[r["lineno"] - 1 : r["end_lineno"]])
+        # the match is a decorated def: its segment contains the def
+        assert "def " in r["segment"] or "class " in r["segment"]
