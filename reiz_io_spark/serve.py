@@ -193,10 +193,11 @@ class QueryService:
     def query_positions(
         self, query: LoweredQuery, k: int = 10, offset: int = 0
     ) -> list[dict]:
-        """Structurally verified results with exact match line numbers —
-        the serving twin of operators/verify.structural_topk (same
-        tranche escalation, driver-side matcher over cached content)."""
-        from .plans.matcher import match_lines
+        """Structurally verified results with exact match positions and
+        source segments (fetch.py:14-29 projection) — the serving twin
+        of operators/verify.structural_topk (same tranche escalation,
+        driver-side matcher over cached content)."""
+        from .plans.matcher import match_spans
 
         groups = self.resolve_groups(query)
         if not groups or any(len(g) == 0 for g in groups):
@@ -213,13 +214,17 @@ class QueryService:
             rows = structural_topk(self.reader, query, k=k, offset=offset).collect()
             out: list[dict] = []
             for r in rows:
+                m = {"lineno": r["lineno"], "col_offset": r["col_offset"],
+                     "end_lineno": r["end_lineno"], "segment": r["segment"]}
                 if out and out[-1]["doc_id"] == r["doc_id"]:
-                    out[-1]["linenos"].append(r["lineno"])
+                    out[-1]["matches"].append(m)
+                    if r["lineno"] not in out[-1]["linenos"]:
+                        out[-1]["linenos"].append(r["lineno"])
                     continue
                 out.append(
                     {"doc_id": r["doc_id"], "repo": r["repo"], "path": r["path"],
                      "score": r["score"], "rank": offset + len(out) + 1,
-                     "linenos": [r["lineno"]]}
+                     "linenos": [r["lineno"]], "matches": [m]}
                 )
             return out
         self._fetch_postings(list(tmeta))
@@ -237,23 +242,29 @@ class QueryService:
                 if content is None:
                     continue
                 try:
-                    lines = sorted(match_lines(content, query.source))
+                    spans = match_spans(content, query.source)
                 except SyntaxError:
                     continue
-                if lines:
-                    verified.append((doc_id, score, lines))
+                if spans:
+                    verified.append((doc_id, score, spans))
             seen += len(ranked)
             if len(verified) >= want or len(ranked) < tranche:
                 break
             tranche *= 4
         out = []
-        for rank, (doc_id, score, lines) in enumerate(
+        for rank, (doc_id, score, spans) in enumerate(
             verified[offset : offset + k], start=offset + 1
         ):
             repo, path = self._doc_meta(doc_id)
             out.append(
                 {"doc_id": doc_id, "repo": repo, "path": path, "score": score,
-                 "rank": rank, "linenos": lines}
+                 "rank": rank,
+                 "linenos": sorted({s[0] for s in spans}),
+                 "matches": [
+                     {"lineno": ln, "col_offset": col, "end_lineno": end_ln,
+                      "segment": seg}
+                     for ln, col, end_ln, _ec, seg in spans
+                 ]}
             )
         return out
 
