@@ -82,6 +82,23 @@ def make_handler(service: QueryService):
             body = self._read_json()
             if body is None:
                 return
+            if self.path == "/batch":
+                # bulk evaluation: {"queries": {name: pattern}, "limit"}
+                qs = body.get("queries")
+                if not isinstance(qs, dict):
+                    return self._error("Missing 'queries' mapping")
+                k = int(body.get("limit", 10))
+                results, errors = {}, {}
+                for name, src in qs.items():
+                    try:
+                        results[name] = service.query_topk(
+                            lower_query(name, src), k=k
+                        )
+                    except (SyntaxError, ValueError) as exc:
+                        errors[name] = f"syntax error: {exc}"
+                return self._send(200, {"status": "success",
+                                        "results": results, "errors": errors,
+                                        "exception": None})
             if "query" not in body:
                 return self._error("Missing 'query' data")
             if not body["query"]:  # empty queries allowed (api.py:80-81)

@@ -164,3 +164,19 @@ def test_statistics_match_ast_walk(spark, small_corpus, service):
                 want["expr"] += 1
     got = service.statistics()
     assert {k: got[k] for k in want} == want
+
+
+def test_http_batch_endpoint(server, service):
+    qs = {name: q.source for name, q in
+          sorted(lowered_reference_queries().items())[:5]}
+    qs["bad"] = "Call(("
+    got = _post(server, "/batch", {"queries": qs, "limit": 5})
+    assert got["status"] == "success"
+    assert "bad" in got["errors"]
+    for name in list(qs)[:5]:
+        if name == "bad":
+            continue
+        want = service.query_topk(lowered_reference_queries()[name], k=5)
+        assert [r["doc_id"] for r in got["results"][name]] == [
+            r["doc_id"] for r in want
+        ], name
