@@ -123,3 +123,16 @@ def test_positions_carry_spans_and_segments(spark, reader, corpus_sources):
         assert r["segment"] == "\n".join(lines[r["lineno"] - 1 : r["end_lineno"]])
         # the match is a decorated def: its segment contains the def
         assert "def " in r["segment"] or "class " in r["segment"]
+
+
+def test_unsatisfiable_query_empty_everywhere(spark, reader):
+    """Unknown identifiers: empty results, no crash, on all routes."""
+    from reiz_io_spark.plans.lower import lower_query
+    from reiz_io_spark.serve import QueryService
+
+    q = lower_query("none", "Call(Name('zz_no_such_identifier_zz'))")
+    assert structural_topk(reader, q, k=5).count() == 0
+    assert structural_topk(reader, q, k=5, candidate_budget=0).count() == 0
+    svc = QueryService(reader)
+    assert svc.query_topk(q, k=5) == []
+    assert svc.query_positions(q, k=5) == []
