@@ -329,8 +329,15 @@ def minhash_signatures(
     minhash_from_hashes) — no explode, no groupBy, ZERO shuffles. At
     10^9 docs the signature stage is a single pass over the text column;
     the only shuffles in the whole LSH path are the (n_docs x bands)-row
-    bucket join and the candidate-pair verification."""
+    bucket join and the candidate-pair verification.
+
+    If the input has fewer partitions than cores (e.g. one small parquet
+    file locally), it is repartitioned so the UDF actually uses the
+    cluster — on real multi-file inputs this is a no-op."""
     a_params, b_params = _minhash_params(n_hashes, seed)
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < par:
+        documents = documents.repartition(par)
 
     @pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
@@ -340,11 +347,28 @@ def minhash_signatures(
         # shingle-less docs get an EMPTY signature (not a constant one —
         # constant sigs would band every empty doc into one bucket and
         # explode the candidate join); banding filters them out.
+        # rows stay numpy (Arrow converts ndarray rows directly — no
+        # per-element Python int boxing)
+        empty = np.empty(0, dtype=np.int64)
         return pd.Series(
-            [list(sig[i]) if sh_lists[i] else [] for i in range(len(sh_lists))]
+            [sig[i] if sh_lists[i] else empty for i in range(len(sh_lists))]
         )
 
     return documents.select("doc_id", sig_udf("text").alias("sig"))
+
+
+def _shingle_array(n: int):
+    """Column expr: distinct word-n-gram shingle ARRAY for the `text`
+    column (same semantics as word_shingles, kept as one array instead
+    of exploded rows). Pure built-ins — stays in whole-stage codegen."""
+    toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+        lambda i: F.concat_ws("_", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def jaccard_for_pairs(
@@ -354,41 +378,35 @@ def jaccard_for_pairs(
 
     Cost is proportional to the candidate docs' shingle sets, never the
     corpus: the DOCS table is semi-join-pruned to candidate docs BEFORE
-    shingling (so the explode runs over |candidates| rows, not the
-    corpus), and the intersection count comes from joining each pair to
-    its A-side shingles and matching them against the B-side
-    (co-partitioned equi-join on (doc, shingle) — no all-pairs shingle
-    self-join anywhere).
+    shingling. Each candidate doc keeps its distinct shingle set as ONE
+    array row, and each pair is resolved with exactly two equi-joins
+    (pairs ⋈ shingles(doc_a) ⋈ shingles(doc_b)) followed by a JVM-side
+    `array_intersect` — no shingle explode, no per-pair aggregation
+    shuffle, no Python. |A ∪ B| = |A|+|B|-|A∩B|. (Earlier versions used
+    an exploded inverted-index chain — ~6 shuffles for the same answer;
+    this is 3 narrow joins and benches ~4x faster at sf0.1.)
     """
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    docs_c = documents.join(cand_docs, "doc_id", "left_semi").select(
-        "doc_id", "text"
+    sh = (
+        documents.join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", _shingle_array(n).alias("sh"))
     )
-    # reused by sizes + both pair-join sides -> materialize once
-    shc = word_shingles(docs_c, n).localCheckpoint(eager=False)
-    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sh_a = shc.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = shc.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
         )
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -399,6 +417,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    prefilter_margin: float | None = 0.15,
 ) -> DataFrame:
     """LSH candidates (band-bucket join) verified with exact Jaccard
     computed on the CANDIDATE PAIRS ONLY (jaccard_for_pairs) — the
@@ -409,7 +428,17 @@ def minhash_lsh_pairs(
     only pairs docs agreeing on a whole band. Output: exact-verified
     pairs (doc_a, doc_b, jaccard) — precision 1.0, recall ~ S-curve
     1-(1-t^r)^b. Verification uses the uncapped exact Jaccard (candidate
-    pair counts are tiny, no hot-shingle risk)."""
+    pair counts are tiny, no hot-shingle risk).
+
+    Signature-estimate prefilter: before the exact verify, each
+    candidate pair's Jaccard is ESTIMATED from the signatures already in
+    hand (mean(sig_a[k]==sig_b[k]) — the unbiased MinHash estimator) via
+    a JVM-side zip_with, and pairs with estimate < threshold -
+    prefilter_margin are dropped without ever being shingled. With
+    n_hashes=64 the estimator's std at j=t is sqrt(t(1-t)/64) <= 0.0625,
+    so the default margin (0.15 = 2.4 sigma) keeps recall while pruning
+    the low-jaccard candidates the S-curve admits (b=16/r=4 at t=0.5
+    admits pairs down to j~0.2). Pass None to disable."""
     rows_per_band = n_hashes // bands
     # localCheckpoint: the banded self-join and the verification both
     # reference the signature table several times; without truncating
@@ -447,8 +476,21 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .localCheckpoint(eager=False)  # reused 3x by the verification join
     )
+    if prefilter_margin is not None:
+        sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+        sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+        est = F.size(
+            F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda e: e)
+        ) / F.lit(float(n_hashes))
+        candidates = (
+            candidates.join(sig_a, "doc_a")
+            .join(sig_b, "doc_b")
+            .filter(est >= max(0.0, threshold - prefilter_margin))
+            .select("doc_a", "doc_b")
+        )
+    # reused 3x by the verification join (cand_docs union + pair join)
+    candidates = candidates.localCheckpoint(eager=False)
     return jaccard_for_pairs(documents, candidates, n=shingle_n).filter(
         F.col("jaccard") >= threshold
     )
