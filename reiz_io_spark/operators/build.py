@@ -49,7 +49,9 @@ from ..functions.tokenizer import with_tokens
 from ..schema import (
     BLOCKS_ON_DISK,
     BLOCKS_WITH_BUCKET,
+    CONTENT_ON_DISK,
     DICTIONARY_ON_DISK,
+    DOCS_ON_DISK,
     LINEAGE,
     RUNS_ON_DISK,
 )
@@ -61,6 +63,7 @@ N_TERM_BUCKETS = 32
 def _paths(out_dir: str) -> dict[str, str]:
     return {
         "docs": os.path.join(out_dir, "docs"),
+        "content": os.path.join(out_dir, "content"),
         "runs": os.path.join(out_dir, "runs"),
         "dictionary": os.path.join(out_dir, "dictionary"),
         "blocks": os.path.join(out_dir, "blocks"),
@@ -70,24 +73,41 @@ def _paths(out_dir: str) -> dict[str, str]:
 
 
 def prepare_docs(corpus: DataFrame, n_shards: int) -> DataFrame:
-    """corpus -> sanitized + identified + tokenized rows.
+    """corpus -> sanitized + identified rows (NOT yet tokenized).
 
     Sanitize filter ≈ reference sanitize_dataset.py:15-25; rows that fail
-    ast.parse keep parse_ok=False (Insertion.SKIPPED,
+    ast.parse later keep parse_ok=False (Insertion.SKIPPED,
     statistics.py:7-12). doc_id/shard are content-independent hashes —
     deterministic under task retries (no row_number over unordered data).
+    Shard-aligned here: raw content shuffles ONCE, every downstream task
+    owns whole shards, and the partitioned writes emit n_shards files
+    instead of n_input_partitions x n_shards (the driver-side commit of
+    thousands of tiny files was a measured serial bottleneck).
+    Tokenization happens AFTER the content table lands (stage1_ingest
+    reads it back), so the shuffle never carries the terms column and
+    the tokenizer still runs exactly once per document.
     """
     df = corpus.filter(F.col("lang") == "python")
     df = df.withColumn("doc_id", F.xxhash64("repo", "path"))
     df = df.withColumn("shard", F.pmod(F.xxhash64("repo"), F.lit(n_shards)).cast("int"))
     df = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    # Shard-align BEFORE tokenizing: raw content shuffles once (smaller
-    # than content+terms), every downstream task owns whole shards, and
-    # the partitioned writes emit n_shards files instead of
-    # n_input_partitions x n_shards (the driver-side commit of thousands
-    # of tiny files was a measured serial bottleneck).
-    df = df.repartition(n_shards, "shard")
-    return with_tokens(df)
+    return df.repartition(n_shards, "shard")
+
+
+def _other_batch_dirs(docs_path: str, build_id: str) -> list[str]:
+    """Hive partition dirs of every batch EXCEPT build_id (for the
+    cross-batch doc_id anti-join): explicit subdir paths so the read's
+    file set is provably disjoint from this job's batch=build_id write
+    under the same root."""
+    try:
+        names = os.listdir(docs_path)
+    except OSError:
+        return []
+    return sorted(
+        os.path.join(docs_path, d)
+        for d in names
+        if d.startswith("batch=") and d != f"batch={build_id}"
+    )
 
 
 def completed_shards(spark: SparkSession, lineage_path: str, build_id: str) -> DataFrame:
@@ -130,26 +150,49 @@ def stage1_ingest(
     # batch (overlapping micro-batches, file re-sends) must not create a
     # second row under the same doc_id — that would inflate df/cf and
     # put duplicate doc_ids in one posting list. Anti-join against the
-    # doc_ids of all OTHER batches (a doc_id-only columnar scan; replay
-    # of the SAME batch stays idempotent via the partition overwrite +
-    # lineage anti-join above). Updates-in-place are out of contract:
-    # ingest is append-only-new-files, like the reference's ingest cache
+    # doc_ids of all OTHER batches, read from their EXPLICIT partition
+    # dirs (never the docs root: this job's write targets batch=build_id
+    # under the same root, and a root-path self-read-overwrite is a
+    # formally unsupported Spark pattern even when dynamic overwrite
+    # happens to stage it safely). Replay of the SAME batch stays
+    # idempotent via the partition overwrite + lineage anti-join above.
+    # Updates-in-place are out of contract: ingest is append-only-new-
+    # files, like the reference's ingest cache
     # (reiz/serialization/cache.py:8-25 skips known filenames).
-    try:
+    other_dirs = _other_batch_dirs(p["docs"], build_id)
+    if other_dirs:
         existing = (
-            spark.read.parquet(p["docs"])
-            .filter(F.col("batch") != build_id)
+            spark.read.schema(DOCS_ON_DISK)
+            .option("basePath", p["docs"])
+            .parquet(*other_dirs)
             .select("doc_id")
         )
         pending = pending.join(existing, "doc_id", "left_anti")
-    except Exception:
-        pass  # first batch: no docs table yet
+
+    # Content side table FIRST (the staging table): raw source + doc
+    # identity, one shuffle, no UDF in the plan. The structural-verify
+    # stage and result rendering are its only query-time readers — docs
+    # stays the slim metadata/forward-index table, so no scan of docs
+    # ever pays for corpus text (r02 carried content in docs and build
+    # throughput regressed 12%).
+    content_tbl = pending.select(
+        "doc_id", "repo", "path", "commit", "content_sha256", "content",
+        F.lit(build_id).alias("batch"), "shard",
+    )
+    content_tbl.write.mode("overwrite").partitionBy("batch", "shard").parquet(
+        p["content"]
+    )
+    staged_raw = spark.read.schema(CONTENT_ON_DISK).parquet(p["content"]).filter(
+        F.col("batch") == build_id
+    )
+    if done_ids:
+        staged_raw = staged_raw.filter(~F.col("shard").isin(done_ids))
 
     # The docs table carries the per-doc tf map (the forward index): the
-    # tokenizer UDF runs EXACTLY ONCE per document; runs are derived from
-    # the written parquet, and metadata readers never pay for the terms
-    # column (parquet column pruning).
-    docs = pending.select(
+    # tokenizer UDF runs EXACTLY ONCE per document, reading columnar
+    # shard-local content (no shuffle — partitioning is inherited from
+    # the content table's layout).
+    docs = with_tokens(staged_raw).select(
         "doc_id",
         "repo",
         "path",
@@ -158,10 +201,7 @@ def stage1_ingest(
         F.col("n_terms").alias("doclen"),
         "parse_ok",
         "terms",
-        "content",  # read ONLY by the structural-verify stage (pruned
-        # everywhere else); the reference stores far more per file (the
-        # whole AST node graph, ~330 nodes/file at 17.5M nodes / 53k files)
-        F.lit(build_id).alias("batch"),
+        "batch",
         "shard",
     )
     docs.write.mode("overwrite").partitionBy("batch", "shard").parquet(p["docs"])

@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.lower import LoweredQuery, expand_groups
-from ..schema import BLOCKS_ON_DISK, DICTIONARY_ON_DISK, DOCS_ON_DISK, RUNS_ON_DISK
+from ..schema import (
+    BLOCKS_ON_DISK,
+    CONTENT_ON_DISK,
+    DICTIONARY_ON_DISK,
+    DOCS_ON_DISK,
+    RUNS_ON_DISK,
+)
 from .build import N_TERM_BUCKETS, _paths
 
 
@@ -72,6 +78,12 @@ class IndexReader:
 
     def docs(self) -> DataFrame:
         return self.spark.read.schema(DOCS_ON_DISK).parquet(self.paths["docs"])
+
+    def content(self) -> DataFrame:
+        """Raw-source side table — only the structural-verify stage and
+        result rendering read it (doc_id IN-list pushdown); metadata
+        scans never touch corpus text."""
+        return self.spark.read.schema(CONTENT_ON_DISK).parquet(self.paths["content"])
 
     # -- query-term resolution ----------------------------------------------
 

@@ -92,7 +92,7 @@ def verify_candidates(
 ) -> DataFrame:
     """(doc_id, lineno) of exact structural matches among the given
     docs. The IN-list filter is pushed into the parquet scan."""
-    content = reader.docs().filter(F.col("doc_id").isin(doc_ids)).select(
+    content = reader.content().filter(F.col("doc_id").isin(doc_ids)).select(
         "doc_id", "content"
     )
     return content.mapInPandas(_match_positions(query_source), _POSITIONS_SCHEMA)

@@ -51,10 +51,12 @@ TOKENIZED = StructType(
 
 # Document stats + identity. doc_id = xxhash64(repo, path) — deterministic
 # under retries (no row_number over unordered data). content_sha256 is the
-# per-row invariant vs. the source table. content (the raw source) is
-# carried for the structural post-verification stage (reiz/fetch.py
-# projects positions and slices the stored source, fetch.py:84-114);
-# parquet column pruning means no other reader ever pays for it.
+# per-row invariant vs. the source table. The raw source itself lives in
+# the separate CONTENT table (below), NOT here: docs is the metadata/
+# forward-index table every query touches, content is read only by the
+# structural-verify stage and result rendering — keeping them in separate
+# files means the docs scan volume never includes corpus text (r02 put
+# content in docs and index-build throughput regressed 12%).
 DOCS = StructType(
     [
         StructField("doc_id", LongType(), False),
@@ -64,6 +66,23 @@ DOCS = StructType(
         StructField("content_sha256", StringType(), False),
         StructField("doclen", LongType(), False),
         StructField("parse_ok", BooleanType(), False),
+    ]
+)
+
+# Raw-source side table — the staging table of stage-1 ingest and the
+# ONLY place corpus text is stored. Read by the structural-verify stage
+# (reiz/fetch.py slices the stored source for result segments,
+# fetch.py:84-114) and QueryService._fetch_content; carries the doc
+# identity columns so stage-1 can tokenize from its read-back without a
+# join. Partitioned (batch, shard) like docs for the same resume
+# semantics.
+CONTENT = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), True),
+        StructField("content_sha256", StringType(), False),
         StructField("content", StringType(), True),
     ]
 )
@@ -170,6 +189,10 @@ DOCS_ON_DISK = StructType(
         StructField("batch", StringType(), False),
         StructField("shard", IntegerType(), False),
     ]
+)
+CONTENT_ON_DISK = StructType(
+    list(CONTENT.fields)
+    + [StructField("batch", StringType(), False), StructField("shard", IntegerType(), False)]
 )
 RUNS_ON_DISK = StructType(
     list(RUNS.fields)

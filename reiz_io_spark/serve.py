@@ -339,7 +339,7 @@ class QueryService:
         if not missing:
             return
         rows = (
-            self.reader.docs()
+            self.reader.content()
             .filter(F.col("doc_id").isin(missing))
             .select("doc_id", "content")
             .collect()
