@@ -61,15 +61,39 @@ N_TERM_BUCKETS = 32
 
 
 def _paths(out_dir: str) -> dict[str, str]:
+    """Static table paths. dictionary/blocks are DEFAULTS for a
+    fresh index — committed indexes carry versioned dir names in
+    meta.json (dictionary_dir / blocks_dir); resolve via table_dir()."""
     return {
         "docs": os.path.join(out_dir, "docs"),
         "content": os.path.join(out_dir, "content"),
         "runs": os.path.join(out_dir, "runs"),
-        "dictionary": os.path.join(out_dir, "dictionary"),
-        "blocks": os.path.join(out_dir, "blocks"),
+        "dictionary": os.path.join(out_dir, "dictionary_v1"),
+        "blocks": os.path.join(out_dir, "blocks_v1"),
         "lineage": os.path.join(out_dir, "lineage"),
         "meta": os.path.join(out_dir, "meta.json"),
     }
+
+
+def table_dir(out_dir: str, meta: dict, table: str) -> str:
+    """Resolve the CURRENT physical dir of a versioned table
+    ('dictionary' | 'blocks') from the committed meta — the version
+    pointer is the unit of atomicity (meta.json is flipped with
+    os.replace, so a reader sees either the old consistent
+    (dictionary, blocks) pair or the new one, never a mix)."""
+    default = {"dictionary": "dictionary_v1", "blocks": "blocks_v1"}[table]
+    return os.path.join(out_dir, meta.get(f"{table}_dir", default))
+
+
+def _write_meta_atomic(meta_path: str, meta: dict) -> None:
+    """Commit point for every build/merge: write-then-os.replace is
+    atomic on POSIX, the stand-in for an Iceberg snapshot commit (the
+    reference gets transactional commits from EdgeDB,
+    reiz/serialization/insert.py:30 `with conn.transaction()`)."""
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=2)
+    os.replace(tmp, meta_path)
 
 
 def prepare_docs(corpus: DataFrame, n_shards: int) -> DataFrame:
@@ -279,8 +303,21 @@ def merge_and_encode(
     batches should use merge_incremental, which reads only new runs).
     Deterministic given the runs tables — re-running after more batches
     produces the superset index, byte-identical to the incremental
-    chain (pytest-gated)."""
+    chain (pytest-gated).
+
+    Commit protocol: dictionary + blocks are written to fresh
+    dictionary_v{N}/blocks_v{N} dirs, then meta.json is flipped
+    atomically (os.replace) to point at both — a crash anywhere before
+    the flip leaves the previous committed index fully intact, and a
+    reader resolving through meta never observes a mixed pair."""
     p = _paths(out_dir)
+    prev_meta: dict = {}
+    if os.path.exists(p["meta"]):
+        with open(p["meta"]) as fh:
+            prev_meta = json.load(fh)
+    version = int(prev_meta.get("version", 0)) + 1
+    dict_dir = os.path.join(out_dir, f"dictionary_v{version}")
+    blocks_dir = os.path.join(out_dir, f"blocks_v{version}")
     t1 = time.perf_counter()
     all_runs = spark.read.schema(RUNS_ON_DISK).parquet(p["runs"])
     # Collection stats come from the LINEAGE table (n_batches x n_shards
@@ -319,9 +356,9 @@ def merge_and_encode(
         .repartition("term_bucket")  # whole buckets per task -> no file blowup
         .write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(p["dictionary"])
+        .parquet(dict_dir)
     )
-    dictionary = spark.read.schema(DICTIONARY_ON_DISK).parquet(p["dictionary"])
+    dictionary = spark.read.schema(DICTIONARY_ON_DISK).parquet(dict_dir)
     # term_id collision invariant (schema.py BLOCKS note): every term_id
     # must map to exactly one term — a collision would silently merge two
     # posting lists. The dictionary is grouped by term, so rows ==
@@ -349,10 +386,13 @@ def merge_and_encode(
         "term_id", "doc_id", "tf", "dl"
     )
     blocks = _encode_postings(spark, postings, hot, block_size)
-    blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(p["blocks"])
+    blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(blocks_dir)
     t_blocks = time.perf_counter()
 
     meta = {
+        "version": version,
+        "dictionary_dir": os.path.basename(dict_dir),
+        "blocks_dir": os.path.basename(blocks_dir),
         "build_id": build_id,
         "n_docs": n_docs,
         "total_dl": total_dl,
@@ -368,8 +408,8 @@ def merge_and_encode(
         "t_stats_dict_s": round(t_dict - t1, 2),
         "t_blocks_s": round(t_blocks - t_dict, 2),
     }
-    with open(p["meta"], "w") as fh:
-        json.dump(meta, fh, indent=2)
+    _write_meta_atomic(p["meta"], meta)  # the commit point
+    _gc_stale_versions(out_dir, keep=(version, version - 1))
     return meta
 
 
@@ -442,24 +482,61 @@ def _decode_blocks_to_postings(blocks_df: DataFrame) -> DataFrame:
     return blocks_df.mapInPandas(dec, "term_id long, doc_id long, tf long, dl long")
 
 
-def _swap_partitions(final_dir: str, staging_dir: str, buckets: list[int]) -> None:
-    """Replace the affected term_bucket partition dirs with the staged
-    ones. On a real deployment this is an Iceberg RewriteFiles /
-    dynamic-overwrite snapshot commit (atomic); on a posix test FS it is
-    a per-bucket directory swap — merge_incremental's postings-level
-    distinct() makes a crash-and-replay of the merge idempotent."""
+def _assemble_version(
+    cur_dir: str, staging_dir: str, new_dir: str, affected_buckets: list[int]
+) -> None:
+    """Materialize the next table version: affected term_bucket dirs
+    MOVE in from staging, untouched buckets HARDLINK file-by-file from
+    the current version (metadata-only — no data copy; parquet files
+    are immutable once written, so shared inodes are safe). Nothing
+    here mutates the current version; the new dir only becomes visible
+    when meta.json is flipped."""
     import shutil
 
-    for b in buckets:
-        part = f"term_bucket={b}"
-        src = os.path.join(staging_dir, part)
-        dst = os.path.join(final_dir, part)
-        if not os.path.exists(src):
-            continue
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        shutil.move(src, dst)
+    os.makedirs(new_dir, exist_ok=True)
+    affected = {f"term_bucket={b}" for b in affected_buckets}
+    staged = set()
+    if os.path.isdir(staging_dir):
+        for part in os.listdir(staging_dir):
+            if not part.startswith("term_bucket="):
+                continue
+            staged.add(part)
+            dst = os.path.join(new_dir, part)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.move(os.path.join(staging_dir, part), dst)
+    if os.path.isdir(cur_dir):
+        for part in os.listdir(cur_dir):
+            if not part.startswith("term_bucket=") or part in staged or part in affected:
+                continue
+            src = os.path.join(cur_dir, part)
+            dst = os.path.join(new_dir, part)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.makedirs(dst)
+            for fname in os.listdir(src):
+                os.link(os.path.join(src, fname), os.path.join(dst, fname))
     shutil.rmtree(staging_dir, ignore_errors=True)
+
+
+def _gc_stale_versions(out_dir: str, keep: tuple[int, ...]) -> None:
+    """Remove versioned dictionary/blocks dirs no longer referenced.
+    The PREVIOUS version is kept one merge cycle (snapshot retention, as
+    an Iceberg expire-snapshots policy would) so an IndexReader that
+    resolved its paths just before a flip keeps working; older versions
+    go."""
+    import re
+    import shutil
+
+    pat = re.compile(r"^(dictionary|blocks)_v(\d+)$")
+    try:
+        names = os.listdir(out_dir)
+    except OSError:
+        return
+    for name in names:
+        m = pat.match(name)
+        if m and int(m.group(2)) not in keep:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
 
 def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
@@ -478,13 +555,28 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
     idempotent under replay of a half-committed merge), re-salted with
     the UPDATED df (fragment membership is a pure function of doc_id, so
     the result is content-identical to a from-scratch rebuild — pytest-
-    gated), re-encoded, and swapped in per term_bucket. Collection stats
-    (n_docs, avgdl) come from the lineage table over ALL batches; block
-    metadata is avgdl-free (codec.block_bound), so older blocks stay
-    valid as avgdl drifts."""
+    gated), re-encoded, and committed as a NEW table version.
+
+    Commit protocol (crash-safe, replay-idempotent): staged results are
+    assembled into dictionary_v{N+1}/blocks_v{N+1} (affected buckets
+    moved in, untouched buckets hardlinked from v{N}), then ONE atomic
+    meta.json flip publishes both pointers + merged_batches together. A
+    crash anywhere before the flip leaves v{N} fully intact AND
+    merged_batches unchanged, so a replay re-reads the OLD dictionary —
+    df/cf deltas are never applied twice (the dictionary-level analog of
+    the postings distinct()). A concurrent reader resolves both dirs
+    from one meta snapshot and never sees a mixed pair; the previous
+    version is retained one merge cycle before GC.
+
+    Collection stats (n_docs, avgdl) come from the lineage table over
+    ALL batches; block metadata is avgdl-free (codec.block_bound), so
+    older blocks stay valid as avgdl drifts."""
     p = _paths(out_dir)
     with open(p["meta"]) as fh:
         meta = json.load(fh)
+    version = int(meta.get("version", 1))
+    cur_dict_dir = table_dir(out_dir, meta, "dictionary")
+    cur_blocks_dir = table_dir(out_dir, meta, "blocks")
     block_size = int(meta["block_size"])
     fragment_postings = int(meta.get("fragment_postings", FRAGMENT_POSTINGS))
     merged = set(meta.get("merged_batches", []))
@@ -518,7 +610,7 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
     affected_ids = new_stats.select("term_id").distinct()
 
     # --- dictionary: outer-merge within the affected buckets only ----------
-    old_dict = spark.read.schema(DICTIONARY_ON_DISK).parquet(p["dictionary"]).filter(
+    old_dict = spark.read.schema(DICTIONARY_ON_DISK).parquet(cur_dict_dir).filter(
         F.col("term_bucket").isin(affected_buckets)
     )
     upd_dict = (
@@ -553,7 +645,7 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
         raise RuntimeError(f"xxhash64 term_id collision on {collisions} ids")
 
     # --- blocks: re-encode ONLY the affected terms --------------------------
-    old_blocks = spark.read.schema(BLOCKS_ON_DISK).parquet(p["blocks"]).filter(
+    old_blocks = spark.read.schema(BLOCKS_ON_DISK).parquet(cur_blocks_dir).filter(
         F.col("term_bucket").isin(affected_buckets)
     )
     keep_blocks = old_blocks.join(affected_ids, "term_id", "left_anti")
@@ -582,9 +674,12 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
     )
     new_stats.unpersist()
 
-    # --- commit: swap affected partitions, then stats + meta ----------------
-    _swap_partitions(p["blocks"], blocks_staging, affected_buckets)
-    _swap_partitions(p["dictionary"], dict_staging, affected_buckets)
+    # --- commit: assemble next version, then ONE atomic meta flip -----------
+    new_version = version + 1
+    new_dict_dir = os.path.join(out_dir, f"dictionary_v{new_version}")
+    new_blocks_dir = os.path.join(out_dir, f"blocks_v{new_version}")
+    _assemble_version(cur_blocks_dir, blocks_staging, new_blocks_dir, affected_buckets)
+    _assemble_version(cur_dict_dir, dict_staging, new_dict_dir, affected_buckets)
     stats = lin.agg(
         F.sum(F.col("n_files") - F.col("n_parse_failed")).alias("n_docs"),
         F.sum("n_terms").alias("total_dl"),
@@ -592,6 +687,9 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
     n_docs, total_dl = int(stats["n_docs"] or 0), int(stats["total_dl"] or 0)
     meta.update(
         {
+            "version": new_version,
+            "dictionary_dir": os.path.basename(new_dict_dir),
+            "blocks_dir": os.path.basename(new_blocks_dir),
             "n_docs": n_docs,
             "total_dl": total_dl,
             "avgdl": total_dl / n_docs if n_docs else 0.0,
@@ -602,8 +700,8 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
             "last_merge_affected_buckets": affected_buckets,
         }
     )
-    with open(p["meta"], "w") as fh:
-        json.dump(meta, fh, indent=2)
+    _write_meta_atomic(p["meta"], meta)  # the commit point
+    _gc_stale_versions(out_dir, keep=(new_version, version))
     return meta
 
 
@@ -628,8 +726,7 @@ def build_index(
     )
     meta.update(s1)
     meta["n_shards"] = n_shards
-    with open(_paths(out_dir)["meta"], "w") as fh:
-        json.dump(meta, fh, indent=2)
+    _write_meta_atomic(_paths(out_dir)["meta"], meta)
     return meta
 
 

@@ -35,7 +35,27 @@ class IndexReader:
         self.paths = _paths(index_dir)
         with open(self.paths["meta"]) as fh:
             self.meta = json.load(fh)
+        # Resolve the versioned tables through the meta SNAPSHOT just
+        # read: one atomic pointer pair -> a reader never mixes a new
+        # dictionary with old blocks (or vice versa) across a
+        # concurrent merge commit.
+        from .build import table_dir
+
+        self.paths["dictionary"] = table_dir(index_dir, self.meta, "dictionary")
+        self.paths["blocks"] = table_dir(index_dir, self.meta, "blocks")
         self._cached: dict[str, DataFrame] = {}
+        # prepared-query metadata memo (the reference caches compiled
+        # IR per query, reiz/ir/builder.py:54-68): term stats and LIKE
+        # expansions are immutable for this reader's index snapshot, so
+        # repeated/concurrent queries skip the dictionary jobs entirely.
+        # Thread-safe: misses serialize behind one lock; hits are
+        # lock-free dict reads of immutable values.
+        import threading
+
+        self._tmeta_memo: dict[str, dict] = {}
+        self._tmeta_absent: set[str] = set()
+        self._like_memo: dict[tuple[str, str], list[str]] = {}
+        self._memo_lock = threading.Lock()
 
     @property
     def avgdl(self) -> float:
@@ -91,16 +111,31 @@ class IndexReader:
         """Expand a LIKE/ILIKE marker against the dictionary. The regex
         filter is a dictionary-only scan (tiny vs. the index) — the
         reference compiles the same thing to a LIKE over identifiers
-        (reiz/ir/backends/edgeql.py:105-108)."""
-        prefix = namespace + ":"
-        rows = (
-            self.dictionary()
-            .filter(F.col("term").startswith(prefix))
-            .filter(F.col("term").substr(F.lit(len(prefix) + 1), F.lit(1 << 20)).rlike(regex))
-            .select("term")
-            .collect()
-        )
-        return sorted(r["term"] for r in rows)
+        (reiz/ir/backends/edgeql.py:105-108). Memoized per reader (the
+        expansion is immutable for this index snapshot)."""
+        key = (namespace, regex)
+        hit = self._like_memo.get(key)
+        if hit is not None:
+            return hit
+        with self._memo_lock:
+            hit = self._like_memo.get(key)
+            if hit is not None:
+                return hit
+            prefix = namespace + ":"
+            rows = (
+                self.dictionary()
+                .filter(F.col("term").startswith(prefix))
+                .filter(
+                    F.col("term")
+                    .substr(F.lit(len(prefix) + 1), F.lit(1 << 20))
+                    .rlike(regex)
+                )
+                .select("term")
+                .collect()
+            )
+            out = sorted(r["term"] for r in rows)
+            self._like_memo[key] = out
+            return out
 
     def resolve_groups(self, query: LoweredQuery) -> list[tuple[str, ...]]:
         return expand_groups(query, self.dictionary_terms_for)
@@ -118,7 +153,30 @@ class IndexReader:
         — the exact numpy expression the oracle uses (bit-identity), and
         the index build never ships the dictionary through Python.
         max_score is the analytic tf→∞ bound idf·(1+k1).
+
+        Memoized per reader (stats are immutable for this index
+        snapshot): steady-state repeated/concurrent queries pay zero
+        dictionary jobs — the prepared-query shape.
         """
+        missing = [
+            t for t in terms
+            if t not in self._tmeta_memo and t not in self._tmeta_absent
+        ]
+        if missing:
+            with self._memo_lock:
+                missing = [
+                    t for t in terms
+                    if t not in self._tmeta_memo and t not in self._tmeta_absent
+                ]
+                if missing:
+                    got = self._term_meta_uncached(missing)
+                    self._tmeta_memo.update(got)
+                    self._tmeta_absent.update(
+                        t for t in missing if t not in got
+                    )
+        return {t: self._tmeta_memo[t] for t in terms if t in self._tmeta_memo}
+
+    def _term_meta_uncached(self, terms: list[str]) -> dict[str, dict]:
         import numpy as np
 
         buckets = self.term_buckets(terms)

@@ -8,6 +8,18 @@ from pyspark.sql import functions as F
 from reiz_io_spark.functions import codec
 
 
+def _vdir(out, table):
+    """Resolve the committed versioned dir of dictionary/blocks via meta."""
+    import json as _json
+    import os as _os
+
+    from reiz_io_spark.operators.build import table_dir
+
+    with open(_os.path.join(out, "meta.json")) as fh:
+        return table_dir(out, _json.load(fh), table)
+
+
+
 def test_sha256_invariant(spark, small_corpus, built_index):
     """Per-row content sha256 equality vs the source table (input_hint)."""
     out, _ = built_index
@@ -42,7 +54,7 @@ def test_postings_sum_tf_equals_doclen(spark, built_index):
 def test_dictionary_df_matches_countDistinct(spark, built_index):
     out, _ = built_index
     runs = spark.read.parquet(out + "/runs")
-    d = spark.read.parquet(out + "/dictionary")
+    d = spark.read.parquet(_vdir(out, "dictionary"))
     truth = runs.groupBy("term").agg(F.countDistinct("doc_id").alias("df2"))
     j = d.join(truth, "term")
     assert j.count() == d.count()
@@ -55,7 +67,7 @@ def test_blocks_roundtrip_to_postings(spark, built_index):
 
     out, _ = built_index
     runs = spark.read.parquet(out + "/runs")
-    blocks = spark.read.parquet(out + "/blocks")
+    blocks = spark.read.parquet(_vdir(out, "blocks"))
     expected = {
         (spark_xxhash64(r["term"]), r["doc_id"]): (r["tf"], r["dl"])
         for r in runs.collect()
@@ -72,7 +84,7 @@ def test_blocks_roundtrip_to_postings(spark, built_index):
 
 def test_block_sizes_and_metadata(spark, built_index):
     out, meta = built_index
-    blocks = spark.read.parquet(out + "/blocks")
+    blocks = spark.read.parquet(_vdir(out, "blocks"))
     bad = blocks.filter(
         (F.col("n_docs") <= 0)
         | (F.col("n_docs") > meta["block_size"])
@@ -85,11 +97,11 @@ def test_salting_fans_out_hot_terms(spark, built_index):
     """Hot terms (df > fragment target 64) must appear in >1 fragment:
     verified via multiple blocks with overlapping doc ranges."""
     out, _ = built_index
-    d = spark.read.parquet(out + "/dictionary")
+    d = spark.read.parquet(_vdir(out, "dictionary"))
     hot = [r["term_id"] for r in d.filter(F.col("df") > 130).limit(3).collect()]
     if not hot:  # corpus too small to exercise — keep the test honest
         return
-    blocks = spark.read.parquet(out + "/blocks")
+    blocks = spark.read.parquet(_vdir(out, "blocks"))
     for tid in hot:
         n_blocks = blocks.filter(F.col("term_id") == tid).count()
         assert n_blocks >= 2

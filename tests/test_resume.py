@@ -13,10 +13,22 @@ from reiz_io_spark.functions import codec
 from reiz_io_spark.operators.build import build_index
 
 
+def _vdir(out, table):
+    """Resolve the committed versioned dir of dictionary/blocks via meta."""
+    import json as _json
+    import os as _os
+
+    from reiz_io_spark.operators.build import table_dir
+
+    with open(_os.path.join(out, "meta.json")) as fh:
+        return table_dir(out, _json.load(fh), table)
+
+
+
 def _decoded_index(spark, out):
     """Semantic content of a built index, independent of file layout."""
     postings = {}
-    for row in spark.read.parquet(out + "/blocks").collect():
+    for row in spark.read.parquet(_vdir(out, "blocks")).collect():
         d, t, l = codec.decode_block(row)
         for i in range(len(d)):
             postings[(row["term_id"], int(d[i]))] = (int(t[i]), int(l[i]))
@@ -26,7 +38,7 @@ def _decoded_index(spark, out):
     }
     dictionary = {
         r["term"]: (r["df"], r["cf"])
-        for r in spark.read.parquet(out + "/dictionary").collect()
+        for r in spark.read.parquet(_vdir(out, "dictionary")).collect()
     }
     return postings, docs, dictionary
 
