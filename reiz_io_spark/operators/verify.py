@@ -51,7 +51,8 @@ MAX_TRANCHES = 8  # 4^8 * k — far beyond any real false-positive rate
 CANDIDATE_BUDGET = 2_000_000
 
 _POSITIONS_SCHEMA = (
-    "doc_id long, lineno int, col_offset int, end_lineno int, segment string"
+    "doc_id long, lineno int, col_offset int, end_lineno int,"
+    " end_col_offset int, segment string"
 )
 
 
@@ -65,7 +66,7 @@ def _match_positions(query_source: str):
         from ..plans.matcher import match_spans
 
         for pdf in batches:
-            docs, lns, cols, ends, segs = [], [], [], [], []
+            docs, lns, cols, ends, ecols, segs = [], [], [], [], [], []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 if content is None:
                     continue
@@ -73,15 +74,16 @@ def _match_positions(query_source: str):
                     spans = match_spans(content, query_source)
                 except SyntaxError:
                     continue
-                for lineno, col, end_ln, _end_col, segment in spans:
+                for lineno, col, end_ln, end_col, segment in spans:
                     docs.append(int(doc_id))
                     lns.append(int(lineno))
                     cols.append(int(col))
                     ends.append(int(end_ln))
+                    ecols.append(int(end_col))
                     segs.append(segment)
             yield pd.DataFrame(
                 {"doc_id": docs, "lineno": lns, "col_offset": cols,
-                 "end_lineno": ends, "segment": segs}
+                 "end_lineno": ends, "end_col_offset": ecols, "segment": segs}
             )
 
     return fn
@@ -150,7 +152,8 @@ def structural_topk(
         by_doc: dict[int, list] = {}
         for h in hits:
             by_doc.setdefault(h["doc_id"], []).append(
-                (h["lineno"], h["col_offset"], h["end_lineno"], h["segment"])
+                (h["lineno"], h["col_offset"], h["end_lineno"],
+                 h["end_col_offset"], h["segment"])
             )
         for did in ids:  # preserve rank order within the tranche
             if did in by_doc:
@@ -191,21 +194,33 @@ def structural_topk(
             cand.unpersist()
     page = order[offset : offset + k]
     out_rows = [
-        (did, int(ln), int(col), int(end_ln), seg, float(scores[did]))
+        (did, int(ln), int(col), int(end_ln), int(end_col), seg,
+         float(scores[did]))
         for did in page
-        for ln, col, end_ln, seg in sorted(verified[did])
+        for ln, col, end_ln, end_col, seg in sorted(verified[did])
     ]
     hits_df = spark.createDataFrame(
         out_rows,
         "doc_id long, lineno int, col_offset int, end_lineno int,"
-        " segment string, score double",
+        " end_col_offset int, segment string, score double",
     )
-    meta = reader.docs().select("doc_id", "repo", "path")
+    from ..functions.links import github_link_col, username_col
+
+    meta = reader.docs().select("doc_id", "repo", "path", "commit")
     return (
         F.broadcast(hits_df)
         .join(meta, "doc_id")
-        .select("doc_id", "repo", "path", "lineno", "col_offset",
-                "end_lineno", "segment", "score")
+        .select(
+            "doc_id", "repo", "path", "lineno", "col_offset",
+            "end_lineno", "end_col_offset", "segment", "score",
+            # reference result projection parity: inferred GitHub URL
+            # with #L<start>-L<end> anchor + repo owner
+            # (reiz/fetch.py:44-57,84-107)
+            github_link_col(lineno="lineno", end_lineno="end_lineno").alias(
+                "github_link"
+            ),
+            username_col().alias("username"),
+        )
         .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("lineno"),
                  F.asc("col_offset"))
     )

@@ -274,17 +274,24 @@ def _ref_key(value):
     return ("val", repr(value))
 
 
+class _Span(ast.AST):
+    """Bare position carrier for ast.get_source_segment (the reference
+    builds the same shim, reiz/fetch.py:40-41 LocationNode)."""
+
+    _attributes = ("lineno", "col_offset", "end_lineno", "end_col_offset")
+
+
 def match_spans(source: str, query_source: str) -> list[tuple]:
     """Every structural match as (lineno, col_offset, end_lineno,
     end_col_offset, segment) — the reference's result projection
-    (reiz/fetch.py:14-29 selects exactly these positions and slices the
-    stored source into the reported segment). lineno carries the
-    decorated-def widening (transformers.py:161-170: a matched def/class
-    with decorators reports the first decorator's line), and the segment
-    spans from the (widened) first line through end_lineno."""
+    (reiz/fetch.py:14-29 selects exactly these positions;
+    fetch.py:63-67 slices the stored source with
+    ast.get_source_segment(..., padded=True)). Decorated defs carry the
+    reference's position widening (transformers.py:161-165): lineno =
+    the first decorator's line and col_offset = the column of its '@',
+    so the reported segment includes the decorators."""
     tree = ast.parse(source)
     matcher = Matcher(query_source)
-    lines = source.splitlines()
     hits: list[tuple] = []
     seen: set[tuple] = set()
     stack: list[tuple[ast.AST, tuple]] = [(tree, ())]
@@ -292,16 +299,23 @@ def match_spans(source: str, query_source: str) -> list[tuple]:
         node, ancestors = stack.pop()
         if hasattr(node, "lineno") and matcher.match(node, ancestors):
             lineno = node.lineno
+            col = node.col_offset
             deco = getattr(node, "decorator_list", None)
             if deco:
-                lineno = min(d.lineno for d in deco)
+                lineno = deco[0].lineno
+                col = max(deco[0].col_offset - 1, 0)  # the '@'
             end_lineno = getattr(node, "end_lineno", node.lineno) or node.lineno
-            key = (lineno, node.col_offset, end_lineno,
+            key = (lineno, col, end_lineno,
                    getattr(node, "end_col_offset", 0) or 0)
             if key in seen:
                 continue
             seen.add(key)
-            segment = "\n".join(lines[lineno - 1 : end_lineno])
+            segment = ast.get_source_segment(
+                source,
+                _Span(lineno=key[0], col_offset=key[1],
+                      end_lineno=key[2], end_col_offset=key[3]),
+                padded=True,
+            )
             hits.append((*key, segment))
         name = type(node).__name__
         for fld, value in ast.iter_fields(node):

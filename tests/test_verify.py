@@ -109,9 +109,12 @@ def test_hot_query_escalation_route_identical(spark, reader):
 
 
 def test_positions_carry_spans_and_segments(spark, reader, corpus_sources):
-    """fetch.py:14-29 projection parity: every returned row carries the
-    node's col_offset / end_lineno and the sliced source segment, and
-    the segment really is those lines of the file."""
+    """fetch.py:14-29,63-67 projection parity: every returned row
+    carries the node's col_offset / end_lineno, and the segment is the
+    exact ast.get_source_segment(..., padded=True) slice the reference
+    serves (column-accurate, not whole lines)."""
+    import ast as _ast
+
     query = lowered_reference_queries()["simple/classmethod"]
     rows = structural_topk(reader, query, k=K_ALL).collect()
     assert rows
@@ -120,9 +123,22 @@ def test_positions_carry_spans_and_segments(spark, reader, corpus_sources):
         lines = src.splitlines()
         assert 1 <= r["lineno"] <= r["end_lineno"] <= len(lines)
         assert r["col_offset"] >= 0
-        assert r["segment"] == "\n".join(lines[r["lineno"] - 1 : r["end_lineno"]])
-        # the match is a decorated def: its segment contains the def
+        from reiz_io_spark.plans.matcher import _Span
+
+        want = _ast.get_source_segment(
+            src,
+            _Span(lineno=r["lineno"], col_offset=r["col_offset"],
+                  end_lineno=r["end_lineno"],
+                  end_col_offset=r["end_col_offset"]),
+            padded=True,
+        )
+        assert r["segment"] == want
+        # the match is a decorated def: the widened span starts at the
+        # decorator's '@' and still contains the def itself
         assert "def " in r["segment"] or "class " in r["segment"]
+        assert r["github_link"].startswith("https://github.com/")
+        assert f"#L{r['lineno']}-L{r['end_lineno']}" in r["github_link"]
+        assert r["username"] == r["repo"].split("/")[0]
 
 
 def test_unsatisfiable_query_empty_everywhere(spark, reader):
