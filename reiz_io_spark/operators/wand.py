@@ -431,6 +431,14 @@ def wand_scores(
     k=None every conjunction-satisfying doc is returned with its exact
     score — the input of the structural post-verification stage."""
     spark = reader.spark
+    # each calling thread gets its own FAIR scheduler pool (pool names
+    # are created on demand): concurrent clients' jobs share executor
+    # slots fairly instead of queueing FIFO behind one client's stages
+    import threading as _threading
+
+    spark.sparkContext.setLocalProperty(
+        "spark.scheduler.pool", f"query-{_threading.get_ident()}"
+    )
     groups = reader.resolve_groups(query)
     if not groups or any(len(g) == 0 for g in groups):
         return _empty_results(spark)

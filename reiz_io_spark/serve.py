@@ -26,6 +26,9 @@ latency tier, exactly like the reference's Redis."""
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -38,12 +41,40 @@ from .operators.score import IndexReader
 from .operators import wand as wand_mod
 
 
+class _LRU(OrderedDict):
+    """Tiny bounded LRU mapping: set bumps recency and evicts oldest
+    beyond maxsize. `in`/get do NOT bump (reads stay lock-free for
+    concurrent handlers); staleness only affects eviction order."""
+
+    def __init__(self, maxsize: int):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self.move_to_end(key)
+        while len(self) > self.maxsize:
+            self.popitem(last=False)
+
+
 class QueryService:
+    """Thread-safety contract: a single QueryService may be called from
+    many threads (ThreadingHTTPServer handlers). The warm path is
+    lock-free — cache reads hit immutable values in dicts that are only
+    ever inserted into. Cache MISSES serialize behind one miss lock
+    (double-checked), so concurrent cold queries never issue duplicate
+    Spark collects for the same keys; warm traffic never blocks on a
+    cold fill. Postings/content caches are bounded LRUs — a long-lived
+    server's memory stays proportional to its hot set, not its history.
+    """
+
     def __init__(
         self,
         reader: IndexReader,
         max_driver_postings: int = 5_000_000,
         max_driver_docmeta: int = 5_000_000,
+        max_cached_terms: int = 65_536,
+        max_cached_contents: int = 16_384,
     ):
         self.reader = reader
         self.max_driver_postings = max_driver_postings
@@ -52,15 +83,18 @@ class QueryService:
         self.b = float(self.meta["b"])
         self.avgdl = float(self.meta["avgdl"])
         self.n_docs = int(self.meta["n_docs"])
-        self._postings: dict[str, tuple] = {}  # term -> (d, tf, dl) sorted
+        self._postings: _LRU = _LRU(max_cached_terms)  # term -> (d, tf, dl)
         self._tmeta: dict[str, dict] = {}
         self._absent: set[str] = set()
         self._like_cache: dict[tuple, list[str]] = {}
         self._docmeta: dict[int, tuple] | None = None
         if 0 < self.n_docs <= max_driver_docmeta:
-            rows = reader.docs().select("doc_id", "repo", "path").collect()
-            self._docmeta = {r["doc_id"]: (r["repo"], r["path"]) for r in rows}
-        self._content: dict[int, str | None] = {}
+            rows = reader.docs().select("doc_id", "repo", "path", "commit").collect()
+            self._docmeta = {
+                r["doc_id"]: (r["repo"], r["path"], r["commit"]) for r in rows
+            }
+        self._content: _LRU = _LRU(max_cached_contents)
+        self._miss_lock = threading.Lock()
 
     # -- term resolution (cached) ---------------------------------------------
 
@@ -68,9 +102,11 @@ class QueryService:
         def expand(namespace: str, regex: str) -> list[str]:
             key = (namespace, regex)
             if key not in self._like_cache:
-                self._like_cache[key] = self.reader.dictionary_terms_for(
-                    namespace, regex
-                )
+                with self._miss_lock:
+                    if key not in self._like_cache:  # double-checked
+                        self._like_cache[key] = self.reader.dictionary_terms_for(
+                            namespace, regex
+                        )
             return self._like_cache[key]
 
         from .plans.lower import expand_groups
@@ -80,15 +116,29 @@ class QueryService:
     def term_meta(self, terms: list[str]) -> dict[str, dict]:
         missing = [t for t in terms if t not in self._tmeta and t not in self._absent]
         if missing:
-            got = self.reader.term_meta(missing)
-            self._tmeta.update(got)
-            self._absent.update(t for t in missing if t not in got)
+            with self._miss_lock:
+                missing = [
+                    t for t in terms
+                    if t not in self._tmeta and t not in self._absent
+                ]
+                if missing:
+                    got = self.reader.term_meta(missing)
+                    self._tmeta.update(got)
+                    self._absent.update(t for t in missing if t not in got)
         return {t: self._tmeta[t] for t in terms if t in self._tmeta}
 
     # -- postings cache ---------------------------------------------------------
 
     def _fetch_postings(self, terms: list[str]) -> None:
-        """One pruned blocks read for all missing terms."""
+        """One pruned blocks read for all missing terms. Misses are
+        serialized behind the miss lock (double-checked) so concurrent
+        cold queries on the same terms collect once."""
+        if all(t in self._postings for t in terms):
+            return
+        with self._miss_lock:
+            self._fetch_postings_locked(terms)
+
+    def _fetch_postings_locked(self, terms: list[str]) -> None:
         missing = [t for t in terms if t not in self._postings]
         if not missing:
             return
@@ -126,6 +176,12 @@ class QueryService:
     def _score_driver(
         self, groups: list[tuple[str, ...]], tmeta: dict, k: int
     ) -> list[tuple[int, float]]:
+        # LRU guard: between the fetch and here another thread's fill
+        # could (in principle) have evicted one of this query's terms —
+        # refetch rather than silently score without it
+        evicted = [t for t in tmeta if t not in self._postings]
+        if evicted:
+            self._fetch_postings(evicted)
         candidates: np.ndarray | None = None
         for g in sorted(groups, key=lambda g: min(
             (tmeta[t]["df"] for t in g if t in tmeta), default=0
@@ -181,12 +237,18 @@ class QueryService:
         else:
             self._fetch_postings(list(tmeta))
             ranked = self._score_driver(groups, tmeta, k + offset)[offset:]
+        from .functions.links import github_link, username_of
+
         out = []
         for rank, (doc_id, score) in enumerate(ranked, start=offset + 1):
-            repo, path = self._doc_meta(doc_id)
+            repo, path, commit = self._doc_meta(doc_id)
             out.append(
                 {"doc_id": doc_id, "repo": repo, "path": path,
-                 "score": score, "rank": rank}
+                 "score": score, "rank": rank,
+                 # reference renders both in every result row
+                 # (reiz/fetch.py:95-107)
+                 "github_link": github_link(repo, commit, path),
+                 "username": username_of(repo)}
             )
         return out
 
@@ -215,7 +277,8 @@ class QueryService:
             out: list[dict] = []
             for r in rows:
                 m = {"lineno": r["lineno"], "col_offset": r["col_offset"],
-                     "end_lineno": r["end_lineno"], "segment": r["segment"]}
+                     "end_lineno": r["end_lineno"], "segment": r["segment"],
+                     "github_link": r["github_link"]}
                 if out and out[-1]["doc_id"] == r["doc_id"]:
                     out[-1]["matches"].append(m)
                     if r["lineno"] not in out[-1]["linenos"]:
@@ -224,6 +287,8 @@ class QueryService:
                 out.append(
                     {"doc_id": r["doc_id"], "repo": r["repo"], "path": r["path"],
                      "score": r["score"], "rank": offset + len(out) + 1,
+                     "username": r["username"],
+                     "github_link": r["github_link"],
                      "linenos": [r["lineno"]], "matches": [m]}
                 )
             return out
@@ -236,9 +301,9 @@ class QueryService:
             ranked = self._score_driver(groups, tmeta, seen + tranche)[seen:]
             if not ranked:
                 break
-            self._fetch_content([d for d, _ in ranked])
+            fetched = self._fetch_content([d for d, _ in ranked])
             for doc_id, score in ranked:
-                content = self._content.get(doc_id)
+                content = fetched.get(doc_id)
                 if content is None:
                     continue
                 try:
@@ -251,18 +316,25 @@ class QueryService:
             if len(verified) >= want or len(ranked) < tranche:
                 break
             tranche *= 4
+        from .functions.links import github_link, username_of
+
         out = []
         for rank, (doc_id, score, spans) in enumerate(
             verified[offset : offset + k], start=offset + 1
         ):
-            repo, path = self._doc_meta(doc_id)
+            repo, path, commit = self._doc_meta(doc_id)
+            first = min(s[0] for s in spans)
+            first_end = max(s[2] for s in spans if s[0] == first)
             out.append(
                 {"doc_id": doc_id, "repo": repo, "path": path, "score": score,
                  "rank": rank,
+                 "username": username_of(repo),
+                 "github_link": github_link(repo, commit, path, first, first_end),
                  "linenos": sorted({s[0] for s in spans}),
                  "matches": [
                      {"lineno": ln, "col_offset": col, "end_lineno": end_ln,
-                      "segment": seg}
+                      "segment": seg,
+                      "github_link": github_link(repo, commit, path, ln, end_ln)}
                      for ln, col, end_ln, _ec, seg in spans
                  ]}
             )
@@ -320,30 +392,42 @@ class QueryService:
 
     # -- metadata / content lookups ----------------------------------------------
 
-    def _doc_meta(self, doc_id: int) -> tuple[str, str]:
+    def _doc_meta(self, doc_id: int) -> tuple[str, str, str | None]:
         if self._docmeta is not None and doc_id in self._docmeta:
             return self._docmeta[doc_id]
-        rows = (
-            self.reader.docs()
-            .filter(F.col("doc_id") == doc_id)
-            .select("repo", "path")
-            .collect()
-        )
-        meta = (rows[0]["repo"], rows[0]["path"]) if rows else ("?", "?")
-        if self._docmeta is not None:
-            self._docmeta[doc_id] = meta
-        return meta
+        with self._miss_lock:
+            if self._docmeta is not None and doc_id in self._docmeta:
+                return self._docmeta[doc_id]
+            rows = (
+                self.reader.docs()
+                .filter(F.col("doc_id") == doc_id)
+                .select("repo", "path", "commit")
+                .collect()
+            )
+            meta = (
+                (rows[0]["repo"], rows[0]["path"], rows[0]["commit"])
+                if rows
+                else ("?", "?", None)
+            )
+            if self._docmeta is not None:
+                self._docmeta[doc_id] = meta
+            return meta
 
-    def _fetch_content(self, doc_ids: list[int]) -> None:
-        missing = [d for d in doc_ids if d not in self._content]
-        if not missing:
-            return
-        rows = (
-            self.reader.content()
-            .filter(F.col("doc_id").isin(missing))
-            .select("doc_id", "content")
-            .collect()
-        )
-        got = {r["doc_id"]: r["content"] for r in rows}
-        for d in missing:
-            self._content[d] = got.get(d)
+    def _fetch_content(self, doc_ids: list[int]) -> dict[int, str | None]:
+        """Returns {doc_id: content-or-None} for the requested ids (a
+        plain dict snapshot, immune to concurrent LRU eviction); fills
+        the bounded cache as a side effect."""
+        if not all(d in self._content for d in doc_ids):
+            with self._miss_lock:
+                missing = [d for d in doc_ids if d not in self._content]
+                if missing:
+                    rows = (
+                        self.reader.content()
+                        .filter(F.col("doc_id").isin(missing))
+                        .select("doc_id", "content")
+                        .collect()
+                    )
+                    got = {r["doc_id"]: r["content"] for r in rows}
+                    for d in missing:
+                        self._content[d] = got.get(d)
+        return {d: self._content.get(d) for d in doc_ids}

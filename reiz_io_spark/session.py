@@ -34,6 +34,11 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # FAIR job scheduling: concurrent queries (a serving tier's
+        # ThreadingHTTPServer handlers, multi-client benchmarks) share
+        # executor slots instead of queueing FIFO behind each other's
+        # stages; wand_scores puts each client thread in its own pool.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

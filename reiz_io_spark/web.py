@@ -8,8 +8,13 @@ index stats + the chosen execution route), GET /stats returns corpus
 statistics. Response envelope mirrors the reference
 (status/results/exception, api.py:130-142); an in-process result cache
 keyed by the request body plays the Redis role (api.py:50-63), and a
-simple per-client sliding-window rate limit plays sanic-limiter's
+per-client sliding-window rate limit matches sanic-limiter's two tiers
 (api.py:72 "240 per hour;10/minute").
+
+Long-lived-process hygiene: the result cache is a bounded LRU, the
+rate-limit ledger evicts idle clients, and QueryService itself is
+safe for ThreadingHTTPServer's concurrent handlers (its cache fills
+are serialized behind a miss lock; see serve.py).
 
 stdlib http.server only (no web framework in the container); the
 serving work happens in QueryService — this file is routing."""
@@ -19,18 +24,29 @@ from __future__ import annotations
 import json
 import threading
 import time
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .plans.lower import lower_query
 from .serve import QueryService
 
-RATE_LIMIT_PER_MINUTE = 60
+# reference parity: reiz/web/api.py:72 "240 per hour;10/minute"
+RATE_LIMIT_PER_MINUTE = 10
+RATE_LIMIT_PER_HOUR = 240
+RESULT_CACHE_MAX = 1024
+RATE_CLIENTS_MAX = 10_000
 
 
-def make_handler(service: QueryService):
-    cache: dict[str, list] = {}
+def make_handler(
+    service: QueryService,
+    per_minute: int = RATE_LIMIT_PER_MINUTE,
+    per_hour: int = RATE_LIMIT_PER_HOUR,
+    cache_max: int = RESULT_CACHE_MAX,
+):
+    cache: OrderedDict[str, list] = OrderedDict()
     cache_lock = threading.Lock()
-    hits: dict[str, list[float]] = {}
+    hits: OrderedDict[str, list[float]] = OrderedDict()
+    hits_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet test output
@@ -49,12 +65,22 @@ def make_handler(service: QueryService):
                               "exception": message})
 
         def _rate_limited(self) -> bool:
+            """Two sliding windows per client, reference parity
+            ("240 per hour;10/minute"). The ledger keeps only the last
+            hour per client and evicts the least-recently-seen clients
+            beyond RATE_CLIENTS_MAX — bounded memory for a long-lived
+            server."""
             now = time.monotonic()
             key = self.client_address[0]
-            window = [t for t in hits.get(key, []) if now - t < 60.0]
-            window.append(now)
-            hits[key] = window
-            return len(window) > RATE_LIMIT_PER_MINUTE
+            with hits_lock:
+                window = [t for t in hits.get(key, []) if now - t < 3600.0]
+                window.append(now)
+                hits[key] = window
+                hits.move_to_end(key)
+                while len(hits) > RATE_CLIENTS_MAX:
+                    hits.popitem(last=False)
+                n_minute = sum(1 for t in window if now - t < 60.0)
+                return n_minute > per_minute or len(window) > per_hour
 
         def _read_json(self) -> dict | None:
             n = int(self.headers.get("Content-Length", 0))
@@ -119,6 +145,7 @@ def make_handler(service: QueryService):
             key = json.dumps(body, sort_keys=True)
             with cache_lock:
                 if key in cache:
+                    cache.move_to_end(key)
                     return self._send(200, {"status": "success",
                                             "results": cache[key],
                                             "exception": None, "cached": True})
@@ -131,22 +158,27 @@ def make_handler(service: QueryService):
                 return self._error(repr(exc), 500)
             with cache_lock:
                 cache[key] = results
+                cache.move_to_end(key)
+                while len(cache) > cache_max:  # bounded LRU (the Redis role)
+                    cache.popitem(last=False)
             self._send(200, {"status": "success", "results": results,
                              "exception": None, "cached": False})
 
     return Handler
 
 
-def serve(service: QueryService, host: str = "127.0.0.1", port: int = 8099):
+def serve(service: QueryService, host: str = "127.0.0.1", port: int = 8099,
+          **limits):
     """Blocking server (CLI use). Returns the server for .shutdown()."""
-    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd = ThreadingHTTPServer((host, port), make_handler(service, **limits))
     httpd.serve_forever()
     return httpd
 
 
-def start_background(service: QueryService, host: str = "127.0.0.1", port: int = 0):
+def start_background(service: QueryService, host: str = "127.0.0.1", port: int = 0,
+                     **limits):
     """Start on a daemon thread; returns (server, actual_port)."""
-    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd = ThreadingHTTPServer((host, port), make_handler(service, **limits))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     return httpd, httpd.server_address[1]

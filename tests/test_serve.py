@@ -78,7 +78,9 @@ def test_service_offset_paging(service):
 def server(service):
     from reiz_io_spark.web import start_background
 
-    httpd, port = start_background(service)
+    # generous limits: these tests exercise routing/caching, not the
+    # rate limiter (which has its own tiny-limit server below)
+    httpd, port = start_background(service, per_minute=10_000, per_hour=100_000)
     yield f"http://127.0.0.1:{port}"
     httpd.shutdown()
 
@@ -180,3 +182,59 @@ def test_http_batch_endpoint(server, service):
         assert [r["doc_id"] for r in got["results"][name]] == [
             r["doc_id"] for r in want
         ], name
+
+
+def test_rate_limit_minute_and_hour_tiers(service):
+    """Reference parity: "240 per hour;10/minute" (reiz/web/api.py:72) —
+    both windows enforce 429 independently, and results carry the
+    github_link/username projection (fetch.py:95-107)."""
+    from reiz_io_spark.web import start_background
+
+    httpd, port = start_background(service, per_minute=3, per_hour=100_000)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        codes = []
+        for _ in range(5):
+            r = _post(base, "/query", {"query": "Call(Name('len'))", "limit": 2})
+            codes.append(r.get("status"))
+        assert codes[:3] == ["success"] * 3
+        assert "error" in codes[3:]  # minute tier kicked in
+    finally:
+        httpd.shutdown()
+
+    httpd, port = start_background(service, per_minute=10_000, per_hour=2)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        r1 = _post(base, "/query", {"query": "Call(Name('len'))", "limit": 2})
+        r2 = _post(base, "/query", {"query": "Call(Name('sum'))", "limit": 2})
+        r3 = _post(base, "/query", {"query": "Call(Name('max'))", "limit": 2})
+        assert r1["status"] == "success" and r2["status"] == "success"
+        assert r3["status"] == "error" and "rate limit" in r3["exception"]
+        for res in r1["results"]:
+            assert res["github_link"].startswith("https://github.com/")
+            assert res["username"] == res["repo"].split("/")[0]
+    finally:
+        httpd.shutdown()
+
+
+def test_result_cache_is_bounded_lru(service):
+    """A long-lived server must not grow without bound: with cache_max=2
+    the third distinct query evicts the first (it re-executes: cached
+    False on re-request)."""
+    from reiz_io_spark.web import start_background
+
+    httpd, port = start_background(
+        service, per_minute=10_000, per_hour=100_000, cache_max=2
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        q1 = {"query": "Call(Name('len'))", "limit": 2}
+        q2 = {"query": "Call(Name('sum'))", "limit": 2}
+        q3 = {"query": "Call(Name('max'))", "limit": 2}
+        assert _post(base, "/query", q1)["cached"] is False
+        assert _post(base, "/query", q1)["cached"] is True  # hit
+        _post(base, "/query", q2)
+        _post(base, "/query", q3)  # evicts q1 (LRU, max 2)
+        assert _post(base, "/query", q1)["cached"] is False
+    finally:
+        httpd.shutdown()
