@@ -129,11 +129,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk(
         _emb(s, d), ANN_QUERY_IDS, k=10
     )
-    q["ann_lsh_topk"] = lambda s, d: similarity.lsh_bucketed_topk(
+    # LSH / IVF ANN — the ORACLE-CHECKABLE variants: same algorithms
+    # (sign-bit bucketing + multi-probe; coarse lists + n_probe scan +
+    # exact cosine re-rank) with LCG-formula projections so the whole
+    # pipeline has an exact DuckDB twin (operators/ann_checkable.py).
+    # The production variants (seeded Gaussian planes, k-means
+    # centroids) stay in operators/similarity.py with pytest recall
+    # gates (test_pipeline_ops).
+    from reiz_io_spark.operators import ann_checkable
+
+    q["ann_lsh_topk"] = lambda s, d: ann_checkable.lsh_topk_checkable(
         _emb(s, d), ANN_QUERY_IDS, k=10
     )
-    q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
-        _emb(s, d), ANN_QUERY_IDS, k=10, n_lists=16, n_probe=4
+    q["ann_ivf_topk"] = lambda s, d: ann_checkable.ivf_topk_checkable(
+        _emb(s, d), ANN_QUERY_IDS, k=10
     )
     # exact embedding-cosine near-dup pairs (threshold tuned to the
     # random test embeddings so the check is non-trivial; the LSH scale
@@ -158,8 +167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("doc_id", "frame_no", "frame_offset", "frame_len")
     q["mm_media_decode_stub"] = lambda s, d: multimodal.extract_media_features(
         multimodal.to_media_table(_docs(s, d))
-    ).select("doc_id", "n_bytes", "fake_width", "fake_height",
-             F.round("fake_mean_luma", 6).alias("fake_mean_luma"))
+    ).select("doc_id", "n_bytes", "width", "height",
+             F.round("mean_luma", 6).alias("mean_luma"))
 
     # --- the code-search engine itself (flagship, rows-only: the full
     # inverted-index build + block-max WAND cannot be expressed in one
@@ -505,9 +514,17 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2
 """
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk /
-    # mm_media_decode_stub / code_search_wand / code_search_positions:
-    # non-SQL-expressible (seeded hash mixing, k-means training, stubbed
-    # decode, full index build + WAND, structural AST matching) ->
-    # rows-only checks; each has a pytest gate (recall/parity/golden-tp).
+    from reiz_io_spark.operators import ann_checkable
+
+    o["ann_lsh_topk"] = ann_checkable.lsh_topk_checkable_sql(
+        ANN_QUERY_IDS, k=10
+    )
+    o["ann_ivf_topk"] = ann_checkable.ivf_topk_checkable_sql(
+        ANN_QUERY_IDS, k=10
+    )
+    # dedup_minhash_lsh / dedup_simhash / mm_media_decode_stub /
+    # code_search_wand / code_search_positions: non-SQL-expressible
+    # (seeded hash mixing, stubbed decode, full index build + WAND,
+    # structural AST matching) -> rows-only checks; each has a pytest
+    # gate (recall / bit-parity / golden-tp-line exactness).
     return o

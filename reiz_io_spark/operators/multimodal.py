@@ -5,17 +5,28 @@ column (or an object-store URI); decode / feature-extract / resize /
 frame-sample run as Arrow-batched `mapInPandas` stages so each task
 streams record batches without materializing the partition.
 
-The actual media codecs are NOT in this container, so the decode step
-is a deterministic STUB (clearly marked): it derives fake but stable
-"features" from the bytes themselves. Everything Spark-side — schema,
-batch iteration, partitioning, UDF signatures — is real and tested;
-swapping `_stub_decode` for PIL/ffmpeg is a one-function change.
+Decode is probed at import: when PIL is importable the image path is a
+REAL decode (PIL.Image.open -> true width/height/mean luma); otherwise
+a deterministic STUB (clearly marked) derives fake but stable
+"features" from the bytes themselves, so the Spark-side plumbing —
+schema, batch iteration, partitioning, UDF signatures — is exercised
+identically in both environments (this container ships no media libs).
+Both paths are unit-tested (tests/test_pipeline_ops.py: stub
+determinism always; the PIL path when PIL exists).
 """
 
 from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+
+try:  # optional dependency probe — executors take the same path
+    from PIL import Image as _PILImage  # noqa: N811
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -44,9 +55,9 @@ FEATURES_SCHEMA = StructType(
         StructField("media_type", StringType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("payload_sha256", StringType(), False),
-        StructField("fake_width", IntegerType(), False),
-        StructField("fake_height", IntegerType(), False),
-        StructField("fake_mean_luma", DoubleType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_luma", DoubleType(), False),
     ]
 )
 
@@ -62,9 +73,8 @@ def to_media_table(documents: DataFrame) -> DataFrame:
 
 
 def _stub_decode(payload: bytes) -> tuple[int, int, float]:
-    """STUB — deterministic fake decode. A real deployment replaces this
-    with e.g. PIL.Image.open(io.BytesIO(payload)); the container has no
-    media libraries (by design of this environment).
+    """STUB — deterministic fake decode, used when PIL is absent (this
+    container ships no media libraries by design).
 
     Derives stable pseudo-dimensions/luma from a sha256 of the bytes so
     tests and the driver get reproducible values."""
@@ -75,15 +85,41 @@ def _stub_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, luma
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
+def _pil_decode(payload: bytes) -> tuple[int, int, float]:
+    """REAL image decode via PIL (used automatically when importable):
+    true dimensions + mean luminance of the 8-bit grayscale conversion.
+    Falls back to the stub for bytes PIL cannot parse, so mixed/corrupt
+    corpora never kill the stage."""
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(payload)) as img:
+            gray = img.convert("L")
+            hist = gray.histogram()
+            n = sum(hist) or 1
+            luma = sum(i * c for i, c in enumerate(hist)) / (255.0 * n)
+            return img.width, img.height, luma
+    except Exception:
+        return _stub_decode(payload)
+
+
+def default_decoder():
+    """The probed decode fn shipped to executors (PIL when available)."""
+    return _pil_decode if HAVE_PIL else _stub_decode
+
+
+def extract_media_features(media: DataFrame, decoder=None) -> DataFrame:
     """mapInPandas decode/feature stage — streams Arrow batches; memory
-    is bounded by the batch size regardless of partition size."""
+    is bounded by the batch size regardless of partition size. The
+    decoder defaults to the import-probe result (real PIL decode when
+    present, deterministic stub otherwise)."""
+    decode = decoder or default_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [_stub_decode(bytes(p)) for p in pdf["payload"]]
+            feats = [decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -92,9 +128,9 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     "payload_sha256": [
                         hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
                     ],
-                    "fake_width": pd.Series([f[0] for f in feats], dtype="int32"),
-                    "fake_height": pd.Series([f[1] for f in feats], dtype="int32"),
-                    "fake_mean_luma": pd.Series([f[2] for f in feats], dtype="float64"),
+                    "width": pd.Series([f[0] for f in feats], dtype="int32"),
+                    "height": pd.Series([f[1] for f in feats], dtype="int32"),
+                    "mean_luma": pd.Series([f[2] for f in feats], dtype="float64"),
                 }
             )
 

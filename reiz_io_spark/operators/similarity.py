@@ -240,6 +240,18 @@ def ivf_assignments(
         .select("embedding")
         .collect()
     )
+    if len(rows) < n_lists:
+        # stepped sample came back (nearly) empty — hashed/sparse/odd-only
+        # vec_ids may contain no multiples of sample_step. Fall back to a
+        # deterministic LIMIT scan so a non-empty table always trains.
+        rows = (
+            embeddings.orderBy("vec_id")
+            .limit(max_sample)
+            .select("embedding")
+            .collect()
+        )
+    if not rows:
+        raise ValueError("ivf_assignments: embeddings table is empty")
     sample = np.array([np.asarray(r["embedding"], dtype="float64") for r in rows])
     centroids = _kmeans_centroids(sample, n_lists, iters, seed)
 
