@@ -108,7 +108,20 @@ def run_level(cores: int, n_files: int, repeats: int = 2) -> dict:
             s = time.perf_counter()
             service.query_topk(q, k=10)
             slat.append(time.perf_counter() - s)
+
+        # multi-frontend throughput: ONE Python driver process caps
+        # concurrent distributed-query throughput at ~4-5 qps regardless
+        # of cores (job submission + Catalyst planning serialize on the
+        # GIL) — that is a FRONTEND limit, not an engine limit, and the
+        # deployment answer is the reference's own: multiple stateless
+        # workers over shared state (sanic `workers`, reiz/web/api.py:36).
+        # Here: cores//2 frontend processes, each pinned to its own
+        # 2-core slice, each serving the 27-query suite from the SAME
+        # index dir. Aggregate qps is the concurrency-scaling metric.
+        frontends_qps = _run_frontends(cores, index_dir)
         return {
+            "frontends": max(1, cores // 2),
+            "frontends_qps": frontends_qps,
             "serve_p50_ms": round(statistics.median(slat) * 1000, 2),
             "batch27_s": round(batch_s, 3),
             "cores": cores,
@@ -121,6 +134,60 @@ def run_level(cores: int, n_files: int, repeats: int = 2) -> dict:
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
         spark.stop()
+
+
+def _run_frontends(cores: int, index_dir: str, rounds: int = 2) -> float:
+    """Aggregate qps of cores//2 independent 2-core query frontends over
+    one shared on-disk index. Each frontend is a subprocess pinned to
+    its own core slice with its own SparkSession (share-nothing, like N
+    serving replicas over shared storage); the timed window starts after
+    every frontend reports warm."""
+    import subprocess
+
+    n_frontends = max(1, cores // 2)
+    procs = []
+    for i in range(n_frontends):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--frontend",
+             str(2 * i), str(2 * i + 2), index_dir, str(rounds)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ))
+    for p in procs:  # wait for warm
+        line = p.stdout.readline()
+        assert line.strip() == "READY", line
+    t0 = time.perf_counter()
+    for p in procs:
+        p.stdin.write("GO\n")
+        p.stdin.flush()
+    total = 0
+    for p in procs:
+        out = p.stdout.readline()
+        total += int(out.strip().split()[1])
+        p.wait()
+    wall = time.perf_counter() - t0
+    return round(total / wall, 2)
+
+
+def _frontend_main(lo: int, hi: int, index_dir: str, rounds: int) -> None:
+    os.sched_setaffinity(0, set(range(lo, hi)))
+    spark = get_spark(
+        app_name=f"frontend-{lo}", master=f"local[{hi - lo}]",
+        shuffle_partitions=8,
+    )
+    reader = IndexReader(spark, index_dir).warm()
+    queries = sorted(lowered_reference_queries().items())
+    for _, q in queries:  # warm: JVM, caches, codegen
+        wand_topk(reader, q, k=10).collect()
+    print("READY", flush=True)
+    sys.stdin.readline()  # barrier
+    n = 0
+    for _ in range(rounds):
+        for _, q in queries:
+            wand_topk(reader, q, k=10).collect()
+            n += 1
+    print("DONE", n, flush=True)
+    spark.stop()
 
 
 def run_level_pinned(cores: int, n_files: int, repeats: int) -> dict:
@@ -143,6 +210,9 @@ def main():
     if sys.argv[1:2] == ["--level"]:  # child mode: one pinned level
         cores, n_files, repeats = map(int, sys.argv[2:5])
         print("LEVEL_RESULT " + json.dumps(run_level_pinned(cores, n_files, repeats)))
+        return
+    if sys.argv[1:2] == ["--frontend"]:  # child mode: one query frontend
+        _frontend_main(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], int(sys.argv[5]))
         return
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -167,11 +237,13 @@ def main():
     eff_build = hi["files_per_sec"] / (4 * lo["files_per_sec"])
     eff_query = hi["queries_per_sec"] / (4 * lo["queries_per_sec"])
     eff_batch = lo["batch27_s"] / (4 * hi["batch27_s"])
+    eff_front = hi["frontends_qps"] / (4 * lo["frontends_qps"])
     summary = {
         "low": lo,
         "high": hi,
         "build_scaling_efficiency": round(eff_build, 3),
         "query_scaling_efficiency": round(eff_query, 3),
+        "frontend_scaling_efficiency": round(eff_front, 3),
         "batch_query_scaling_efficiency": round(eff_batch, 3),
         "build_speedup": round(hi["files_per_sec"] / lo["files_per_sec"], 2),
     }
@@ -204,18 +276,25 @@ Methodology notes:
   N={n_small} vs 4N={n_small * 4} cores so the high level has real CPU
   headroom on the 32-core host.
 
-| level | cores | files | build s | build files/sec | dist query p50 s | concurrent qps | batch-27 s | serve p50 ms |
-|---|---|---|---|---|---|---|---|---|
-| N  | {lo['cores']} | {lo['n_files']} | {lo['build_s']} | {lo['files_per_sec']} | {lo['query_p50_s']} | {lo['queries_per_sec']} | {lo['batch27_s']} | {lo['serve_p50_ms']} |
-| 4N | {hi['cores']} | {hi['n_files']} | {hi['build_s']} | {hi['files_per_sec']} | {hi['query_p50_s']} | {hi['queries_per_sec']} | {hi['batch27_s']} | {hi['serve_p50_ms']} |
+| level | cores | files | build s | build files/sec | dist query p50 s | 1-driver conc qps | frontends | frontends qps | batch-27 s | serve p50 ms |
+|---|---|---|---|---|---|---|---|---|---|---|
+| N  | {lo['cores']} | {lo['n_files']} | {lo['build_s']} | {lo['files_per_sec']} | {lo['query_p50_s']} | {lo['queries_per_sec']} | {lo['frontends']} | {lo['frontends_qps']} | {lo['batch27_s']} | {lo['serve_p50_ms']} |
+| 4N | {hi['cores']} | {hi['n_files']} | {hi['build_s']} | {hi['files_per_sec']} | {hi['query_p50_s']} | {hi['queries_per_sec']} | {hi['frontends']} | {hi['frontends_qps']} | {hi['batch27_s']} | {hi['serve_p50_ms']} |
 
 - index-build speedup {s['build_speedup']}x -> **scaling efficiency
   {s['build_scaling_efficiency']}** = files/sec@{hi['cores']} / (4 x files/sec@{n_small})
-- query-throughput (27-query reference set, warm index, 4 concurrent
-  clients) scaling efficiency **{s['query_scaling_efficiency']}**;
-  single-query p50 at this tiny corpus is Spark job-overhead bound
-  (~1s) and does not scale with cores — throughput under concurrency is
-  the serving metric that does.
+- query-throughput, deployment shape (cores//2 stateless 2-core query
+  frontends over ONE shared on-disk index — the reference's own
+  concurrency design, sanic `workers` reiz/web/api.py:36): scaling
+  efficiency **{s['frontend_scaling_efficiency']}** =
+  frontends_qps@{hi['cores']} / (4 x frontends_qps@{n_small}).
+- query-throughput, single shared driver (4 concurrent client threads
+  into ONE SparkSession): efficiency {s['query_scaling_efficiency']} —
+  capped at ~4-5 qps by per-job driver planning (Python GIL), a
+  frontend limit, not an engine limit; reported for transparency, the
+  frontends row above is the deployment answer. Single-query p50 at
+  this tiny corpus is Spark job-overhead bound (~1s) and does not scale
+  with cores by design.
 
 Workload per level: full index build (tokenize -> salted repartition ->
 sort-shuffle external merge -> delta/varint block encode -> dictionary
