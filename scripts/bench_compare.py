@@ -13,9 +13,16 @@ import sys
 THRESHOLD = 0.10
 
 
+def _load(path: str) -> dict:
+    """Accept either a raw bench.py line or the driver's BENCH_rN.json
+    wrapper (bench line under 'parsed')."""
+    d = json.load(open(path))
+    return d.get("parsed", d)
+
+
 def main() -> int:
-    base = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
+    base = _load(sys.argv[1])
+    new = _load(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else THRESHOLD
     regressions = []
     for name, base_s in sorted(base.get("queries", {}).items()):
