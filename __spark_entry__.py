@@ -236,7 +236,9 @@ def _code_search_positions(s: SparkSession, d: str) -> DataFrame:
     reader = IndexReader(s, _CODE_INDEX_CACHE[d])
     q = lower_query("not_constant", "Return(not Constant())")
     return structural_topk(reader, q, k=10).select(
-        "doc_id", "repo", "path", "lineno", F.round("score", 6).alias("score")
+        "doc_id", "repo", "path", "lineno", F.round("score", 6).alias("score"),
+        # the reference renders both in every result row (reiz/fetch.py:95-107)
+        "github_link", "username",
     )
 
 
