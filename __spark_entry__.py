@@ -165,8 +165,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_frame_sample"] = lambda s, d: multimodal.sample_frames(
         multimodal.to_media_table(_docs(s, d)), every_n=4
     ).select("doc_id", "frame_no", "frame_offset", "frame_len")
+    # decoder pinned to the deterministic stub so the entry has an exact
+    # DuckDB twin (the stub is pure sha256 arithmetic); the PIL path is
+    # the production variant, probed at import and pytest-gated.
     q["mm_media_decode_stub"] = lambda s, d: multimodal.extract_media_features(
-        multimodal.to_media_table(_docs(s, d))
+        multimodal.to_media_table(_docs(s, d)),
+        decoder=multimodal._stub_decode,
     ).select("doc_id", "n_bytes", "width", "height",
              F.round("mean_luma", 6).alias("mean_luma"))
 
@@ -524,9 +528,22 @@ FROM events GROUP BY 1, 2
     o["ann_ivf_topk"] = ann_checkable.ivf_topk_checkable_sql(
         ANN_QUERY_IDS, k=10
     )
-    # dedup_minhash_lsh / dedup_simhash / mm_media_decode_stub /
-    # code_search_wand / code_search_positions: non-SQL-expressible
-    # (seeded hash mixing, stubbed decode, full index build + WAND,
-    # structural AST matching) -> rows-only checks; each has a pytest
-    # gate (recall / bit-parity / golden-tp-line exactness).
+    # the stub decode is pure sha256 arithmetic (multimodal._stub_decode:
+    # width/height/luma from the first three digest bytes) — replicated
+    # byte-for-byte in SQL. Ties at the 6th decimal are impossible:
+    # k/255 has a repeating (non-terminating) decimal expansion for
+    # 0 < k < 255, so round() agrees between engines.
+    o["mm_media_decode_stub"] = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192 AS width,
+       64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192 AS height,
+       round(('0x' || substr(sha256(text), 5, 2))::INT / 255.0, 6) AS mean_luma
+FROM documents
+"""
+    # dedup_minhash_lsh / dedup_simhash / code_search_wand /
+    # code_search_positions: non-SQL-expressible (seeded hash mixing,
+    # full index build + WAND, structural AST matching) -> rows-only
+    # checks; each has a pytest gate (recall / bit-parity /
+    # golden-tp-line exactness).
     return o
