@@ -117,10 +117,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), n=JACCARD_N, threshold=JACCARD_T
     )
-    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
-        _docs(s, d), n_hashes=64, bands=16, shingle_n=JACCARD_N, threshold=JACCARD_T
+    # MinHash-LSH / SimHash — the ORACLE-CHECKABLE variants: identical
+    # algorithm shapes (banded bucket self-join -> exact candidate-only
+    # verify; tf-weighted bit-majority signature) built on md5-derived
+    # hashes both engines compute bit-identically, all JVM built-ins
+    # (operators/dedup_checkable.py). The production variants (FNV-1a /
+    # 61-bit-Mersenne vectorized kernels, 64-bit widths) stay in
+    # operators/dedup.py with bit-parity + recall pytest gates and are
+    # what bench.py times.
+    from reiz_io_spark.operators import dedup_checkable
+
+    q["dedup_minhash_lsh"] = lambda s, d: dedup_checkable.minhash_lsh_checkable(
+        _docs(s, d), n=JACCARD_N, threshold=JACCARD_T
     )
-    q["dedup_simhash"] = lambda s, d: dedup.simhash64(_docs(s, d))
+    q["dedup_simhash"] = lambda s, d: dedup_checkable.simhash_checkable(_docs(s, d))
     q["dedup_clusters"] = lambda s, d: dedup.dup_clusters(
         _docs(s, d), n=JACCARD_N, threshold=JACCARD_T
     )
@@ -541,9 +551,14 @@ SELECT doc_id,
        round(('0x' || substr(sha256(text), 5, 2))::INT / 255.0, 6) AS mean_luma
 FROM documents
 """
-    # dedup_minhash_lsh / dedup_simhash / code_search_wand /
-    # code_search_positions: non-SQL-expressible (seeded hash mixing,
-    # full index build + WAND, structural AST matching) -> rows-only
-    # checks; each has a pytest gate (recall / bit-parity /
-    # golden-tp-line exactness).
+    from reiz_io_spark.operators import dedup_checkable
+
+    o["dedup_minhash_lsh"] = dedup_checkable.minhash_lsh_checkable_sql(
+        n=JACCARD_N, threshold=JACCARD_T
+    )
+    o["dedup_simhash"] = dedup_checkable.simhash_checkable_sql()
+    # code_search_wand / code_search_positions: non-SQL-expressible (the
+    # full inverted-index build + block-max WAND, structural AST
+    # matching) -> rows-only checks; both pytest-gated (54 rank-identity
+    # tests, 27-query golden-tp-line exactness).
     return o

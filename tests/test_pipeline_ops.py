@@ -465,3 +465,69 @@ def test_ann_checkable_exact_rerank_and_coverage(spark):
             per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
         # every query returns k rows (multi-probe / n_probe coverage)
         assert all(per_q.get(q, 0) == 10 for q in qids), (name, per_q)
+
+
+def test_dedup_checkable_md5_hash_parity(spark):
+    """The cross-engine hash primitive: Spark's conv(substr(md5)) must
+    equal python hashlib (and therefore DuckDB's ('0x'||...)::BIGINT,
+    which the oracle compare exercises end to end)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from reiz_io_spark.operators.dedup_checkable import _md5_48
+
+    words = ["hello_world_x", "a", "0", "token_like_this", "zz9"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["h"] for r in df.select("w", _md5_48(F.col("w")).alias("h")).collect()}
+    for w in words:
+        assert got[w] == int(hashlib.md5(w.encode()).hexdigest()[:12], 16)
+
+
+def test_dedup_checkable_lsh_precision_and_recall(spark):
+    """Checkable-LSH pairs carry EXACT Jaccard (precision 1.0 vs the
+    exact n-gram path) and the 8x2 banding recovers the exact pair set
+    at this corpus."""
+    from reiz_io_spark.operators import dedup, dedup_checkable
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, 3, 0.5, max_shingle_df=None).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_checkable.minhash_lsh_checkable(docs, 3, 0.5).collect()
+    }
+    assert set(got) <= set(exact)  # verified candidates: precision 1.0
+    for pair, j in got.items():
+        assert abs(j - exact[pair]) < 1e-9  # exact Jaccard, not estimated
+    assert len(got) >= 0.9 * len(exact)
+
+
+def test_dedup_checkable_simhash_votes(spark):
+    """Checkable simhash matches a scalar re-derivation (md5 token
+    hashes, tf-weighted bit majority) on a handful of docs."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from reiz_io_spark.operators import dedup_checkable
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(5)
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup_checkable.simhash_checkable(docs).collect()
+    }
+    for row in docs.collect():
+        toks = [t for t in re.split("[^a-z0-9]+", row["text"].lower()) if t]
+        tf = Counter(toks)
+        sig = 0
+        for j in range(32):
+            w = sum(
+                (n if (int(hashlib.md5(t.encode()).hexdigest()[:12], 16) >> j) & 1 else -n)
+                for t, n in tf.items()
+            )
+            if w > 0:
+                sig |= 1 << j
+        assert got[row["doc_id"]] == sig
