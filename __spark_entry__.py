@@ -20,13 +20,23 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from reiz_io_spark.operators import dedup, fulltext, multimodal, similarity, textstats
+from reiz_io_spark.operators import (
+    dedup,
+    fulltext,
+    multimodal,
+    phrase,
+    similarity,
+    textstats,
+)
 
 # fixed, deterministic parameters for every parameterized entry
 BM25_CONJ_TERMS = ["batch", "hash", "join"]
 BM25_DISJ_TERMS = ["spark", "stream", "vector"]
 ANN_QUERY_IDS = [0, 1, 2]
 JACCARD_N, JACCARD_T = 3, 0.5
+PHRASE = ["table", "hash"]
+PHRASE3 = ["slow", "hash", "batch"]
+PROX_A, PROX_B, PROX_SLOP = "spark", "stream", 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,6 +121,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_presence_by_lang"] = lambda s, d: _ft_presence_by_lang(s, d)
     q["ft_union_distinct"] = lambda s, d: _ft_union(s, d)
     q["ft_quantifiers"] = lambda s, d: _ft_quantifiers(s, d)
+    # positional index tier: exact phrase + NEAR/k proximity (inverted
+    # per-term-position shape — one doc_id shuffle, adjacency verified
+    # with pure Catalyst array lambdas; operators/phrase.py)
+    q["ft_phrase_match"] = lambda s, d: phrase.phrase_match(_docs(s, d), PHRASE)
+    q["ft_phrase_topk"] = lambda s, d: phrase.phrase_topk(
+        _docs(s, d), PHRASE3, k=10
+    )
+    q["ft_proximity_near"] = lambda s, d: phrase.proximity_match(
+        _docs(s, d), PROX_A, PROX_B, PROX_SLOP
+    )
 
     # --- dedup (training-data ops) ------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -459,6 +479,9 @@ SELECT doc_id FROM toks
 WHERE len(list_filter(toks, t -> len(t) > 8)) = 0
   AND len(list_filter(toks, t -> len(t) >= 8)) > 0
 """
+    o["ft_phrase_match"] = phrase.phrase_match_sql(PHRASE)
+    o["ft_phrase_topk"] = phrase.phrase_topk_sql(PHRASE3, k=10)
+    o["ft_proximity_near"] = phrase.proximity_match_sql(PROX_A, PROX_B, PROX_SLOP)
     o["dedup_exact"] = """
 SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id, count(*) AS n_copies
 FROM documents GROUP BY sha256(text)

@@ -1,0 +1,232 @@
+"""Positional postings, exact phrase match, and pairwise proximity
+(NEAR/k) over the generic documents table.
+
+The reference engine's index is term-level only (reiz/database.py FTS
+over flattened AST terms); phrase/proximity is the standard next rung
+of a fulltext index tier, so it is implemented here as a first-class
+operator family with exact DuckDB twins.
+
+Shapes (all zero-UDF, whole-stage codegen end to end):
+
+- ``positional_postings``: (term, doc_id, pos) via posexplode — the
+  on-disk layout a positional index would persist. At 100 TB this is
+  the only corpus-sized relation; everything below filters it to the
+  query's terms FIRST (predicate pushdown to the scan) before any
+  shuffle, so per-query cost is proportional to the matched postings,
+  never the corpus.
+- ``phrase_match``: inverted-index evaluation — postings are filtered
+  to the phrase's terms, grouped once per doc into per-term sorted
+  position arrays (ONE shuffle on doc_id), then adjacency is a pure
+  Catalyst array expression: start positions p of term0 such that
+  every arr_i contains p+i. No self-join chain (a k-term phrase as
+  k-1 positional equi-joins would be k-1 shuffles; this is one).
+- ``phrase_topk``: BM25 over the *phrase* as a derived term — tf =
+  number of phrase occurrences, df = docs containing the phrase,
+  doclen unchanged. Same k1/b/idf constants as the engine.
+- ``proximity_match``: NEAR/slop for a term pair — exists p_a, p_b
+  with |p_a - p_b| <= slop, again per-doc arrays + one array lambda.
+
+Tokenization contract is shared verbatim with fulltext.py / the oracle
+SQL: non-empty pieces of regexp_split(lower(text), '[^a-z0-9]+').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import BM25_B, BM25_K1
+from .fulltext import TOKEN_SPLIT, tokens
+
+
+def positional_postings(documents: DataFrame) -> DataFrame:
+    """(term, doc_id, pos) — pos is the 0-based token index.
+
+    The positional analog of ``fulltext.postings``; one posexplode, no
+    aggregation (positions are the payload, not a count).
+    """
+    return (
+        tokens(documents)
+        .select("doc_id", F.posexplode("toks").alias("pos", "term"))
+        .select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def _per_term_positions(documents: DataFrame, terms: list[str]) -> DataFrame:
+    """doc_id + one sorted position array column per phrase slot
+    (`p0`..`p{n-1}`), docs restricted to those containing ALL terms.
+
+    Single shuffle: filter postings to the query terms (pushed to the
+    scan), pivot term -> array via conditional collect in one groupBy.
+    Duplicate terms in the phrase are fine — each slot i filters on
+    terms[i] independently.
+    """
+    p = positional_postings(documents).filter(F.col("term").isin(list(set(terms))))
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.when(F.col("term") == t, F.col("pos")))
+        ).alias(f"p{i}")
+        for i, t in enumerate(terms)
+    ]
+    grouped = p.groupBy("doc_id").agg(*aggs)
+    cond = None
+    for i in range(len(terms)):
+        c = F.size(f"p{i}") > 0
+        cond = c if cond is None else (cond & c)
+    return grouped.filter(cond)
+
+
+def phrase_match(documents: DataFrame, phrase: list[str]) -> DataFrame:
+    """(doc_id, phrase_tf) — exact adjacent-token phrase occurrences.
+
+    phrase_tf counts start positions p in term0's postings where every
+    later slot i has p+i in its position set.
+    """
+    if not phrase:
+        raise ValueError("empty phrase")
+    g = _per_term_positions(documents, phrase)
+
+    def _continues(i: int):
+        # keep start positions whose i-th continuation exists
+        return lambda p: F.array_contains(F.col(f"p{i}"), p + i)
+
+    starts = F.col("p0")
+    for i in range(1, len(phrase)):
+        starts = F.filter(starts, _continues(i))
+    return (
+        g.select("doc_id", F.size(starts).cast("long").alias("phrase_tf"))
+        .filter(F.col("phrase_tf") > 0)
+    )
+
+
+def phrase_topk(
+    documents: DataFrame, phrase: list[str], k: int = 10
+) -> DataFrame:
+    """BM25 top-k treating the exact phrase as one derived term.
+
+    idf/df come from the phrase's own document frequency; dl is the
+    doc's full token length (standard phrase scoring). Deterministic
+    tiebreak on doc_id.
+    """
+    m = phrase_match(documents, phrase)
+    dl = tokens(documents).select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    )
+    n_docs = documents.count()
+    scored = m.join(dl, "doc_id")
+    df = m.count()
+    avgdl_row = dl.agg(F.avg("dl").alias("avgdl")).collect()[0]
+    avgdl = float(avgdl_row["avgdl"] or 0.0)
+    import math
+
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    tf = F.col("phrase_tf").cast("double")
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+    score = F.lit(idf) * tf * (BM25_K1 + 1.0) / denom
+    return (
+        scored.select(
+            "doc_id",
+            "phrase_tf",
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def proximity_match(
+    documents: DataFrame, term_a: str, term_b: str, slop: int
+) -> DataFrame:
+    """(doc_id, min_dist) — docs where term_a and term_b co-occur
+    within ``slop`` token positions (|pos_a - pos_b| <= slop, the
+    classic NEAR/k). min_dist is the closest observed distance.
+
+    Per-doc O(|a|*|b|) inside one Catalyst array lambda — positions
+    per term per doc are tiny; the corpus-sized work is the pushed-down
+    postings filter + one doc_id shuffle.
+    """
+    if term_a == term_b:
+        raise ValueError("proximity terms must differ")
+    g = _per_term_positions(documents, [term_a, term_b])
+    dists = F.flatten(
+        F.transform(
+            "p0",
+            lambda pa: F.transform("p1", lambda pb: F.abs(pa - pb)),
+        )
+    )
+    return (
+        g.select(
+            "doc_id", F.array_min(dists).cast("long").alias("min_dist")
+        )
+        .filter(F.col("min_dist") <= slop)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (direct array-scan formulation — the oracle does not need
+# the inverted shape, only identical semantics)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = (
+    "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '%s'),"
+    " x -> x <> '') AS toks FROM documents" % TOKEN_SPLIT
+)
+
+
+def _phrase_tf_expr(phrase: list[str]) -> str:
+    """DuckDB expression: number of phrase start positions in `toks`
+    (1-indexed arrays)."""
+    n = len(phrase)
+    conds = " AND ".join(
+        f"toks[i + {i}] = '{t}'" for i, t in enumerate(phrase)
+    )
+    return (
+        f"len(list_filter(range(1, len(toks) - {n} + 2), i -> {conds}))"
+    )
+
+
+def phrase_match_sql(phrase: list[str]) -> str:
+    return f"""
+WITH toks AS ({_TOKS_CTE})
+SELECT doc_id, CAST({_phrase_tf_expr(phrase)} AS BIGINT) AS phrase_tf
+FROM toks WHERE {_phrase_tf_expr(phrase)} > 0
+"""
+
+
+def phrase_topk_sql(phrase: list[str], k: int = 10) -> str:
+    tf_expr = _phrase_tf_expr(phrase)
+    return f"""
+WITH toks AS ({_TOKS_CTE}),
+m AS (SELECT doc_id, CAST({tf_expr} AS BIGINT) AS phrase_tf, len(toks) AS dl
+      FROM toks WHERE {tf_expr} > 0),
+c AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+             (SELECT count(*) FROM m)::DOUBLE AS df,
+             (SELECT avg(len(toks)) FROM toks) AS avgdl)
+SELECT doc_id, phrase_tf,
+       round(ln(1.0 + (c.n_docs - c.df + 0.5) / (c.df + 0.5))
+             * phrase_tf * ({BM25_K1} + 1.0)
+             / (phrase_tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / c.avgdl)),
+             6) AS score
+FROM m, c
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def proximity_match_sql(term_a: str, term_b: str, slop: int) -> str:
+    return f"""
+WITH toks AS ({_TOKS_CTE}),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{term_a}') AS pa,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{term_b}') AS pb
+  FROM toks
+),
+d AS (
+  SELECT doc_id,
+         list_min(flatten(list_transform(pa,
+             x -> list_transform(pb, y -> abs(x - y))))) AS min_dist
+  FROM pos WHERE len(pa) > 0 AND len(pb) > 0
+)
+SELECT doc_id, CAST(min_dist AS BIGINT) AS min_dist FROM d
+WHERE min_dist <= {slop}
+"""

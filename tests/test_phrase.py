@@ -1,0 +1,137 @@
+"""Positional postings / phrase match / proximity — semantics pinned
+three ways: (1) Spark inverted-postings shape vs a direct per-doc
+array-scan reference expression, (2) Spark vs the DuckDB twin SQL,
+(3) hand-built micro-corpus with known phrase positions."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from reiz_io_spark.operators import phrase
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    return con
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _duck(con, sql):
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+# --- micro-corpus with hand-computed expectations --------------------------
+
+
+@pytest.fixture(scope="module")
+def micro(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c a b c"),      # "a b": starts 0,3
+            Row(doc_id=2, text="a a b b"),          # "a b": start 1
+            Row(doc_id=3, text="b a"),              # "a b": none
+            Row(doc_id=4, text="a b"),              # "a b": start 0
+            Row(doc_id=5, text="c! C, a-b"),        # punctuation splits: c c a b
+        ]
+    )
+
+
+def test_phrase_micro_counts(micro):
+    got = {r["doc_id"]: r["phrase_tf"] for r in phrase.phrase_match(micro, ["a", "b"]).collect()}
+    assert got == {1: 2, 2: 1, 4: 1, 5: 1}
+
+
+def test_phrase_micro_trigram(micro):
+    got = {r["doc_id"]: r["phrase_tf"] for r in phrase.phrase_match(micro, ["a", "b", "c"]).collect()}
+    assert got == {1: 2}
+
+
+def test_phrase_repeated_term(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x x x y")])
+    got = {r["doc_id"]: r["phrase_tf"] for r in phrase.phrase_match(df, ["x", "x"]).collect()}
+    assert got == {1: 2}  # overlapping starts 0 and 1
+
+
+def test_proximity_micro(micro):
+    got = {r["doc_id"]: r["min_dist"] for r in phrase.proximity_match(micro, "a", "c", 2).collect()}
+    # doc1: a@0,3 c@2,5 -> min 1; doc5: c@0,1 a@2 -> min 1
+    assert got == {1: 1, 5: 1}
+    none = phrase.proximity_match(micro, "a", "c", 0).collect()
+    assert none == []
+
+
+def test_positional_postings_roundtrip(micro):
+    # positions reassemble the token stream exactly
+    p = phrase.positional_postings(micro).filter(F.col("doc_id") == 1)
+    toks = [r["term"] for r in p.orderBy("pos").collect()]
+    assert toks == ["a", "b", "c", "a", "b", "c"]
+
+
+# --- Spark inverted shape vs direct array-scan expression ------------------
+
+
+def test_phrase_matches_array_scan(docs):
+    ph = ["table", "hash"]
+    inverted = _rows(phrase.phrase_match(docs, ph))
+    toks = phrase.tokens(docs)
+    n = len(ph)
+    conds = None
+    for i, t in enumerate(ph):
+        c = F.col("toks")[F.col("i") + i] == t
+        conds = c if conds is None else (conds & c)
+    direct = (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
+        )
+        .filter(F.size("toks") >= n)
+        .filter(conds)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("phrase_tf"))
+    )
+    assert inverted == _rows(direct)
+    assert len(inverted) > 0  # non-vacuous at sf0.001
+
+
+# --- Spark vs DuckDB twins --------------------------------------------------
+
+
+def test_phrase_match_oracle(docs, duck):
+    ph = ["table", "hash"]
+    assert _rows(phrase.phrase_match(docs, ph)) == _duck(
+        duck, phrase.phrase_match_sql(ph)
+    )
+
+
+def test_phrase_topk_oracle(docs, duck):
+    ph = ["table", "hash"]
+    assert _rows(phrase.phrase_topk(docs, ph, k=10)) == _duck(
+        duck, phrase.phrase_topk_sql(ph, k=10)
+    )
+
+
+def test_proximity_oracle(docs, duck):
+    got = _rows(phrase.proximity_match(docs, "spark", "stream", 3))
+    assert got == _duck(duck, phrase.proximity_match_sql("spark", "stream", 3))
+    assert len(got) > 0
