@@ -89,10 +89,24 @@ def _write_meta_atomic(meta_path: str, meta: dict) -> None:
     """Commit point for every build/merge: write-then-os.replace is
     atomic on POSIX, the stand-in for an Iceberg snapshot commit (the
     reference gets transactional commits from EdgeDB,
-    reiz/serialization/insert.py:30 `with conn.transaction()`)."""
+    reiz/serialization/insert.py:30 `with conn.transaction()`).
+
+    Each commit also drops an immutable `meta_v{N}.json` history file
+    (the Iceberg metadata-log analog): snapshots within the GC
+    retention window stay readable via IndexReader(..., at_version=N)
+    — time travel; history files are tiny and are kept forever as the
+    commit log even after their data dirs are expired."""
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=2)
+    version = meta.get("version")
+    if version is not None:
+        hist = os.path.join(
+            os.path.dirname(meta_path), f"meta_v{int(version)}.json"
+        )
+        with open(hist + ".tmp", "w") as fh:
+            json.dump(meta, fh, indent=2)
+        os.replace(hist + ".tmp", hist)
     os.replace(tmp, meta_path)
 
 
@@ -517,6 +531,40 @@ def _assemble_version(
             for fname in os.listdir(src):
                 os.link(os.path.join(src, fname), os.path.join(dst, fname))
     shutil.rmtree(staging_dir, ignore_errors=True)
+
+
+def snapshots(out_dir: str) -> list[dict]:
+    """The commit log: one row per committed snapshot, oldest first —
+    version, build_id, n_docs, merged batches, and whether the
+    snapshot's data dirs are still within the GC retention window
+    (readable=True -> IndexReader(..., at_version=version) works)."""
+    import re
+
+    pat = re.compile(r"^meta_v(\d+)\.json$")
+    out = []
+    try:
+        names = os.listdir(out_dir)
+    except OSError:
+        return []
+    for name in sorted(names, key=lambda n: int(pat.match(n).group(1))
+                       if pat.match(n) else -1):
+        m = pat.match(name)
+        if not m:
+            continue
+        with open(os.path.join(out_dir, name)) as fh:
+            meta = json.load(fh)
+        readable = all(
+            os.path.isdir(os.path.join(out_dir, meta.get(f"{t}_dir", "")))
+            for t in ("dictionary", "blocks")
+        )
+        out.append({
+            "version": int(m.group(1)),
+            "build_id": meta.get("build_id"),
+            "n_docs": meta.get("n_docs"),
+            "merged_batches": meta.get("merged_batches", []),
+            "readable": readable,
+        })
+    return out
 
 
 def _gc_stale_versions(out_dir: str, keep: tuple[int, ...]) -> None:

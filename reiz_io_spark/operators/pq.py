@@ -1,0 +1,205 @@
+"""IVF-PQ: product-quantized ANN — the memory-compressed scale path.
+
+Why it matters at 100 TB: raw float32 embeddings at 10^9 x 128-d are
+~512 GB; PQ codes at m=8 subspaces x 1 byte are 8 GB — they fit in
+cluster memory, so the candidate scan touches codes only and the full
+vectors are read just for the final refine of ~k*refine rows per query.
+This is the standard IVF-ADC design (Jegou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Pipeline (all deterministic — seeded k-means on a stepped sample):
+
+1. train: split the d-dim space into m subspaces; per-subspace k-means
+   (n_codes centroids) on a driver-side sample. Codebooks are tiny
+   (m * n_codes * d/m floats) and ship in UDF closures.
+2. encode: one map-only pass — each vector becomes m uint8 codes
+   (nearest centroid per subspace). No shuffle.
+3. query (ADC — asymmetric distance computation): per query, build the
+   m x n_codes lookup table of subspace dot products; approximate
+   dot(q, x) = sum_j LUT[j, code_j(x)]. One vectorized pass over the
+   codes table per query batch, top (k * refine_factor) survivors.
+4. refine: exact cosine on the survivors only (join back to the
+   embeddings table by vec_id — an Iceberg-style point-lookup join on
+   the sorted/bucketed key at scale), emit exact-scored top-k.
+
+Recall vs brute force is pytest-gated (tests/test_pq.py); like the IVF
+and LSH variants this is rows-only for the driver (training is not
+SQL-expressible) while the refine half reuses the exact cosine kernel
+already oracle-checked via `ann_cosine_topk`.
+
+Cosine note: vectors are L2-normalized before training/encoding, so
+inner product == cosine and per-subspace k-means minimizes the right
+residual. The refine stage recomputes true cosine from raw floats, so
+normalization here affects only candidate quality, never final scores.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
+
+from .similarity import _dot, _norm, embedding_dim
+
+
+def _sample_matrix(
+    embeddings: DataFrame, sample_step: int, max_sample: int
+) -> np.ndarray:
+    """Deterministic driver-side training sample (same policy as
+    ivf_assignments: stepped vec_ids with a LIMIT-scan fallback)."""
+    rows = (
+        embeddings.filter(F.pmod("vec_id", F.lit(sample_step)) == 0)
+        .orderBy("vec_id")
+        .limit(max_sample)
+        .select("embedding")
+        .collect()
+    )
+    if len(rows) < 2:
+        rows = (
+            embeddings.orderBy("vec_id").limit(max_sample)
+            .select("embedding").collect()
+        )
+    if not rows:
+        raise ValueError("pq: embeddings table is empty")
+    x = np.array([np.asarray(r["embedding"], dtype="float64") for r in rows])
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def _kmeans_l2(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Plain (non-spherical) k-means — PQ quantizes subvector residuals
+    in L2, so centroids are means, not renormalized directions."""
+    rng = np.random.RandomState(seed)
+    k = min(k, x.shape[0])
+    c = x[rng.permutation(x.shape[0])[:k]].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+    return c
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 7,
+    sample_step: int = 7,
+    max_sample: int = 4096,
+    iters: int = 10,
+) -> np.ndarray:
+    """Codebooks, shape (m, n_codes, d/m). d must divide by m."""
+    d = embedding_dim(embeddings)
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    x = _sample_matrix(embeddings, sample_step, max_sample)
+    sub = d // m
+    books = [
+        _kmeans_l2(x[:, j * sub:(j + 1) * sub], n_codes, iters, seed + j)
+        for j in range(m)
+    ]
+    # pad ragged books (tiny tables) so the ndarray is rectangular
+    full = np.zeros((m, n_codes, sub))
+    for j, b in enumerate(books):
+        full[j, : b.shape[0]] = b
+        if b.shape[0] < n_codes:  # repeat last centroid as filler
+            full[j, b.shape[0]:] = b[-1]
+    return full
+
+
+def pq_encode(embeddings: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """(vec_id, codes array<int>) — one map-only vectorized pass."""
+    m, n_codes, sub = codebooks.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode_udf(embs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(e, dtype="float64") for e in embs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((mat.shape[0], m), dtype="int32")
+        for j in range(m):
+            xs = mat[:, j * sub:(j + 1) * sub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin drops ||x||^2
+            d2 = -2.0 * (xs @ codebooks[j].T) + (codebooks[j] ** 2).sum(axis=1)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return embeddings.select("vec_id", encode_udf("embedding").alias("codes"))
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    refine_factor: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """ADC scan over PQ codes -> top k*refine_factor candidates per
+    query -> exact cosine refine. Output (query_id, vec_id, score) with
+    the same exact-score semantics as brute_force_topk, approximation
+    affecting only WHICH candidates reach the refine."""
+    codebooks = pq_train(embeddings, m=m, n_codes=n_codes, seed=seed)
+    codes = pq_encode(embeddings, codebooks)
+
+    qrows = embeddings.filter(F.col("vec_id").isin(query_ids)).collect()
+    sub = codebooks.shape[2]
+    luts = {}  # query_id -> (m, n_codes) table of subspace dot products
+    for r in qrows:
+        q = np.asarray(r["embedding"], dtype="float64")
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        luts[int(r["vec_id"])] = np.stack(
+            [codebooks[j] @ q[j * sub:(j + 1) * sub] for j in range(m)]
+        )
+
+    n_cand = k * refine_factor
+    out_schema = "query_id long, vec_id long, approx double"
+
+    def scan(batches):
+        for pdf in batches:
+            code_mat = np.array(list(pdf["codes"]), dtype="int64")
+            vec_ids = pdf["vec_id"].to_numpy()
+            outs = []
+            for qid, lut in luts.items():
+                approx = lut[np.arange(m)[:, None], code_mat.T].sum(axis=0)
+                keep = vec_ids != qid
+                outs.append(pd.DataFrame({
+                    "query_id": qid,
+                    "vec_id": vec_ids[keep],
+                    "approx": approx[keep],
+                }))
+            if outs:
+                yield pd.concat(outs)
+
+    approx = codes.mapInPandas(scan, out_schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("vec_id")
+    )
+    cands = (
+        approx.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n_cand)
+        .select("query_id", "vec_id")
+    )
+
+    # exact refine: point-lookup join of candidates against raw vectors
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    joined = cands.join(embeddings, "vec_id").join(F.broadcast(q), "query_id")
+    sim = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", F.round(sim, 6).alias("score"))
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "score")
+    )

@@ -28,12 +28,31 @@ from .build import N_TERM_BUCKETS, _paths
 
 
 class IndexReader:
-    """Handle to a built index directory."""
+    """Handle to a built index directory.
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    ``at_version=N`` time-travels to an earlier committed snapshot
+    (reads through its immutable ``meta_v{N}.json``, the Iceberg
+    metadata-log analog): the dictionary/blocks pair of that commit,
+    plus its n_docs/avgdl stats, so scores reproduce exactly. Snapshots
+    stay readable within the GC retention window (current + previous
+    version); older snapshots raise with a clear expiry error. The
+    docs/content tables are append-only — an old snapshot's doc_ids
+    remain resolvable after later ingests."""
+
+    def __init__(
+        self, spark: SparkSession, index_dir: str, at_version: int | None = None
+    ):
         self.spark = spark
         self.paths = _paths(index_dir)
-        with open(self.paths["meta"]) as fh:
+        meta_path = self.paths["meta"]
+        if at_version is not None:
+            meta_path = os.path.join(index_dir, f"meta_v{int(at_version)}.json")
+            if not os.path.exists(meta_path):
+                raise FileNotFoundError(
+                    f"no committed snapshot v{at_version} at {index_dir} "
+                    f"(see build.snapshots() for the commit log)"
+                )
+        with open(meta_path) as fh:
             self.meta = json.load(fh)
         # Resolve the versioned tables through the meta SNAPSHOT just
         # read: one atomic pointer pair -> a reader never mixes a new
@@ -43,6 +62,17 @@ class IndexReader:
 
         self.paths["dictionary"] = table_dir(index_dir, self.meta, "dictionary")
         self.paths["blocks"] = table_dir(index_dir, self.meta, "blocks")
+        if at_version is not None:
+            missing = [
+                t for t in ("dictionary", "blocks")
+                if not os.path.isdir(self.paths[t])
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"snapshot v{at_version} is expired: {missing} data "
+                    f"dirs were garbage-collected (retention is current + "
+                    f"previous version)"
+                )
         self._cached: dict[str, DataFrame] = {}
         # prepared-query metadata memo (the reference caches compiled
         # IR per query, reiz/ir/builder.py:54-68): term stats and LIKE

@@ -1,0 +1,77 @@
+"""IVF-PQ ANN: deterministic training/encoding, kernel parity with the
+scalar definition, and recall vs the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from reiz_io_spark.operators import pq, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).cache()
+
+
+def test_encode_matches_scalar_definition(spark, emb):
+    """Vectorized encoder == per-vector nearest-centroid by the plain
+    L2 definition, for every vector in the table."""
+    books = pq.pq_train(emb, m=4, n_codes=16)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq.pq_encode(emb, books).collect()}
+    rows = emb.collect()
+    m, _, sub = books.shape
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype="float64")
+        v = v / max(float(np.linalg.norm(v)), 1e-12)
+        want = [
+            int(((books[j] - v[j * sub:(j + 1) * sub]) ** 2).sum(axis=1).argmin())
+            for j in range(m)
+        ]
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_train_deterministic(emb):
+    b1 = pq.pq_train(emb, m=4, n_codes=16, seed=7)
+    b2 = pq.pq_train(emb, m=4, n_codes=16, seed=7)
+    assert np.array_equal(b1, b2)
+
+
+def test_dim_not_divisible_raises(emb):
+    d = similarity.embedding_dim(emb)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_train(emb, m=d - 1 if d > 2 else 3)
+
+
+def test_recall_vs_brute_force(spark, emb):
+    """Recall@10 over random embeddings is the hard case for any ANN
+    (no cluster structure); PQ with a generous refine factor must still
+    recover most of the exact top-10, and scores of returned pairs are
+    EXACT (refine recomputes true cosine)."""
+    qids = [0, 1, 2]
+    exact = similarity.brute_force_topk(emb, qids, k=10).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+
+    got = pq.ivf_pq_topk(emb, qids, k=10, m=4, n_codes=16, refine_factor=16).collect()
+    got_pairs = {(r["query_id"], r["vec_id"]) for r in got}
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.6, recall
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_codes_compress(emb):
+    """The whole point: m int codes per vector instead of d floats."""
+    books = pq.pq_train(emb, m=4, n_codes=16)
+    row = pq.pq_encode(emb, books).first()
+    d = similarity.embedding_dim(emb)
+    assert len(row["codes"]) == 4 < d
+    assert all(0 <= c < 16 for c in row["codes"])
