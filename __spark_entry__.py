@@ -174,6 +174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = lambda s, d: ann_checkable.ivf_topk_checkable(
         _emb(s, d), ANN_QUERY_IDS, k=10
     )
+    # PQ (ADC) — same checkable-twin scheme: LCG-formula codebooks so
+    # encode/LUT/refine are all exact in both engines; the production
+    # k-means variant is operators/pq.ivf_pq_topk (pytest recall gate).
+    q["ann_pq_topk"] = lambda s, d: ann_checkable.pq_topk_checkable(
+        _emb(s, d), ANN_QUERY_IDS, k=10
+    )
     # exact embedding-cosine near-dup pairs (threshold tuned to the
     # random test embeddings so the check is non-trivial; the LSH scale
     # variant needs true near-dups to be meaningful and is pytest-gated
@@ -561,6 +567,7 @@ FROM events GROUP BY 1, 2
     o["ann_ivf_topk"] = ann_checkable.ivf_topk_checkable_sql(
         ANN_QUERY_IDS, k=10
     )
+    o["ann_pq_topk"] = ann_checkable.pq_topk_checkable_sql(ANN_QUERY_IDS, k=10)
     # the stub decode is pure sha256 arithmetic (multimodal._stub_decode:
     # width/height/luma from the first three digest bytes) — replicated
     # byte-for-byte in SQL. Ties at the 6th decimal are impossible:

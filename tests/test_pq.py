@@ -68,6 +68,25 @@ def test_recall_vs_brute_force(spark, emb):
             assert abs(r["score"] - exact_scores[key]) < 1e-9
 
 
+def test_pq_checkable_matches_duckdb(spark, emb):
+    """The LCG-formula PQ twin (driver entry ann_pq_topk) is exact
+    value-for-value against its DuckDB SQL."""
+    import duckdb
+
+    from reiz_io_spark.operators import ann_checkable as ac
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_DIR}/embeddings.parquet'"
+    )
+    a = sorted(tuple(r) for r in ac.pq_topk_checkable(emb, [0, 1, 2], k=10).collect())
+    b = sorted(tuple(r) for r in con.execute(
+        ac.pq_topk_checkable_sql([0, 1, 2], k=10)).fetchall())
+    assert a == b
+    assert len(a) == 30
+
+
 def test_codes_compress(emb):
     """The whole point: m int codes per vector instead of d floats."""
     books = pq.pq_train(emb, m=4, n_codes=16)
