@@ -131,6 +131,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_proximity_near"] = lambda s, d: phrase.proximity_match(
         _docs(s, d), PROX_A, PROX_B, PROX_SLOP
     )
+    # faceted retrieval: disjunctive BM25 top-3 per language (grouped
+    # top-k via window rank — a shape global LIMIT cannot express)
+    q["ft_bm25_by_lang"] = lambda s, d: fulltext.bm25_topk_by_group(
+        _docs(s, d), BM25_DISJ_TERMS, "lang", k_per_group=3
+    )
 
     # --- dedup (training-data ops) ------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -228,6 +233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["window_top_events_per_user"] = lambda s, d: _window_events(s, d)
     q["events_sessionization"] = lambda s, d: _sessionize(s, d)
     q["events_tumbling_window"] = lambda s, d: _tumbling(s, d)
+    # backward as-of join (purchase -> user's latest click at-or-before):
+    # union + one window sort per key, NO range join (operators/asof.py)
+    q["events_asof_join"] = lambda s, d: _asof(s, d)
     return q
 
 
@@ -314,6 +322,32 @@ def _ft_quantifiers(s, d):
         F.forall("toks", lambda t: F.length(t) <= F.lit(8))
         & F.exists("toks", lambda t: F.length(t) >= F.lit(8))
     ).select("doc_id")
+
+
+def _asof(s, d):
+    from reiz_io_spark.operators.asof import asof_join_backward
+
+    e = _tbl(s, d, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    j = asof_join_backward(
+        purchases, clicks, key="user_id", ts="ts", id_col="event_id",
+        right_payload=["value"],
+    )
+    # driver entry keeps MATCHED purchases only (NULL right-side rows
+    # hash differently across engines' NaT/None normalization; the
+    # NULL-preserving outer behavior is pytest-gated in test_asof)
+    return j.filter(F.col("right_ts").isNotNull()).select(
+        "user_id", "ts", "event_id",
+        F.round("right_value", 6).alias("right_value"),
+        "right_ts", "right_id",
+        # NTZ -> TS applies the same session-tz shift to both sides,
+        # so the difference is exact epoch-microseconds either way
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("right_ts").cast("timestamp"))
+        ).alias("micros_since"),
+    )
 
 
 def _tpch_pricing(s, d):
@@ -485,6 +519,12 @@ SELECT doc_id FROM toks
 WHERE len(list_filter(toks, t -> len(t) > 8)) = 0
   AND len(list_filter(toks, t -> len(t) >= 8)) > 0
 """
+    o["ft_bm25_by_lang"] = fulltext.bm25_topk_by_group_sql(
+        BM25_DISJ_TERMS, "lang", k_per_group=3
+    )
+    from reiz_io_spark.operators.asof import purchases_last_click_sql
+
+    o["events_asof_join"] = purchases_last_click_sql()
     o["ft_phrase_match"] = phrase.phrase_match_sql(PHRASE)
     o["ft_phrase_topk"] = phrase.phrase_topk_sql(PHRASE3, k=10)
     o["ft_proximity_near"] = phrase.proximity_match_sql(PROX_A, PROX_B, PROX_SLOP)

@@ -177,3 +177,110 @@ GROUP BY tf.doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_topk_by_group(
+    documents: DataFrame,
+    query_terms: list[str],
+    group_col: str,
+    k_per_group: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Faceted retrieval: the disjunctive BM25 top-k WITHIN each value
+    of ``group_col`` (top matches per language, per source, per
+    license...). One scoring pass + one window rank per group — the
+    grouped-top-k shape that a global LIMIT cannot express.
+
+    Same scoring contract as bm25_topk; deterministic tie-break
+    (score desc, doc_id asc) inside each group."""
+    from pyspark.sql.window import Window
+
+    stats = tokens(documents).agg(
+        F.sum(F.size("toks")).alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = int(stats["s"] or 0) / n_docs
+
+    p = postings(documents).filter(F.col("term").isin(query_terms))
+    d = (
+        p.groupBy("term").agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(1.0 + k1))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+        )
+    )
+    scored = (
+        p.join(F.broadcast(d), "term")
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .join(documents.select("doc_id", group_col), "doc_id")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_per_group)
+        .select(group_col, "doc_id", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def bm25_topk_by_group_sql(
+    query_terms: list[str],
+    group_col: str,
+    k_per_group: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of bm25_topk_by_group (documents view)."""
+    terms = ", ".join("'%s'" % t for t in sorted(set(query_terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'), x -> x <> '') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         (SELECT sum(len(toks)) FROM toks)::DOUBLE / count(*) AS avgdl
+  FROM toks
+),
+p AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+),
+tf AS (
+  SELECT term, doc_id, dl, count(*) AS tf FROM p
+  WHERE term IN ({terms})
+  GROUP BY term, doc_id, dl
+),
+d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum(
+           ln(1.0 + ((SELECT n_docs FROM stats) - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * {1.0 + k1}) /
+             (tf.tf + {k1} * ({1.0 - b} + {b} * (tf.dl / (SELECT avgdl FROM stats))))
+         ), 6) AS score
+  FROM tf JOIN d USING (term) GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc.{group_col} AS {group_col}, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY doc.{group_col}
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rnk
+  FROM scored s JOIN documents doc USING (doc_id)
+)
+SELECT {group_col}, doc_id, score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {k_per_group}
+"""
