@@ -37,6 +37,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--pattern", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--naive", action="store_true", help="runs-table path (no WAND)")
+    q.add_argument("--at-version", type=int, default=None,
+                   help="time-travel: query a retained earlier snapshot")
     q.add_argument("--explain", action="store_true",
                    help="print lowered terms + Spark physical plan")
 
@@ -61,6 +63,12 @@ def main(argv: list[str] | None = None) -> int:
         "(streaming maintenance; reads only new runs)"
     )
     mg.add_argument("--index", required=True)
+
+    sn = sub.add_parser(
+        "snapshots", help="list committed index snapshots (version, "
+        "batches, readability within the GC retention window)"
+    )
+    sn.add_argument("--index", required=True)
 
     args = ap.parse_args(argv)
     from .session import get_spark
@@ -90,7 +98,7 @@ def _dispatch(args, spark) -> int:
         from .operators.wand import wand_topk
         from .plans.lower import lower_query
 
-        reader = IndexReader(spark, args.index)
+        reader = IndexReader(spark, args.index, at_version=args.at_version)
         q = lower_query("cli", args.pattern)
         if args.explain:
             print("lowered groups:")
@@ -137,6 +145,13 @@ def _dispatch(args, spark) -> int:
 
         meta = merge_incremental(spark, args.index)
         print(json.dumps(meta))
+        return 0
+
+    if args.cmd == "snapshots":
+        from .operators.build import snapshots
+
+        for snap in snapshots(args.index):
+            print(json.dumps(snap))
         return 0
 
     if args.cmd == "stats":

@@ -104,3 +104,44 @@ def test_docs_scan_prunes_content_column(spark, built_index):
     plan = _plan(attach_doc_metadata(reader, wand_topk(reader, q, k=5)))
     read_schemas = [s[:300] for s in plan.split("ReadSchema")[1:]]
     assert all("content:" not in s for s in read_schemas), read_schemas
+
+
+def test_asof_join_single_exchange(spark):
+    """The as-of join must be ONE shuffle on the key (union + window),
+    never a join operator (a range/theta join would be O(L x R))."""
+    import os
+
+    from reiz_io_spark.operators.asof import asof_join_backward
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = e.filter(F.col("event_type") == "purchase")
+    right = e.filter(F.col("event_type") == "click")
+    df = asof_join_backward(
+        left, right, key="user_id", ts="ts", id_col="event_id",
+        right_payload=["value"],
+    )
+    plan = _plan(df)
+    assert "Join" not in plan  # no join operator of any kind
+    # exactly one data exchange in the tree: the hashpartitioning on
+    # user_id for the window sort
+    assert plan.count("Exchange (") == 1, plan[:2000]
+    assert "user_id" in plan.split("(8) Exchange", 1)[-1][:400] or \
+           "user_id" in plan  # partition key is the join key
+
+
+def test_phrase_filters_before_shuffle(spark):
+    """Phrase evaluation prunes non-query terms BEFORE its one doc_id
+    shuffle: the Filter on term must sit below the Exchange."""
+    from reiz_io_spark.operators.phrase import phrase_match
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(phrase_match(docs, ["table", "hash"]))
+    # one Exchange in the tree (the doc_id groupBy); the term filter and
+    # the PARTIAL aggregate both sit below it, so only per-doc position
+    # arrays of the query's terms cross the wire
+    assert plan.count("Exchange (") == 1, plan[:2000]
+    tree = plan.split("(1) Scan", 1)[0]
+    filt_pos = tree.rfind("Filter")     # deepest Filter (post-explode prune)
+    exch_pos = tree.find("Exchange")
+    assert filt_pos > exch_pos > 0, tree  # deeper in tree = printed later
+    assert "term" in plan and "IN" in plan.upper()
