@@ -152,6 +152,19 @@ def main() -> None:
         emb, [0, 1, 2], 10).collect())
     timed("text_quality", lambda: textstats.quality_score(docs).collect())
 
+    # round-3 ops (new keys — bench_compare treats missing-in-old as new)
+    from reiz_io_spark.operators import phrase
+    from reiz_io_spark.operators.asof import asof_join_backward
+
+    timed("ft_phrase_topk", lambda: phrase.phrase_topk(
+        docs, ["table", "hash"], 10).collect())
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    purchases = events.filter(events.event_type == "purchase")
+    clicks = events.filter(events.event_type == "click")
+    timed("events_asof_join", lambda: asof_join_backward(
+        purchases, clicks, key="user_id", ts="ts", id_col="event_id",
+        right_payload=["value"]).collect())
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "index-build + query suite wall time",
