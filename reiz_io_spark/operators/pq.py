@@ -131,7 +131,7 @@ def pq_encode(embeddings: DataFrame, codebooks: np.ndarray) -> DataFrame:
     return embeddings.select("vec_id", encode_udf("embedding").alias("codes"))
 
 
-def ivf_pq_topk(
+def pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
@@ -140,10 +140,12 @@ def ivf_pq_topk(
     refine_factor: int = 4,
     seed: int = 7,
 ) -> DataFrame:
-    """ADC scan over PQ codes -> top k*refine_factor candidates per
-    query -> exact cosine refine. Output (query_id, vec_id, score) with
-    the same exact-score semantics as brute_force_topk, approximation
-    affecting only WHICH candidates reach the refine."""
+    """Flat PQ: ADC scan over ALL codes -> top k*refine_factor
+    candidates per query -> exact cosine refine. Output
+    (query_id, vec_id, score) with the same exact-score semantics as
+    brute_force_topk, approximation affecting only WHICH candidates
+    reach the refine. The compressed scan is the win: one pass over
+    m-byte codes instead of d-float vectors."""
     codebooks = pq_train(embeddings, m=m, n_codes=n_codes, seed=seed)
     codes = pq_encode(embeddings, codebooks)
 
@@ -189,6 +191,102 @@ def ivf_pq_topk(
     )
 
     # exact refine: point-lookup join of candidates against raw vectors
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    joined = cands.join(embeddings, "vec_id").join(F.broadcast(q), "query_id")
+    sim = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", F.round(sim, 6).alias("score"))
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "score")
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    refine_factor: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """True IVF-PQ: the IVF coarse quantizer (similarity.py k-means
+    lists) prunes the corpus to each query's n_probe nearest lists,
+    then the PQ-ADC scan + exact refine run INSIDE the probed lists
+    only. Per-query cost ≈ (n_probe / n_lists) x the flat-PQ scan, on
+    m-byte codes — the standard billion-scale ANN layout (Jegou et al.
+    2011, §IV; FAISS IndexIVFPQ).
+    """
+    from .similarity import ivf_assignments
+
+    centroids, assigned = ivf_assignments(
+        embeddings, n_lists=n_lists, seed=seed
+    )
+    codebooks = pq_train(embeddings, m=m, n_codes=n_codes, seed=seed)
+    codes = pq_encode(embeddings, codebooks).join(assigned, "vec_id")
+
+    qrows = embeddings.filter(F.col("vec_id").isin(query_ids)).collect()
+    sub = codebooks.shape[2]
+    luts = {}
+    probe_lists: dict[int, set] = {}
+    for r in qrows:
+        q = np.asarray(r["embedding"], dtype="float64")
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        qid = int(r["vec_id"])
+        luts[qid] = np.stack(
+            [codebooks[j] @ q[j * sub:(j + 1) * sub] for j in range(m)]
+        )
+        probe_lists[qid] = {
+            int(l) for l in np.argsort(-(centroids @ q))[:n_probe]
+        }
+    all_probed = sorted(set().union(*probe_lists.values())) if probe_lists else []
+
+    n_cand = k * refine_factor
+    out_schema = "query_id long, vec_id long, approx double"
+
+    def scan(batches):
+        for pdf in batches:
+            code_mat = np.array(list(pdf["codes"]), dtype="int64")
+            vec_ids = pdf["vec_id"].to_numpy()
+            list_ids = pdf["list_id"].to_numpy()
+            outs = []
+            for qid, lut in luts.items():
+                probed = np.isin(list_ids, sorted(probe_lists[qid]))
+                keep = probed & (vec_ids != qid)
+                if not keep.any():
+                    continue
+                approx = lut[
+                    np.arange(m)[:, None], code_mat[keep].T
+                ].sum(axis=0)
+                outs.append(pd.DataFrame({
+                    "query_id": qid,
+                    "vec_id": vec_ids[keep],
+                    "approx": approx,
+                }))
+            if outs:
+                yield pd.concat(outs)
+
+    # partition-prune the code scan to the union of probed lists before
+    # the Python stage (at scale: list_id-partitioned codes table ->
+    # file pruning; here: a pushed filter)
+    pruned = codes.filter(F.col("list_id").isin(all_probed))
+    approx = pruned.mapInPandas(scan, out_schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    cands = (
+        approx.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n_cand)
+        .select("query_id", "vec_id")
+    )
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )

@@ -58,7 +58,7 @@ def test_recall_vs_brute_force(spark, emb):
     exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
     exact_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
 
-    got = pq.ivf_pq_topk(emb, qids, k=10, m=4, n_codes=16, refine_factor=16).collect()
+    got = pq.pq_topk(emb, qids, k=10, m=4, n_codes=16, refine_factor=16).collect()
     got_pairs = {(r["query_id"], r["vec_id"]) for r in got}
     recall = len(got_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.6, recall
@@ -66,6 +66,40 @@ def test_recall_vs_brute_force(spark, emb):
         key = (r["query_id"], r["vec_id"])
         if key in exact_scores:
             assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_ivf_pq_probe_all_equals_flat(spark, emb):
+    """With n_probe == n_lists the coarse stage prunes nothing, so true
+    IVF-PQ must return exactly the flat-PQ result — proves the IVF
+    stage only PRUNES, never alters scoring."""
+    qids = [0, 1, 2]
+    flat = sorted(tuple(r) for r in pq.pq_topk(
+        emb, qids, k=10, m=4, n_codes=16, refine_factor=8).collect())
+    ivf = sorted(tuple(r) for r in pq.ivf_pq_topk(
+        emb, qids, k=10, m=4, n_codes=16, n_lists=8, n_probe=8,
+        refine_factor=8).collect())
+    assert flat == ivf
+
+
+def test_ivf_pq_pruned_recall(spark, emb):
+    """Probing half the lists on structureless random data must still
+    recover a useful fraction of the exact top-10, with exact scores
+    on whatever it returns."""
+    qids = [0, 1, 2]
+    exact = similarity.brute_force_topk(emb, qids, k=10).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = pq.ivf_pq_topk(
+        emb, qids, k=10, m=4, n_codes=16, n_lists=8, n_probe=4,
+        refine_factor=16,
+    ).collect()
+    got_pairs = {(r["query_id"], r["vec_id"]) for r in got}
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.3, recall  # random vectors spread across lists
+    scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in scores:
+            assert abs(r["score"] - scores[key]) < 1e-9
 
 
 def test_pq_checkable_matches_duckdb(spark, emb):
