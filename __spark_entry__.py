@@ -136,6 +136,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_bm25_by_lang"] = lambda s, d: fulltext.bm25_topk_by_group(
         _docs(s, d), BM25_DISJ_TERMS, "lang", k_per_group=3
     )
+    # result rendering: token window around the first match (the
+    # documents-tier analog of the code engine's source segments)
+    q["ft_snippets"] = lambda s, d: fulltext.snippets(
+        _docs(s, d), BM25_DISJ_TERMS, window=3
+    )
 
     # --- dedup (training-data ops) ------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -522,6 +527,7 @@ WHERE len(list_filter(toks, t -> len(t) > 8)) = 0
     o["ft_bm25_by_lang"] = fulltext.bm25_topk_by_group_sql(
         BM25_DISJ_TERMS, "lang", k_per_group=3
     )
+    o["ft_snippets"] = fulltext.snippets_sql(BM25_DISJ_TERMS, window=3)
     from reiz_io_spark.operators.asof import purchases_last_click_sql
 
     o["events_asof_join"] = purchases_last_click_sql()

@@ -284,3 +284,58 @@ ranked AS (
 SELECT {group_col}, doc_id, score, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= {k_per_group}
 """
+
+
+def snippets(
+    documents: DataFrame, query_terms: list[str], window: int = 3
+) -> DataFrame:
+    """Result rendering for the documents tier: for every doc matching
+    ANY query term, the token window around the FIRST match —
+    (doc_id, first_pos 1-based, snippet). The documents-table analog of
+    the code engine's source segments (fetch.py renders a source slice
+    per match). Zero-UDF: array_position / slice / array_join.
+
+    Deterministic: first_pos = min over terms of each term's first
+    occurrence; window is clipped at both ends."""
+    t = tokens(documents)
+    positions = F.array(
+        *[F.array_position("toks", F.lit(term)) for term in query_terms]
+    )
+    hit = F.array_min(F.filter(positions, lambda p: p > 0))
+    start = F.greatest(hit - window, F.lit(1))
+    return (
+        t.select("doc_id", "toks", hit.alias("first_pos"))
+        .filter(F.col("first_pos").isNotNull())
+        .select(
+            "doc_id",
+            "first_pos",
+            F.array_join(
+                F.slice("toks", start, 2 * window + 1), " "
+            ).alias("snippet"),
+        )
+    )
+
+
+def snippets_sql(query_terms: list[str], window: int = 3) -> str:
+    """DuckDB twin of snippets (documents view)."""
+    pos_list = ", ".join(
+        f"coalesce(list_position(toks, '{t}'), 0)" for t in query_terms
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'), x -> x <> '') AS toks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, toks,
+         list_min(list_filter([{pos_list}], p -> p > 0)) AS first_pos
+  FROM toks
+)
+SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
+       array_to_string(
+         toks[greatest(first_pos - {window}, 1) :
+              greatest(first_pos - {window}, 1) + {2 * window}],
+         ' ') AS snippet
+FROM hits WHERE first_pos IS NOT NULL
+"""

@@ -135,3 +135,42 @@ def test_proximity_oracle(docs, duck):
     got = _rows(phrase.proximity_match(docs, "spark", "stream", 3))
     assert got == _duck(duck, phrase.proximity_match_sql("spark", "stream", 3))
     assert len(got) > 0
+
+
+# --- snippets (result rendering) -------------------------------------------
+
+
+def test_snippets_clipping(spark):
+    from reiz_io_spark.operators import fulltext
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b c TARGET d e f g"),   # middle hit
+        Row(doc_id=2, text="TARGET x y z"),           # hit at start (clip left)
+        Row(doc_id=3, text="p q r s TARGET"),         # hit at end (clip right)
+        Row(doc_id=4, text="no match here"),          # filtered out
+    ])
+    got = {r["doc_id"]: (r["first_pos"], r["snippet"])
+           for r in fulltext.snippets(df, ["target"], window=2).collect()}
+    assert got == {
+        1: (4, "b c target d e"),
+        2: (1, "target x y z"),
+        3: (5, "r s target"),
+    }
+
+
+def test_snippets_first_of_any_term(spark):
+    from reiz_io_spark.operators import fulltext
+
+    df = spark.createDataFrame([Row(doc_id=1, text="zz bbb zz aaa zz")])
+    got = fulltext.snippets(df, ["aaa", "bbb"], window=1).collect()[0]
+    assert got["first_pos"] == 2          # bbb comes first
+    assert got["snippet"] == "zz bbb zz"
+
+
+def test_snippets_oracle(docs, duck):
+    from reiz_io_spark.operators import fulltext
+
+    terms = ["spark", "vector"]
+    assert _rows(fulltext.snippets(docs, terms)) == _duck(
+        duck, fulltext.snippets_sql(terms)
+    )
