@@ -241,6 +241,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # backward as-of join (purchase -> user's latest click at-or-before):
     # union + one window sort per key, NO range join (operators/asof.py)
     q["events_asof_join"] = lambda s, d: _asof(s, d)
+    # interval/range join via time-bin bucketization (equi-join on
+    # (key, bin) + exact filter — never a per-key cross product)
+    q["events_range_join"] = lambda s, d: _range_join(s, d)
+    # deterministic KMV distinct sketch — same estimate in both engines
+    from reiz_io_spark.operators.sketch import kmv_distinct_by_group
+
+    q["sketch_kmv_users"] = lambda s, d: kmv_distinct_by_group(
+        _tbl(s, d, "events"), "event_type", "user_id", k=32
+    )
     return q
 
 
@@ -327,6 +336,21 @@ def _ft_quantifiers(s, d):
         F.forall("toks", lambda t: F.length(t) <= F.lit(8))
         & F.exists("toks", lambda t: F.length(t) >= F.lit(8))
     ).select("doc_id")
+
+
+RANGE_LOWER_S, RANGE_UPPER_S = 0, 14400
+
+
+def _range_join(s, d):
+    from reiz_io_spark.operators.asof import range_join_bucketed
+
+    e = _tbl(s, d, "events")
+    views = e.filter(F.col("event_type") == "view")
+    clicks = e.filter(F.col("event_type") == "click")
+    return range_join_bucketed(
+        views, clicks, key="user_id", ts="ts", id_col="event_id",
+        lower_s=RANGE_LOWER_S, upper_s=RANGE_UPPER_S,
+    )
 
 
 def _asof(s, d):
@@ -528,9 +552,17 @@ WHERE len(list_filter(toks, t -> len(t) > 8)) = 0
         BM25_DISJ_TERMS, "lang", k_per_group=3
     )
     o["ft_snippets"] = fulltext.snippets_sql(BM25_DISJ_TERMS, window=3)
-    from reiz_io_spark.operators.asof import purchases_last_click_sql
+    from reiz_io_spark.operators.asof import (
+        purchases_last_click_sql,
+        views_then_clicks_sql,
+    )
+    from reiz_io_spark.operators.sketch import kmv_distinct_by_group_sql
 
     o["events_asof_join"] = purchases_last_click_sql()
+    o["events_range_join"] = views_then_clicks_sql(RANGE_LOWER_S, RANGE_UPPER_S)
+    o["sketch_kmv_users"] = kmv_distinct_by_group_sql(
+        "events", "event_type", "user_id", k=32
+    )
     o["ft_phrase_match"] = phrase.phrase_match_sql(PHRASE)
     o["ft_phrase_topk"] = phrase.phrase_topk_sql(PHRASE3, k=10)
     o["ft_proximity_near"] = phrase.proximity_match_sql(PROX_A, PROX_B, PROX_SLOP)

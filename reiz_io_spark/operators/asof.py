@@ -99,3 +99,86 @@ SELECT user_id, ts, event_id,
        epoch_us(ts) - epoch_us(right_ts) AS micros_since
 FROM c WHERE is_right = 0 AND right_ts IS NOT NULL
 """
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    lower_s: int,
+    upper_s: int,
+) -> DataFrame:
+    """Interval/range join — all (left, right) pairs within the same
+    key where right.ts ∈ [left.ts + lower_s, left.ts + upper_s].
+
+    Scalable shape: a naive theta-join (r.ts BETWEEN ...) degenerates
+    to a per-key cross product. Here both sides are BUCKETIZED into
+    time bins of width (upper_s - lower_s): each right row lands in one
+    bin, each left row explodes to the 2 bins its window can cover, and
+    the join is a plain equi-join on (key, bin) followed by the exact
+    interval filter. Join volume ∝ true pairs + one-bin slack, never
+    |L| x |R| per key. (This is Spark's own interval-join strategy for
+    stream-stream joins, applied to batch.)
+
+    Output: key, l_id, l_ts, r_id, r_ts, micros_between (>= 0 when
+    lower_s >= 0). Tie semantics: both interval ends inclusive.
+    """
+    if upper_s <= lower_s:
+        raise ValueError("range_join: upper_s must exceed lower_s")
+    width = upper_s - lower_s
+    # NTZ -> TS applies one uniform session-tz shift; bins and the
+    # exact filter both live in that shifted space, so membership is
+    # unaffected.
+    l_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    w_us = width * 1_000_000
+    lo_us, up_us = lower_s * 1_000_000, upper_s * 1_000_000
+
+    lt = left.select(
+        key,
+        F.col(id_col).alias("l_id"),
+        F.col(ts).alias("l_ts"),
+        l_us.alias("_l_us"),
+        F.explode(
+            F.sequence(
+                F.floor((l_us + lo_us) / w_us), F.floor((l_us + up_us) / w_us)
+            )
+        ).alias("_bin"),
+    )
+    rt = right.select(
+        key,
+        F.col(id_col).alias("r_id"),
+        F.col(ts).alias("r_ts"),
+        r_us.alias("_r_us"),
+        F.floor(r_us / w_us).alias("_bin"),
+    )
+    return (
+        lt.join(rt, [key, "_bin"])
+        .filter(
+            (F.col("_r_us") >= F.col("_l_us") + lo_us)
+            & (F.col("_r_us") <= F.col("_l_us") + up_us)
+        )
+        .select(
+            key, "l_id", "l_ts", "r_id", "r_ts",
+            (F.col("_r_us") - F.col("_l_us")).alias("micros_between"),
+        )
+    )
+
+
+def views_then_clicks_sql(lower_s: int, upper_s: int) -> str:
+    """DuckDB twin of the driver entry: clicks within
+    [view.ts + lower_s, view.ts + upper_s] per user (plain range join —
+    the oracle does not need the bucketed shape, only the semantics)."""
+    return f"""
+SELECT v.user_id AS user_id,
+       v.event_id AS l_id, v.ts AS l_ts,
+       c.event_id AS r_id, c.ts AS r_ts,
+       epoch_us(c.ts) - epoch_us(v.ts) AS micros_between
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts + INTERVAL {lower_s} SECOND
+ AND c.ts <= v.ts + INTERVAL {upper_s} SECOND
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
