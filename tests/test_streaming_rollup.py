@@ -1,0 +1,104 @@
+"""Streaming-maintained hourly rollup == the batch tumbling aggregate,
+including buckets whose events arrive across micro-batch boundaries;
+replaying a batch's partials is idempotent; compaction preserves
+totals."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from reiz_io_spark.streaming.rollup import (
+    compact_rollup,
+    read_rollup,
+    rollup_partials,
+    start_rollup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    events = (
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    # cutoff = a mid-hour instant of the BUSIEST hour, so that hour is
+    # guaranteed to receive events from both micro-batches
+    busiest = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .count().orderBy(F.desc("count"), F.asc("h")).first()["h"]
+    )
+    in_hour = events.filter(F.date_trunc("hour", "ts") == F.lit(busiest))
+    cutoff = in_hour.agg(
+        F.percentile_approx("ts", 0.5).alias("m")
+    ).collect()[0]["m"]
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    events.filter(F.col("ts") <= F.lit(cutoff)).coalesce(1).write.parquet(
+        landing + "/c0"
+    )
+    time.sleep(1.1)
+    events.filter(F.col("ts") > F.lit(cutoff)).coalesce(1).write.parquet(
+        landing + "/c1"
+    )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    rollup_dir = str(tmp_path / "rollup")
+    q = start_rollup(stream, rollup_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    # batch twin: the driver's tumbling-window entry, reshaped to the
+    # rollup's (date_trunc hour) bucket — same semantics
+    batch = _rows(
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    got = _rows(read_rollup(spark, rollup_dir))
+    assert got == batch
+
+    # the hour at the cutoff was fed by BOTH micro-batches: partials for
+    # that bucket exist under two batch_ids (the incremental part)
+    partials = spark.read.parquet(os.path.join(rollup_dir, "partials"))
+    n_src = (
+        partials.filter(F.col("window_start") == F.lit(busiest))
+        .select("batch_id").distinct().count()
+    )
+    assert n_src == 2
+
+    # replaying batch 0's partials (foreachBatch replay contract) is a
+    # partition overwrite -> totals unchanged
+    b0 = spark.read.parquet(landing + "/c0")
+    (
+        rollup_partials(b0, 0)
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(rollup_dir, "partials"))
+    )
+    assert _rows(read_rollup(spark, rollup_dir)) == batch
+
+    # compaction folds partials into one partition; totals unchanged
+    compact_rollup(spark, rollup_dir)
+    assert _rows(read_rollup(spark, rollup_dir)) == batch
+    post = spark.read.parquet(os.path.join(rollup_dir, "partials"))
+    assert post.select("batch_id").distinct().count() == 1
