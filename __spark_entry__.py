@@ -37,6 +37,7 @@ JACCARD_N, JACCARD_T = 3, 0.5
 PHRASE = ["table", "hash"]
 PHRASE3 = ["slow", "hash", "batch"]
 PROX_A, PROX_B, PROX_SLOP = "spark", "stream", 3
+FUZZY_TERM = "strem"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,6 +141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documents-tier analog of the code engine's source segments)
     q["ft_snippets"] = lambda s, d: fulltext.snippets(
         _docs(s, d), BM25_DISJ_TERMS, window=3
+    )
+    # typo-tolerant term lookup (SymSpell deletion-neighborhood; the
+    # oracle is the defining brute levenshtein filter)
+    q["ft_fuzzy_term"] = lambda s, d: fulltext.fuzzy_term_matches(
+        _docs(s, d), FUZZY_TERM
     )
 
     # --- dedup (training-data ops) ------------------------------------------
@@ -552,6 +558,7 @@ WHERE len(list_filter(toks, t -> len(t) > 8)) = 0
         BM25_DISJ_TERMS, "lang", k_per_group=3
     )
     o["ft_snippets"] = fulltext.snippets_sql(BM25_DISJ_TERMS, window=3)
+    o["ft_fuzzy_term"] = fulltext.fuzzy_term_matches_sql(FUZZY_TERM)
     from reiz_io_spark.operators.asof import (
         purchases_last_click_sql,
         views_then_clicks_sql,

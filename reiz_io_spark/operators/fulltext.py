@@ -339,3 +339,76 @@ SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
          ' ') AS snippet
 FROM hits WHERE first_pos IS NOT NULL
 """
+
+
+def fuzzy_term_matches(
+    documents: DataFrame, query_term: str, max_edits: int = 1
+) -> DataFrame:
+    """Typo-tolerant term lookup ("did you mean"): dictionary terms
+    within edit distance <= max_edits of query_term, with their df —
+    (term, df, dist). Only max_edits=1 is supported (the SymSpell
+    deletion-neighborhood identity below is distance-1).
+
+    SCALE SHAPE (SymSpell, symmetric-delete): dist(a,b) <= 1 iff
+    a == b, or b ∈ del1(a), or a ∈ del1(b), or del1(a) ∩ del1(b) != ∅.
+    The dictionary explodes once into its delete-1 variants (|term|+1
+    rows per term — a one-time index, incrementally maintainable), the
+    QUERY's tiny variant set broadcasts, and candidates come from an
+    equi-join on the variant string — never a corpus-wide levenshtein
+    scan. A final levenshtein on the CANDIDATES only (hundreds, not
+    10^9) both verifies and grades. The driver oracle is the brute
+    levenshtein filter; tests/test_fuzzy pins equality of the two
+    shapes.
+    """
+    if max_edits != 1:
+        raise ValueError("fuzzy_term_matches: only max_edits=1 supported")
+    d = dictionary(documents).select("term", "df")
+
+    q = query_term
+    q_variants = {q} | {q[:i] + q[i + 1:] for i in range(len(q))}
+    spark = documents.sparkSession
+    qv = spark.createDataFrame(
+        [(v,) for v in sorted(q_variants)], "variant string"
+    )
+
+    # dictionary side: term -> {term} ∪ del1(term), one explode
+    dv = d.select(
+        "term",
+        "df",
+        F.explode(
+            F.array_union(
+                F.array(F.col("term")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("term")),
+                    lambda i: F.concat(
+                        F.substring(F.col("term"), F.lit(1), i - 1),
+                        F.col("term").substr(i + 1, F.length("term")),
+                    ),
+                ),
+            )
+        ).alias("variant"),
+    )
+    cand = (
+        dv.join(F.broadcast(qv), "variant")
+        .select("term", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+        .filter(F.col("dist") <= max_edits)
+    )
+    return cand.select("term", "df", F.col("dist").cast("int").alias("dist"))
+
+
+def fuzzy_term_matches_sql(query_term: str, max_edits: int = 1) -> str:
+    """DuckDB twin: brute levenshtein over the dictionary (the oracle
+    need not scale; it defines the semantics)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'), x -> x <> '') AS toks
+  FROM documents
+),
+p AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY term)
+SELECT term, df, CAST(levenshtein(term, '{query_term}') AS INT) AS dist
+FROM d WHERE levenshtein(term, '{query_term}') <= {max_edits}
+"""
