@@ -38,6 +38,7 @@ PHRASE = ["table", "hash"]
 PHRASE3 = ["slow", "hash", "batch"]
 PROX_A, PROX_B, PROX_SLOP = "spark", "stream", 3
 FUZZY_TERM = "strem"
+SPLIT_WEIGHTS = {"train": 0.8, "test": 0.1, "val": 0.1}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,6 +256,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_kmv_users"] = lambda s, d: kmv_distinct_by_group(
         _tbl(s, d, "events"), "event_type", "user_id", k=32
+    )
+    # deterministic train/test/val split + per-stratum sampling (pure
+    # hash arithmetic — stable under corpus growth, reproducible at any
+    # parallelism; operators/sampling.py)
+    from reiz_io_spark.operators.sampling import hash_split, stratified_sample
+
+    q["split_train_test"] = lambda s, d: hash_split(
+        _docs(s, d), "doc_id", SPLIT_WEIGHTS
+    )
+    q["sample_stratified"] = lambda s, d: stratified_sample(
+        _docs(s, d), "doc_id", "lang", 0.3
     )
     return q
 
@@ -569,6 +581,15 @@ WHERE len(list_filter(toks, t -> len(t) > 8)) = 0
     o["events_range_join"] = views_then_clicks_sql(RANGE_LOWER_S, RANGE_UPPER_S)
     o["sketch_kmv_users"] = kmv_distinct_by_group_sql(
         "events", "event_type", "user_id", k=32
+    )
+    from reiz_io_spark.operators.sampling import (
+        hash_split_sql,
+        stratified_sample_sql,
+    )
+
+    o["split_train_test"] = hash_split_sql("documents", "doc_id", SPLIT_WEIGHTS)
+    o["sample_stratified"] = stratified_sample_sql(
+        "documents", "doc_id", "lang", 0.3
     )
     o["ft_phrase_match"] = phrase.phrase_match_sql(PHRASE)
     o["ft_phrase_topk"] = phrase.phrase_topk_sql(PHRASE3, k=10)
