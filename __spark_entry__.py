@@ -39,6 +39,11 @@ PHRASE3 = ["slow", "hash", "batch"]
 PROX_A, PROX_B, PROX_SLOP = "spark", "stream", 3
 FUZZY_TERM = "strem"
 SPLIT_WEIGHTS = {"train": 0.8, "test": 0.1, "val": 0.1}
+DECONTAM_BENCH = [
+    (1, "spark stream vector table"),
+    (2, "batch hash join"),
+    (3, "a slow hash batch pipeline"),
+]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +273,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_stratified"] = lambda s, d: stratified_sample(
         _docs(s, d), "doc_id", "lang", 0.3
     )
+    # training-data hygiene: benchmark decontamination (n-gram overlap
+    # vs a broadcast eval set) + PII scrub (map-only regexp chain)
+    from reiz_io_spark.operators import decontam as _dc
+
+    def _contam(s, d):
+        from pyspark.sql import Row
+
+        bench = s.createDataFrame(
+            [Row(bench_id=b, text=t) for b, t in DECONTAM_BENCH]
+        )
+        return _dc.contaminated_docs(_docs(s, d), bench, n=3)
+
+    q["decontam_ngram"] = _contam
+    q["pii_scrub"] = lambda s, d: _dc.scrub_pii(_docs(s, d))
     return q
 
 
@@ -591,6 +610,10 @@ WHERE len(list_filter(toks, t -> len(t) > 8)) = 0
     o["sample_stratified"] = stratified_sample_sql(
         "documents", "doc_id", "lang", 0.3
     )
+    from reiz_io_spark.operators import decontam as _dc
+
+    o["decontam_ngram"] = _dc.contaminated_docs_sql(DECONTAM_BENCH, n=3)
+    o["pii_scrub"] = _dc.scrub_pii_sql()
     o["ft_phrase_match"] = phrase.phrase_match_sql(PHRASE)
     o["ft_phrase_topk"] = phrase.phrase_topk_sql(PHRASE3, k=10)
     o["ft_proximity_near"] = phrase.proximity_match_sql(PROX_A, PROX_B, PROX_SLOP)
