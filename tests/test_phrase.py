@@ -174,3 +174,67 @@ def test_snippets_oracle(docs, duck):
     assert _rows(fulltext.snippets(docs, terms)) == _duck(
         duck, fulltext.snippets_sql(terms)
     )
+
+
+# --- randomized property check vs a pure-Python reference ------------------
+
+
+def _py_tokens(text):
+    import re as _re
+
+    return [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_phrase_tf(toks, ph):
+    n = len(ph)
+    return sum(
+        1 for i in range(len(toks) - n + 1) if toks[i:i + n] == ph
+    )
+
+
+def _py_min_dist(toks, a, b):
+    pa = [i for i, t in enumerate(toks) if t == a]
+    pb = [i for i, t in enumerate(toks) if t == b]
+    if not pa or not pb:
+        return None
+    return min(abs(x - y) for x in pa for y in pb)
+
+
+def test_phrase_random_corpus_property(spark):
+    """200 seeded random docs over a tiny vocabulary (dense phrase
+    collisions), 8 random phrases + 5 proximity pairs — engine output
+    equals the obvious per-doc Python computation."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choice(vocab)
+                                    for _ in range(rng.randint(0, 30))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows).cache()
+    texts = {r.doc_id: _py_tokens(r.text) for r in rows}
+
+    for _ in range(8):
+        ph = [rng.choice(vocab) for _ in range(rng.randint(2, 4))]
+        want = {
+            d: tf
+            for d, toks in texts.items()
+            if (tf := _py_phrase_tf(toks, ph)) > 0
+        }
+        got = {r["doc_id"]: r["phrase_tf"]
+               for r in phrase.phrase_match(docs, ph).collect()}
+        assert got == want, ph
+
+    for _ in range(5):
+        a, b = rng.sample(vocab, 2)
+        slop = rng.randint(0, 4)
+        want = {
+            d: md
+            for d, toks in texts.items()
+            if (md := _py_min_dist(toks, a, b)) is not None and md <= slop
+        }
+        got = {r["doc_id"]: r["min_dist"]
+               for r in phrase.proximity_match(docs, a, b, slop).collect()}
+        assert got == want, (a, b, slop)
