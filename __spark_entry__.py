@@ -262,6 +262,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sketch_kmv_users"] = lambda s, d: kmv_distinct_by_group(
         _tbl(s, d, "events"), "event_type", "user_id", k=32
     )
+    from reiz_io_spark.operators.sketch import kmv_set_ops
+
+    q["sketch_kmv_overlap"] = lambda s, d: kmv_set_ops(
+        _tbl(s, d, "events"), "event_type", "user_id",
+        "click", "purchase", k=32,
+    )
     # deterministic train/test/val split + per-stratum sampling (pure
     # hash arithmetic — stable under corpus growth, reproducible at any
     # parallelism; operators/sampling.py)
@@ -600,6 +606,11 @@ WHERE len(list_filter(toks, t -> len(t) > 8)) = 0
     o["events_range_join"] = views_then_clicks_sql(RANGE_LOWER_S, RANGE_UPPER_S)
     o["sketch_kmv_users"] = kmv_distinct_by_group_sql(
         "events", "event_type", "user_id", k=32
+    )
+    from reiz_io_spark.operators.sketch import kmv_set_ops_sql
+
+    o["sketch_kmv_overlap"] = kmv_set_ops_sql(
+        "events", "event_type", "user_id", "click", "purchase", k=32
     )
     from reiz_io_spark.operators.sampling import (
         hash_split_sql,

@@ -102,3 +102,136 @@ SELECT a.grp AS {group_col}, CAST(a.k_used AS INT) AS k_used, a.kth_hash,
        e.exact_distinct
 FROM agg a JOIN exact e USING (grp)
 """
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """Set-operation estimates between two groups' value sets from
+    their KMV sketches (the theta-sketch use case: audience overlap,
+    shared-user counts — without materializing either set).
+
+    Method (Beyer et al. 2007): the union sketch is the k smallest of
+    the two sketches' union, giving |A ∪ B| ≈ (k-1)/R as usual; the
+    fraction rho of union-sketch members present in BOTH per-group
+    sketches estimates Jaccard, and |A ∩ B| ≈ rho * |A ∪ B|.
+    Deterministic — exact DuckDB twin; exact values ride along as the
+    accuracy witness. One row: (k_used, union_est, inter_est,
+    jaccard_est, union_exact, inter_exact)."""
+    from pyspark.sql.window import Window
+
+    hashes = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(group_col).alias("grp"),
+            _hash60(F.col(value_col)).alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("hv"))
+    sk = hashes.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    in_a = sk.filter(F.col("grp") == group_a).select("hv").withColumn(
+        "in_a", F.lit(1)
+    )
+    in_b = sk.filter(F.col("grp") == group_b).select("hv").withColumn(
+        "in_b", F.lit(1)
+    )
+    wu = Window.orderBy(F.asc("hv"))
+    union_sk = (
+        sk.select("hv").distinct()
+        .withColumn("r", F.row_number().over(wu))
+        .filter(F.col("r") <= k)
+        .join(in_a, "hv", "left")
+        .join(in_b, "hv", "left")
+    )
+    agg = union_sk.agg(
+        F.count("*").alias("k_used"),
+        F.max("hv").alias("kth"),
+        F.sum(
+            (F.coalesce(F.col("in_a"), F.lit(0)) * F.coalesce(F.col("in_b"), F.lit(0)))
+        ).alias("n_both"),
+    )
+    # exact witness (the expensive thing the sketch replaces)
+    ex = hashes.groupBy("hv").agg(
+        F.max(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("b"),
+    ).agg(
+        F.count("*").alias("union_exact"),
+        F.sum(F.col("a") * F.col("b")).alias("inter_exact"),
+    )
+    union_est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise((F.col("k_used") - 1).cast("double") * F.lit(TWO_60) / F.col("kth"))
+    rho = F.col("n_both").cast("double") / F.col("k_used")
+    return agg.crossJoin(ex).select(
+        F.col("k_used").cast("int").alias("k_used"),
+        F.round(union_est, 6).alias("union_est"),
+        F.round(rho * union_est, 6).alias("inter_est"),
+        F.round(rho, 6).alias("jaccard_est"),
+        "union_exact",
+        F.col("inter_exact").cast("long").alias("inter_exact"),
+    )
+
+
+def kmv_set_ops_sql(
+    table: str, group_col: str, value_col: str, group_a: str, group_b: str,
+    k: int = 64,
+) -> str:
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT {group_col} AS grp,
+         ('0x' || substr(md5({value_col}::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM {table} WHERE {group_col} IN ('{group_a}', '{group_b}')
+),
+sk AS (
+  SELECT grp, hv FROM (
+    SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv ASC) AS r
+    FROM hashes
+  ) WHERE r <= {k}
+),
+u AS (
+  SELECT hv FROM (
+    SELECT hv, row_number() OVER (ORDER BY hv ASC) AS r
+    FROM (SELECT DISTINCT hv FROM sk)
+  ) WHERE r <= {k}
+),
+flags AS (
+  SELECT u.hv,
+         CASE WHEN a.hv IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN b.hv IS NOT NULL THEN 1 ELSE 0 END AS in_b
+  FROM u
+  LEFT JOIN (SELECT hv FROM sk WHERE grp = '{group_a}') a ON u.hv = a.hv
+  LEFT JOIN (SELECT hv FROM sk WHERE grp = '{group_b}') b ON u.hv = b.hv
+),
+agg AS (
+  SELECT count(*) AS k_used, max(hv) AS kth,
+         sum(in_a * in_b) AS n_both
+  FROM flags
+),
+ex AS (
+  SELECT count(*) AS union_exact,
+         CAST(sum(a * b) AS BIGINT) AS inter_exact
+  FROM (
+    SELECT hv,
+           max(CASE WHEN grp = '{group_a}' THEN 1 ELSE 0 END) AS a,
+           max(CASE WHEN grp = '{group_b}' THEN 1 ELSE 0 END) AS b
+    FROM hashes GROUP BY hv
+  )
+)
+SELECT CAST(a.k_used AS INT) AS k_used,
+       round(CASE WHEN a.k_used < {k} THEN a.k_used::DOUBLE
+                  ELSE (a.k_used - 1)::DOUBLE * {TWO_60!r} / a.kth END, 6)
+         AS union_est,
+       round((a.n_both::DOUBLE / a.k_used) *
+             CASE WHEN a.k_used < {k} THEN a.k_used::DOUBLE
+                  ELSE (a.k_used - 1)::DOUBLE * {TWO_60!r} / a.kth END, 6)
+         AS inter_est,
+       round(a.n_both::DOUBLE / a.k_used, 6) AS jaccard_est,
+       e.union_exact, e.inter_exact
+FROM agg a, ex e
+"""

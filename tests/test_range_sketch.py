@@ -106,3 +106,44 @@ def test_kmv_matches_duckdb(spark):
         kmv_distinct_by_group_sql("events", "event_type", "user_id", k=32)
     ).fetchall())
     assert a == b
+
+
+def test_kmv_set_ops_planted_overlap(spark):
+    """Two groups with known 50% overlap: 300 values each, 150 shared.
+    Estimates land near truth; small-k exact path kicks in below k."""
+    rows = (
+        [Row(g="a", v=i) for i in range(300)]           # a: 0..299
+        + [Row(g="b", v=i) for i in range(150, 450)]    # b: 150..449
+    )
+    df = spark.createDataFrame(rows)
+    from reiz_io_spark.operators.sketch import kmv_set_ops
+
+    r = kmv_set_ops(df, "g", "v", "a", "b", k=128).collect()[0]
+    assert r["union_exact"] == 450 and r["inter_exact"] == 150
+    assert abs(r["union_est"] - 450) / 450 < 3 / (128 ** 0.5)
+    assert abs(r["jaccard_est"] - 150 / 450) < 0.15
+    assert abs(r["inter_est"] - 150) / 150 < 0.5
+
+    # tiny groups -> exact path (k_used < k)
+    tiny = spark.createDataFrame(
+        [Row(g="a", v=i) for i in range(5)] + [Row(g="b", v=i) for i in range(3, 8)]
+    )
+    t = kmv_set_ops(tiny, "g", "v", "a", "b", k=64).collect()[0]
+    assert t["union_est"] == t["union_exact"] == 8
+    assert t["inter_est"] == t["inter_exact"] == 2
+
+
+def test_kmv_set_ops_matches_duckdb(spark):
+    import duckdb as _d
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    from reiz_io_spark.operators.sketch import kmv_set_ops, kmv_set_ops_sql
+
+    a = [tuple(r) for r in kmv_set_ops(
+        e, "event_type", "user_id", "click", "view", k=32).collect()]
+    con = _d.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    b = [tuple(r) for r in con.execute(
+        kmv_set_ops_sql("events", "event_type", "user_id", "click", "view", k=32)
+    ).fetchall()]
+    assert a == b
