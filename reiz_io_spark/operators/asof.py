@@ -55,21 +55,31 @@ def asof_join_backward(
         .orderBy(F.col(ts).asc(), F.col("_is_right").desc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(F.when(F.col("_is_right") == 1, F.col(c)), ignorenulls=True)
-        .over(w).alias(c)
-        for c in ([f"right_{c}" for c in right_payload] + ["right_ts", "right_id"])
-    ]
+    # carry ONE struct per right row with a single last(ignorenulls), so
+    # every right_* output column comes from the SAME matched row — a
+    # right row whose payload column is NULL must not splice an older
+    # row's payload under a newer row's right_ts/right_id (per-column
+    # carries did exactly that).
+    r_cols = [f"right_{c}" for c in right_payload] + ["right_ts", "right_id"]
+    r_struct = F.when(
+        F.col("_is_right") == 1, F.struct(*[F.col(c) for c in r_cols])
+    )
+    carried = F.last(r_struct, ignorenulls=True).over(w).alias("_r")
     return (
-        u.select(key, ts, id_col, "_is_right", *carried)
+        u.select(key, ts, id_col, "_is_right", carried)
         .filter(F.col("_is_right") == 0)
-        .drop("_is_right")
+        .select(
+            key, ts, id_col,
+            *[F.col(f"_r.{c}").alias(c) for c in r_cols],
+        )
     )
 
 
 def purchases_last_click_sql() -> str:
     """DuckDB twin of the driver entry: every purchase joined to the
-    user's latest click at-or-before it."""
+    user's latest click at-or-before it. Carries the SAME single-struct
+    shape as the Spark operator (one last_value over a struct), so the
+    one-matched-row semantics are identical engine to engine."""
     return """
 WITH u AS (
   SELECT user_id, ts, event_id, 0 AS is_right,
@@ -83,21 +93,20 @@ WITH u AS (
 ),
 c AS (
   SELECT user_id, ts, event_id, is_right,
-         last_value(CASE WHEN is_right = 1 THEN right_value END IGNORE NULLS)
-           OVER w AS right_value,
-         last_value(CASE WHEN is_right = 1 THEN right_ts END IGNORE NULLS)
-           OVER w AS right_ts,
-         last_value(CASE WHEN is_right = 1 THEN right_id END IGNORE NULLS)
-           OVER w AS right_id
+         last_value(CASE WHEN is_right = 1 THEN struct_pack(
+             right_value := right_value, right_ts := right_ts,
+             right_id := right_id) END IGNORE NULLS)
+           OVER w AS r
   FROM u
   WINDOW w AS (PARTITION BY user_id
                ORDER BY ts ASC, is_right DESC, event_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, ts, event_id,
-       round(right_value, 6) AS right_value, right_ts, right_id,
-       epoch_us(ts) - epoch_us(right_ts) AS micros_since
-FROM c WHERE is_right = 0 AND right_ts IS NOT NULL
+       round(r['right_value'], 6) AS right_value,
+       r['right_ts'] AS right_ts, r['right_id'] AS right_id,
+       epoch_us(ts) - epoch_us(r['right_ts']) AS micros_since
+FROM c WHERE is_right = 0 AND r['right_ts'] IS NOT NULL
 """
 
 

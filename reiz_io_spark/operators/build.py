@@ -95,10 +95,20 @@ def _write_meta_atomic(meta_path: str, meta: dict) -> None:
     (the Iceberg metadata-log analog): snapshots within the GC
     retention window stay readable via IndexReader(..., at_version=N)
     — time travel; history files are tiny and are kept forever as the
-    commit log even after their data dirs are expired."""
+    commit log even after their data dirs are expired.
+
+    Ordering: the history file is written strictly AFTER the meta.json
+    os.replace succeeds — the commit log must only ever record committed
+    snapshots. (Writing it first left a phantom snapshot on a crash
+    between the two writes: snapshots() would list a version that was
+    never committed and whose number the replayed merge would reuse.)
+    A crash between meta.json and the history write loses only the log
+    row, which the next commit's writer cannot confuse with a live
+    snapshot — meta.json itself is always the source of truth."""
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=2)
+    os.replace(tmp, meta_path)
     version = meta.get("version")
     if version is not None:
         hist = os.path.join(
@@ -107,7 +117,6 @@ def _write_meta_atomic(meta_path: str, meta: dict) -> None:
         with open(hist + ".tmp", "w") as fh:
             json.dump(meta, fh, indent=2)
         os.replace(hist + ".tmp", hist)
-    os.replace(tmp, meta_path)
 
 
 def prepare_docs(corpus: DataFrame, n_shards: int) -> DataFrame:
@@ -560,8 +569,12 @@ def snapshots(out_dir: str) -> list[dict]:
             continue
         with open(os.path.join(out_dir, name)) as fh:
             meta = json.load(fh)
+        # resolve through table_dir() so readable agrees EXACTLY with
+        # what IndexReader(..., at_version=N) will open (a meta lacking
+        # the *_dir key falls back to the same _v1 default, instead of
+        # degrading to isdir(out_dir) == always-True)
         readable = all(
-            os.path.isdir(os.path.join(out_dir, meta.get(f"{t}_dir", "")))
+            os.path.isdir(table_dir(out_dir, meta, t))
             for t in ("dictionary", "blocks")
         )
         out.append({

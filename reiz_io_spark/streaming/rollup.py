@@ -16,6 +16,29 @@ Design (partial-aggregate table, the scale-correct shape):
   closed hours into one row) bounds even that — same maintenance as an
   Iceberg rewrite.
 
+Compaction correctness (the subtle part — foreachBatch is
+at-least-once, and readers are concurrent):
+
+- the compacted generation ENCODES ITS WATERMARK in its partition
+  value: folding batches 0..W produces the partition
+  ``batch_id = -(W+1)``. No side-channel watermark file — the commit
+  point is one atomic os.rename of the staged partition dir INTO the
+  live partials dir.
+- readers resolve the state from the partition listing alone: the
+  newest compacted generation is the MOST NEGATIVE batch_id C, its
+  watermark is W = -C-1, and the live view is
+  ``batch_id = C  OR  batch_id > W``. A batch replayed AFTER a
+  compaction that already folded it (the at-least-once crash case)
+  re-creates its batch_id=N <= W partition — which the read filter
+  ignores, so nothing is double-counted.
+- there is never a moment without a readable partials dir: compaction
+  stages the merged partition outside the dir, renames it in
+  (atomic), and only then deletes the superseded partitions. A crash
+  at ANY point leaves a consistent view — before the rename, nothing
+  changed; after it, the new generation already shadows everything it
+  folded (readers pick min(batch_id) as the newest generation, so a
+  crash before the old generation's delete is also consistent).
+
 Compare `streaming/windows.py` (watermarked in-memory windowed aggs —
 answers land in the sink); this operator maintains a QUERYABLE TABLE on
 shared storage, which is what a rollup/continuous aggregate is for:
@@ -35,6 +58,36 @@ PARTIALS_SCHEMA = (
 )
 
 
+def _partition_ids(partials_dir: str) -> list[int]:
+    try:
+        names = os.listdir(partials_dir)
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("batch_id="):
+            try:
+                out.append(int(n.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def compaction_state(rollup_dir: str) -> tuple[int | None, int]:
+    """(newest compacted partition id C or None, watermark W).
+
+    C is the most negative batch_id present; W = -C-1 is the highest
+    streaming batch folded into that generation (-1 when never
+    compacted). Derived purely from the partition listing, so it is
+    always consistent with what a reader can actually see."""
+    ids = _partition_ids(os.path.join(rollup_dir, "partials"))
+    neg = [i for i in ids if i < 0]
+    if not neg:
+        return None, -1
+    c = min(neg)
+    return c, -c - 1
+
+
 def rollup_partials(batch_df: DataFrame, batch_id: int) -> DataFrame:
     """One micro-batch -> its partial (hour, event_type) aggregate."""
     return (
@@ -52,10 +105,19 @@ def rollup_partials(batch_df: DataFrame, batch_id: int) -> DataFrame:
 
 def start_rollup(events_stream: DataFrame, rollup_dir: str, checkpoint: str):
     """foreachBatch writer: per-batch partials land in
-    rollup_dir/partials/batch_id=N (idempotent overwrite on replay)."""
+    rollup_dir/partials/batch_id=N (idempotent overwrite on replay).
+    Batches at or below the compaction watermark are already folded
+    into the compacted generation and are skipped — even if written
+    they would be invisible to read_rollup, but skipping saves the
+    write. A rollup_dir is bound to ONE checkpoint lineage: batch ids
+    are monotonic under the same checkpoint (the Structured Streaming
+    contract), which is what makes the watermark comparison sound."""
     partials_dir = os.path.join(rollup_dir, "partials")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _, watermark = compaction_state(rollup_dir)
+        if batch_id <= watermark:
+            return  # already folded into the compacted generation
         (
             rollup_partials(batch_df, batch_id)
             .repartition(1)
@@ -74,38 +136,67 @@ def start_rollup(events_stream: DataFrame, rollup_dir: str, checkpoint: str):
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
-    """The continuous-aggregate view: final-aggregate the partials."""
+    """The continuous-aggregate view: final-aggregate the live
+    partials — the newest compacted generation plus every batch above
+    its watermark. Superseded generations and replayed
+    already-compacted batches are filtered out, never double-counted."""
+    c, watermark = compaction_state(rollup_dir)
     partials = spark.read.schema(PARTIALS_SCHEMA).parquet(
         os.path.join(rollup_dir, "partials")
     )
-    return partials.groupBy("window_start", "event_type").agg(
+    live = F.col("batch_id") > watermark
+    if c is not None:
+        live = live | (F.col("batch_id") == c)
+    return partials.filter(live).groupBy("window_start", "event_type").agg(
         F.sum("n_events").alias("n_events"),
         F.round(F.sum("total_value"), 6).alias("total_value"),
     )
 
 
 def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
-    """Fold all existing partials into one batch_id=-1 partition (the
-    closed-hours compaction). Readers see the same totals before and
-    after; subsequent streaming batches keep appending new partials."""
+    """Fold the live partials (current compacted generation + batches
+    above its watermark) into ONE new generation ``batch_id=-(W'+1)``
+    where W' is the highest streaming batch folded. Readers see the
+    same totals before, during, and after; a crash anywhere leaves a
+    readable, non-double-counting state (see module docstring)."""
     partials_dir = os.path.join(rollup_dir, "partials")
+    c, watermark = compaction_state(rollup_dir)
+    ids = _partition_ids(partials_dir)
+    new_batches = [i for i in ids if i > watermark]
+    if not new_batches:
+        return  # nothing new since the last compaction
+    new_wm = max(new_batches)
+
+    live = F.col("batch_id") > watermark
+    if c is not None:
+        live = live | (F.col("batch_id") == c)
     merged = (
         spark.read.schema(PARTIALS_SCHEMA)
         .parquet(partials_dir)
+        .filter(live)
         .groupBy("window_start", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
             F.sum("total_value").alias("total_value"),
         )
-        .withColumn("batch_id", F.lit(-1))
     )
-    staging = os.path.join(rollup_dir, "partials_compacted")
-    merged.repartition(1).write.mode("overwrite").partitionBy("batch_id").parquet(
-        staging
-    )
+    # stage OUTSIDE the partials dir, then one atomic rename in: the
+    # partition (with its watermark-encoding name) either exists fully
+    # or not at all; no reader ever sees a half-written generation or a
+    # missing partials dir.
+    staging = os.path.join(rollup_dir, f"_compact_staging_{new_wm}")
+    merged.repartition(1).write.mode("overwrite").parquet(staging)
+    new_part = os.path.join(partials_dir, f"batch_id={-(new_wm + 1)}")
     import shutil
 
-    old = os.path.join(rollup_dir, "partials_old")
-    shutil.move(partials_dir, old)
-    shutil.move(staging, partials_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(new_part, ignore_errors=True)  # stale crash leftover
+    os.rename(staging, new_part)
+    # the new generation now shadows everything it folded; deleting the
+    # superseded partitions is pure GC (readers already ignore them:
+    # min(batch_id) selects the new generation, whose watermark W'
+    # covers every id listed before the rename — streaming batches are
+    # all <= W' and older generations encode watermarks < W').
+    for i in ids:
+        shutil.rmtree(
+            os.path.join(partials_dir, f"batch_id={i}"), ignore_errors=True
+        )

@@ -102,3 +102,73 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert _rows(read_rollup(spark, rollup_dir)) == batch
     post = spark.read.parquet(os.path.join(rollup_dir, "partials"))
     assert post.select("batch_id").distinct().count() == 1
+
+
+def test_rollup_replay_after_compaction_no_double_count(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch re-delivered AFTER a
+    compaction that already folded it must not change totals — its
+    partition is below the compacted generation's watermark, so the
+    reader ignores it. Subsequent compactions fold only live data."""
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    rollup_dir = str(tmp_path / "rollup")
+    partials = os.path.join(rollup_dir, "partials")
+    for df, bid in ((b0, 0), (b1, 1)):
+        (
+            rollup_partials(df, bid)
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(partials)
+        )
+    expect = _rows(read_rollup(spark, rollup_dir))
+
+    compact_rollup(spark, rollup_dir)
+    assert _rows(read_rollup(spark, rollup_dir)) == expect
+    # compacted generation encodes its watermark: batches 0..1 -> -2
+    post = {
+        r["batch_id"]
+        for r in spark.read.parquet(partials).select("batch_id").distinct().collect()
+    }
+    assert post == {-2}
+
+    # crash-replay of batch 1 AFTER compaction: the raw partition
+    # overwrite lands (simulating a foreachBatch re-delivery that
+    # bypassed the skip), but the reader must not double-count it
+    (
+        rollup_partials(b1, 1)
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(partials)
+    )
+    assert _rows(read_rollup(spark, rollup_dir)) == expect
+
+    # a second compaction folds ONLY live partitions (the replayed
+    # below-watermark partition is dead data, GC'd not re-counted)
+    compact_rollup(spark, rollup_dir)
+    assert _rows(read_rollup(spark, rollup_dir)) == expect
+
+    # new batch above the watermark IS live and compacts in
+    b2 = rollup_partials(b0, 2)
+    (
+        b2.repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(partials)
+    )
+    grown = _rows(read_rollup(spark, rollup_dir))
+    assert grown != expect
+    compact_rollup(spark, rollup_dir)
+    assert _rows(read_rollup(spark, rollup_dir)) == grown
+    post = {
+        r["batch_id"]
+        for r in spark.read.parquet(partials).select("batch_id").distinct().collect()
+    }
+    assert post == {-3}
