@@ -232,16 +232,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("doc_id", "n_bytes", "width", "height",
              F.round("mean_luma", 6).alias("mean_luma"))
 
-    # --- the code-search engine itself (flagship, rows-only: the full
-    # inverted-index build + block-max WAND cannot be expressed in one
-    # ANSI-SQL statement; correctness is gated by the 54 rank-identity
-    # tests against the pure-Python oracle in tests/) -----------------------
+    # --- the code-search engine itself (flagship): the full
+    # inverted-index build + block-max WAND. Hash-checked via the
+    # materialized tokenizer-output side table (oracle_tables.py):
+    # DuckDB recomputes conjunctive BM25 top-k from (term, doc_id, tf,
+    # dl) with its own SQL arithmetic, so the whole distributed index
+    # pipeline (salted shuffle, delta/varint codec, block-max WAND,
+    # metadata join) sits inside the compare. Also gated by the 54
+    # rank-identity tests against the pure-Python oracle in tests/.
     q["code_search_wand"] = _code_search_wand
     # exact structural semantics + match line numbers (reiz/fetch.py
     # parity): a `not` query whose index-level candidates contain false
-    # positives that the verify stage must eliminate. Rows-only check;
-    # exactness is pytest-gated against the golden `# tp:` line sets
-    # for all 27 reference queries (tests/test_verify.py).
+    # positives that the verify stage must eliminate. Hash-checked
+    # against the pre-materialized single-threaded golden table
+    # (oracle BM25 ranking + plans/matcher spans + link projection);
+    # also pytest-gated against the golden `# tp:` line sets for all
+    # 27 reference queries (tests/test_verify.py).
     q["code_search_positions"] = _code_search_positions
 
     # --- general relational operators (joins/windows/aggs) --------------------
@@ -727,8 +733,17 @@ FROM documents
         n=JACCARD_N, threshold=JACCARD_T
     )
     o["dedup_simhash"] = dedup_checkable.simhash_checkable_sql()
-    # code_search_wand / code_search_positions: non-SQL-expressible (the
-    # full inverted-index build + block-max WAND, structural AST
-    # matching) -> rows-only checks; both pytest-gated (54 rank-identity
-    # tests, 27-query golden-tp-line exactness).
+    # code_search_wand / code_search_positions: the tokenizer itself is
+    # ast-driven (not SQL-expressible), so its output is materialized
+    # as deterministic parquet side tables by pure Python (no Spark,
+    # order-independent of the driver's compare) and DuckDB takes it
+    # from there — recomputing BM25 for the WAND entry, reading the
+    # single-threaded golden matcher table for the positions entry.
+    from reiz_io_spark import oracle_tables
+
+    oracle_tables.ensure_oracle_tables()
+    o["code_search_wand"] = oracle_tables.wand_oracle_sql(
+        "flagship", "Call(Name('len'))", k=10
+    )
+    o["code_search_positions"] = oracle_tables.positions_oracle_sql()
     return o
