@@ -41,8 +41,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.window import Window
 
 from .similarity import _dot, _norm, embedding_dim
+
+
+def _local_topk(
+    qid: int, vec_ids: np.ndarray, approx: np.ndarray, n_cand: int
+) -> pd.DataFrame:
+    """Per-batch candidate pruning — the map-side half of the two-level
+    top-k. Selection uses the SAME total order as the global window
+    (approx desc, vec_id asc), so per-partition top-n_cand composes to
+    the exact global top-n_cand: the shuffle below the window carries
+    at most n_queries * n_cand rows per scan batch instead of every
+    scored vector (at 10^9 vectors the unpruned shape funneled the
+    whole corpus through one reducer per query — the same fix as the
+    WAND path's two-level LIMIT, wand.py)."""
+    if len(vec_ids) > n_cand:
+        # argpartition finds the n_cand-th score in O(n); every row at
+        # or above it (including boundary ties) joins the survivor set,
+        # and an exact sort of that tiny set settles the ties by the
+        # global total order — bit-identical selection to the unpruned
+        # window.
+        part = np.argpartition(-approx, n_cand - 1)
+        kth = approx[part[n_cand - 1]]
+        cand = np.flatnonzero(approx >= kth)
+        order = cand[np.lexsort((vec_ids[cand], -approx[cand]))][:n_cand]
+    else:
+        order = np.lexsort((vec_ids, -approx))[:n_cand]
+    return pd.DataFrame(
+        {"query_id": qid, "vec_id": vec_ids[order], "approx": approx[order]}
+    )
+
+
+def _global_topk_candidates(approx, n_cand: int):
+    """Reduce-side half: the global per-query window now runs over the
+    pruned survivor set (<= n_cand * n_scan_batches rows per query)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    return (
+        approx.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n_cand)
+        .select("query_id", "vec_id")
+    )
 
 
 def _sample_matrix(
@@ -170,25 +210,12 @@ def pq_topk(
             for qid, lut in luts.items():
                 approx = lut[np.arange(m)[:, None], code_mat.T].sum(axis=0)
                 keep = vec_ids != qid
-                outs.append(pd.DataFrame({
-                    "query_id": qid,
-                    "vec_id": vec_ids[keep],
-                    "approx": approx[keep],
-                }))
+                outs.append(_local_topk(qid, vec_ids[keep], approx[keep], n_cand))
             if outs:
                 yield pd.concat(outs)
 
     approx = codes.mapInPandas(scan, out_schema)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx"), F.asc("vec_id")
-    )
-    cands = (
-        approx.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= n_cand)
-        .select("query_id", "vec_id")
-    )
+    cands = _global_topk_candidates(approx, n_cand)
 
     # exact refine: point-lookup join of candidates against raw vectors
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
@@ -266,11 +293,7 @@ def ivf_pq_topk(
                 approx = lut[
                     np.arange(m)[:, None], code_mat[keep].T
                 ].sum(axis=0)
-                outs.append(pd.DataFrame({
-                    "query_id": qid,
-                    "vec_id": vec_ids[keep],
-                    "approx": approx,
-                }))
+                outs.append(_local_topk(qid, vec_ids[keep], approx, n_cand))
             if outs:
                 yield pd.concat(outs)
 
@@ -279,14 +302,7 @@ def ivf_pq_topk(
     # file pruning; here: a pushed filter)
     pruned = codes.filter(F.col("list_id").isin(all_probed))
     approx = pruned.mapInPandas(scan, out_schema)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
-    cands = (
-        approx.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= n_cand)
-        .select("query_id", "vec_id")
-    )
+    cands = _global_topk_candidates(approx, n_cand)
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )

@@ -128,3 +128,40 @@ def test_codes_compress(emb):
     d = similarity.embedding_dim(emb)
     assert len(row["codes"]) == 4 < d
     assert all(0 <= c < 16 for c in row["codes"])
+
+
+def test_local_topk_matches_full_sort():
+    """Map-side pruning selects by the exact global order (approx desc,
+    vec_id asc), including boundary ties — bit-identical to sorting the
+    whole batch."""
+    rng = np.random.RandomState(11)
+    for n, n_cand in ((1000, 40), (50, 64), (200, 10)):
+        ids = rng.permutation(n).astype("int64")
+        # quantized scores -> plenty of exact ties at the boundary
+        approx = rng.randint(0, 17, size=n).astype("float64")
+        got = pq._local_topk(7, ids, approx, n_cand)
+        full = sorted(zip(-approx, ids))[:n_cand]
+        want = [(int(i), float(-a)) for a, i in full]
+        assert list(zip(got["vec_id"], got["approx"])) == want
+
+
+def test_candidate_volume_bounded(spark, emb, monkeypatch):
+    """The exchange below the per-query window carries at most
+    n_queries * n_cand rows per scan batch — never the full scored
+    corpus (the 100-TB shape: local top-k before the shuffle)."""
+    captured = {}
+    orig = pq._global_topk_candidates
+
+    def spy(approx, n_cand):
+        captured["rows"] = approx.count()
+        captured["n_cand"] = n_cand
+        return orig(approx, n_cand)
+
+    monkeypatch.setattr(pq, "_global_topk_candidates", spy)
+    qids = [0, 1, 2]
+    got = pq.pq_topk(emb, qids, k=10, m=4, n_codes=16, refine_factor=4).collect()
+    assert len(got) > 0
+    n_vecs = emb.count()
+    n_batches = emb.rdd.getNumPartitions() * 2  # Arrow may split batches
+    assert captured["rows"] <= len(qids) * captured["n_cand"] * n_batches
+    assert captured["rows"] < len(qids) * n_vecs  # strictly pruned
