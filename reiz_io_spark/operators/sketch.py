@@ -9,11 +9,22 @@ smallest distinct hash is R, the value count is ≈ (k-1)/R. Here the
 hash is the first 15 hex digits of md5 (60 bits, < 2^60 so it fits a
 BIGINT in both engines), normalized by 2^60.
 
-Scale shape: per group, the sketch state is the k smallest distinct
-hashes — a bounded top-k aggregation (window rank over hash asc), NO
-full distinct materialization at 10^12 rows; sketches of partitions
-merge by keeping the k smallest of the union (the standard KMV merge),
-which is exactly what the partial/final window aggregation does.
+Scale shape — true bounded state, the KMV merge property made literal:
+
+- map side: one pass over each input partition keeps, per group, the k
+  smallest DISTINCT hashes seen in that partition (an O(k) running
+  state, pruned as it streams). Output is <= k rows per
+  (partition, group) — never the distinct set.
+- reduce side: sketches merge by keeping the k smallest of their union
+  (array_sort + slice over <= n_partitions * k values per group).
+
+No corpus-sized `.distinct()` and no global window over all distinct
+hashes anywhere in the sketch path (the r03 shape did both; at 10^12
+rows that materializes the full distinct set the sketch exists to
+avoid). The driver-entry wrapper joins an `exact_distinct` WITNESS
+column for the hash gate — that witness is the expensive computation
+the sketch replaces and is the only full-distinct scan left; drop it
+at production scale.
 
 When a group has fewer than k distinct values the sketch degrades to
 the exact count (standard KMV convention).
@@ -21,13 +32,13 @@ the exact count (standard KMV convention).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TWO_60 = float(1 << 60)
 
 
-def _hash60(col):
+def _hash60(col) -> Column:
     """First 15 hex digits of md5 as a BIGINT — bit-identical to
     DuckDB's ('0x' || substr(md5(x), 1, 15))::BIGINT."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
@@ -35,48 +46,103 @@ def _hash60(col):
     )
 
 
-def kmv_distinct_by_group(
-    df: DataFrame, group_col: str, value_col: str, k: int = 64
+def kmin_partials(
+    df: DataFrame, group_col: str, value_col: str, k: int
 ) -> DataFrame:
-    """(group, k_used, kth_hash, est_distinct, exact_distinct) per
-    group value. exact_distinct rides along as the accuracy witness
-    (at production scale you would drop it — it is the expensive thing
-    the sketch replaces)."""
-    from pyspark.sql.window import Window
+    """Map-side KMV state: (grp, hv) with <= k rows per (input
+    partition, group) — the bounded partial every merge consumes."""
+    import pandas as pd
 
-    hashes = df.select(
-        F.col(group_col).alias("grp"), _hash60(F.col(value_col)).alias("hv")
-    ).distinct()
-    w = Window.partitionBy("grp").orderBy(F.asc("hv"))
-    smallest = hashes.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") <= k
+    hashed = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        _hash60(F.col(value_col)).alias("hv"),
     )
-    agg = smallest.groupBy("grp").agg(
-        F.count("*").alias("k_used"),
-        F.max("hv").alias("kth_hash"),
+
+    def partial(batches):
+        state: dict[str, set[int]] = {}
+        for pdf in batches:
+            for grp, sub in pdf.groupby("grp"):
+                s = state.setdefault(grp, set())
+                s.update(int(h) for h in sub["hv"].unique())
+                if len(s) > 4 * k:  # stream-prune: keep the k smallest
+                    state[grp] = set(sorted(s)[:k])
+        grps, hvs = [], []
+        for grp, s in state.items():
+            for hv in sorted(s)[:k]:
+                grps.append(grp)
+                hvs.append(hv)
+        yield pd.DataFrame({"grp": grps, "hv": hvs})
+
+    return hashed.mapInPandas(partial, "grp string, hv long")
+
+
+def _merge_sketch(partials: DataFrame, k: int) -> DataFrame:
+    """(grp, sketch array<long>) — the KMV merge: k smallest of the
+    union of the per-partition partials (<= n_partitions * k values
+    per group reach this aggregation)."""
+    return partials.groupBy("grp").agg(
+        F.slice(F.array_sort(F.collect_set("hv")), 1, k).alias("sketch")
     )
-    exact = hashes.groupBy("grp").agg(F.count("*").alias("exact_distinct"))
-    est = F.when(
+
+
+def _estimate(k: int) -> Column:
+    """(k-1)/R scaled to the 60-bit hash space; exact-count degrade
+    below k. Identical expression to the DuckDB twin."""
+    return F.when(
         F.col("k_used") < k, F.col("k_used").cast("double")
     ).otherwise(
         (F.col("k_used") - 1).cast("double") * F.lit(TWO_60) / F.col("kth_hash")
     )
-    return (
-        agg.join(exact, "grp")
-        .select(
-            F.col("grp").alias(group_col),
-            F.col("k_used").cast("int").alias("k_used"),
-            "kth_hash",
-            F.round(est, 6).alias("est_distinct"),
-            "exact_distinct",
+
+
+def kmv_sketch_by_group(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """(group, k_used, kth_hash, est_distinct) per group — the pure
+    bounded-state sketch (the production path: no full-distinct scan
+    anywhere in its plan)."""
+    merged = _merge_sketch(kmin_partials(df, group_col, value_col, k), k)
+    return merged.select(
+        F.col("grp").alias(group_col),
+        F.size("sketch").cast("int").alias("k_used"),
+        F.element_at("sketch", F.size("sketch")).alias("kth_hash"),
+    ).select(
+        group_col,
+        "k_used",
+        "kth_hash",
+        F.round(_estimate(k), 6).alias("est_distinct"),
+    )
+
+
+def kmv_distinct_by_group(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Driver-entry variant: the bounded sketch + an `exact_distinct`
+    accuracy WITNESS column (a full distinct count — the expensive
+    thing the sketch replaces; it exists so the driver's hash gate can
+    verify the estimate, and is dropped at production scale)."""
+    sk = kmv_sketch_by_group(df, group_col, value_col, k)
+    exact = (
+        df.select(
+            F.col(group_col).cast("string").alias(group_col),
+            _hash60(F.col(value_col)).alias("hv"),
         )
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    return sk.join(exact, group_col).select(
+        group_col, "k_used", "kth_hash", "est_distinct", "exact_distinct"
     )
 
 
 def kmv_distinct_by_group_sql(
     table: str, group_col: str, value_col: str, k: int = 64
 ) -> str:
-    """DuckDB twin (same hash, same window top-k, same estimator)."""
+    """DuckDB twin (same hash, same k-smallest-distinct selection, same
+    estimator — the twin states the DEFINITION; the Spark side computes
+    it with bounded partials, which the KMV merge property makes
+    equal)."""
     return f"""
 WITH hashes AS (
   SELECT DISTINCT {group_col} AS grp,
@@ -120,43 +186,42 @@ def kmv_set_ops(
     the two sketches' union, giving |A ∪ B| ≈ (k-1)/R as usual; the
     fraction rho of union-sketch members present in BOTH per-group
     sketches estimates Jaccard, and |A ∩ B| ≈ rho * |A ∪ B|.
-    Deterministic — exact DuckDB twin; exact values ride along as the
-    accuracy witness. One row: (k_used, union_est, inter_est,
-    jaccard_est, union_exact, inter_exact)."""
-    from pyspark.sql.window import Window
 
-    hashes = (
-        df.filter(F.col(group_col).isin([group_a, group_b]))
-        .select(
-            F.col(group_col).alias("grp"),
-            _hash60(F.col(value_col)).alias("hv"),
-        )
-        .distinct()
+    Scale shape: the per-group sketches come from the same bounded
+    kmin_partials pipeline (map-side k-min, no distinct); the set
+    algebra then runs on two k-length ARRAYS in a single row — pure
+    Catalyst array functions, no joins, no windows. Deterministic —
+    exact DuckDB twin; exact values ride along as the accuracy
+    witness (the full-distinct scan the sketch replaces — drop it at
+    production scale). One row: (k_used, union_est, inter_est,
+    jaccard_est, union_exact, inter_exact)."""
+    sub = df.filter(F.col(group_col).isin([group_a, group_b]))
+    partials = kmin_partials(sub, group_col, value_col, k)
+    one = partials.agg(
+        F.slice(
+            F.array_sort(
+                F.collect_set(F.when(F.col("grp") == group_a, F.col("hv")))
+            ), 1, k,
+        ).alias("a"),
+        F.slice(
+            F.array_sort(
+                F.collect_set(F.when(F.col("grp") == group_b, F.col("hv")))
+            ), 1, k,
+        ).alias("b"),
     )
-    w = Window.partitionBy("grp").orderBy(F.asc("hv"))
-    sk = hashes.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
-    in_a = sk.filter(F.col("grp") == group_a).select("hv").withColumn(
-        "in_a", F.lit(1)
-    )
-    in_b = sk.filter(F.col("grp") == group_b).select("hv").withColumn(
-        "in_b", F.lit(1)
-    )
-    wu = Window.orderBy(F.asc("hv"))
-    union_sk = (
-        sk.select("hv").distinct()
-        .withColumn("r", F.row_number().over(wu))
-        .filter(F.col("r") <= k)
-        .join(in_a, "hv", "left")
-        .join(in_b, "hv", "left")
-    )
-    agg = union_sk.agg(
-        F.count("*").alias("k_used"),
-        F.max("hv").alias("kth"),
-        F.sum(
-            (F.coalesce(F.col("in_a"), F.lit(0)) * F.coalesce(F.col("in_b"), F.lit(0)))
-        ).alias("n_both"),
+    u = F.slice(F.array_sort(F.array_union("a", "b")), 1, k)
+    one = one.select(
+        "a", "b", u.alias("u")
+    ).select(
+        F.size("u").cast("int").alias("k_used"),
+        F.when(F.size("u") > 0, F.element_at("u", F.size("u"))).alias("kth_hash"),
+        F.size(F.array_intersect(F.array_intersect("u", "a"), "b"))
+        .cast("long").alias("n_both"),
     )
     # exact witness (the expensive thing the sketch replaces)
+    hashes = sub.select(
+        F.col(group_col).alias("grp"), _hash60(F.col(value_col)).alias("hv")
+    ).distinct()
     ex = hashes.groupBy("hv").agg(
         F.max(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("a"),
         F.max(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("b"),
@@ -166,10 +231,12 @@ def kmv_set_ops(
     )
     union_est = F.when(
         F.col("k_used") < k, F.col("k_used").cast("double")
-    ).otherwise((F.col("k_used") - 1).cast("double") * F.lit(TWO_60) / F.col("kth"))
+    ).otherwise(
+        (F.col("k_used") - 1).cast("double") * F.lit(TWO_60) / F.col("kth_hash")
+    )
     rho = F.col("n_both").cast("double") / F.col("k_used")
-    return agg.crossJoin(ex).select(
-        F.col("k_used").cast("int").alias("k_used"),
+    return one.crossJoin(ex).select(
+        "k_used",
         F.round(union_est, 6).alias("union_est"),
         F.round(rho * union_est, 6).alias("inter_est"),
         F.round(rho, 6).alias("jaccard_est"),

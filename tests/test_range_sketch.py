@@ -147,3 +147,43 @@ def test_kmv_set_ops_matches_duckdb(spark):
         kmv_set_ops_sql("events", "event_type", "user_id", "click", "view", k=32)
     ).fetchall()]
     assert a == b
+
+
+def test_kmv_partials_bounded_and_plan_has_no_distinct(spark):
+    """The sketch path's bounded-state contract: the map-side partial
+    emits <= k rows per (partition, group), and the production sketch
+    plan contains NO full-distinct aggregation and NO window — the
+    only shuffle is the k-length-partial merge."""
+    from reiz_io_spark.operators.sketch import kmin_partials, kmv_sketch_by_group
+
+    df = spark.range(0, 20_000, 1, 8).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 5000).alias("v"),
+    )
+    k = 32
+    partials = kmin_partials(df, "g", "v", k)
+    assert partials.count() <= 8 * 3 * k
+    # partials really are the k smallest per (partition, group): merged
+    # sketch == the definition computed the expensive way
+    sk = {r["g"]: r for r in kmv_sketch_by_group(df, "g", "v", k=k).collect()}
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("g").orderBy("hv")
+    from reiz_io_spark.operators.sketch import _hash60
+
+    ref = (
+        df.select(F.col("g"), _hash60(F.col("v")).alias("hv")).distinct()
+        .withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+        .groupBy("g").agg(F.count("*").alias("k_used"), F.max("hv").alias("kth"))
+    )
+    for r in ref.collect():
+        assert sk[r["g"]]["k_used"] == r["k_used"]
+        assert sk[r["g"]]["kth_hash"] == r["kth"]
+    plan = kmv_sketch_by_group(df, "g", "v", k=k)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the only aggregate keys allowed are the merge's (grp) — a
+    # (grp, hv) keyed aggregate would be the full distinct
+    import re
+
+    for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
+        assert "hv" not in m.group(1), plan
