@@ -43,6 +43,7 @@ class IndexReader:
         self, spark: SparkSession, index_dir: str, at_version: int | None = None
     ):
         self.spark = spark
+        self.index_dir = index_dir
         self.paths = _paths(index_dir)
         meta_path = self.paths["meta"]
         if at_version is not None:

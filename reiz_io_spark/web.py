@@ -6,9 +6,13 @@ ranked results, POST /analyze returns the lowered plan (the reference
 returns the compiled EdgeQL; we return the CNF term groups + per-term
 index stats + the chosen execution route), GET /stats returns corpus
 statistics. Response envelope mirrors the reference
-(status/results/exception, api.py:130-142); an in-process result cache
-keyed by the request body plays the Redis role (api.py:50-63), and a
-per-client sliding-window rate limit matches sanic-limiter's two tiers
+(status/results/exception, api.py:130-142); the result cache is two
+tiers playing the Redis role (api.py:50-63): an L1 in-process bounded
+LRU plus the L2 CROSS-FRONTEND shared table next to the index snapshot
+(result_cache.py) — the reference's Redis is shared by all sanic
+workers, and with share-nothing frontends the shared table is what
+keeps a hot query from re-executing once per process. A per-client
+sliding-window rate limit matches sanic-limiter's two tiers
 (api.py:72 "240 per hour;10/minute").
 
 Long-lived-process hygiene: the result cache is a bounded LRU, the
@@ -42,11 +46,24 @@ def make_handler(
     per_minute: int = RATE_LIMIT_PER_MINUTE,
     per_hour: int = RATE_LIMIT_PER_HOUR,
     cache_max: int = RESULT_CACHE_MAX,
+    shared_cache: bool = True,
 ):
     cache: OrderedDict[str, list] = OrderedDict()
     cache_lock = threading.Lock()
     hits: OrderedDict[str, list[float]] = OrderedDict()
     hits_lock = threading.Lock()
+    # L2: the cross-frontend shared cache table next to the index (the
+    # Redis-shared-by-all-workers analog, reiz/web/api.py:50-63) — a hot
+    # query executes once per CLUSTER, not once per frontend process.
+    # Keyed by the index snapshot version, so a merge invalidates it.
+    l2 = None
+    if shared_cache:
+        from .result_cache import for_reader
+
+        try:
+            l2 = for_reader(service.reader)
+        except OSError:  # read-only index dir -> L1 only
+            l2 = None
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet test output
@@ -149,6 +166,18 @@ def make_handler(
                     return self._send(200, {"status": "success",
                                             "results": cache[key],
                                             "exception": None, "cached": True})
+            if l2 is not None:  # another frontend may have computed it
+                shared = l2.get(key)
+                if shared is not None:
+                    with cache_lock:
+                        cache[key] = shared
+                        cache.move_to_end(key)
+                        while len(cache) > cache_max:
+                            cache.popitem(last=False)
+                    return self._send(200, {"status": "success",
+                                            "results": shared,
+                                            "exception": None,
+                                            "cached": "shared"})
             try:
                 if positions:
                     results = service.query_positions(q, k=k, offset=offset)
@@ -161,6 +190,8 @@ def make_handler(
                 cache.move_to_end(key)
                 while len(cache) > cache_max:  # bounded LRU (the Redis role)
                     cache.popitem(last=False)
+            if l2 is not None:
+                l2.put(key, results)
             self._send(200, {"status": "success", "results": results,
                              "exception": None, "cached": False})
 

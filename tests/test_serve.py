@@ -223,8 +223,12 @@ def test_result_cache_is_bounded_lru(service):
     False on re-request)."""
     from reiz_io_spark.web import start_background
 
+    # L1-only server: this test is about the in-process LRU bound (the
+    # shared L2 tier would satisfy the evicted re-request; it has its
+    # own tests below)
     httpd, port = start_background(
-        service, per_minute=10_000, per_hour=100_000, cache_max=2
+        service, per_minute=10_000, per_hour=100_000, cache_max=2,
+        shared_cache=False,
     )
     base = f"http://127.0.0.1:{port}"
     try:
@@ -238,3 +242,56 @@ def test_result_cache_is_bounded_lru(service):
         assert _post(base, "/query", q1)["cached"] is False
     finally:
         httpd.shutdown()
+
+
+def test_shared_cache_across_frontends(service, monkeypatch):
+    """Reference parity (reiz/web/api.py:50-63 — ONE Redis shared by
+    all sanic workers): two share-nothing frontends over the same index
+    snapshot; the second frontend's first identical query is a shared
+    hit and does NOT re-execute."""
+    from reiz_io_spark.serve import QueryService
+    from reiz_io_spark.web import start_background
+
+    calls = {"n": 0}
+    orig = QueryService.query_topk
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(QueryService, "query_topk", counting)
+
+    body = {"query": "Call(Name('sorted'))", "limit": 3}
+    a, port_a = start_background(service, per_minute=10_000, per_hour=100_000)
+    b, port_b = start_background(service, per_minute=10_000, per_hour=100_000)
+    try:
+        r1 = _post(f"http://127.0.0.1:{port_a}", "/query", body)
+        assert r1["cached"] is False and calls["n"] == 1
+        # frontend B has a cold private L1 but sees A's L2 entry
+        r2 = _post(f"http://127.0.0.1:{port_b}", "/query", body)
+        assert r2["cached"] == "shared"
+        assert r2["results"] == r1["results"]
+        assert calls["n"] == 1  # never re-executed
+        # and B's L1 is now warm
+        r3 = _post(f"http://127.0.0.1:{port_b}", "/query", body)
+        assert r3["cached"] is True and calls["n"] == 1
+    finally:
+        a.shutdown()
+        b.shutdown()
+
+
+def test_shared_cache_version_invalidation(tmp_path):
+    """A merge that flips the snapshot version makes every old entry
+    unreachable; the bound prunes stale-version files first."""
+    from reiz_io_spark.result_cache import SharedResultCache
+
+    d = str(tmp_path / "ix")
+    c1 = SharedResultCache(d, version=1, max_entries=4)
+    c1.put("q", [1, 2, 3])
+    assert c1.get("q") == [1, 2, 3]
+    c2 = SharedResultCache(d, version=2, max_entries=4)
+    assert c2.get("q") is None  # new snapshot -> old entry unreachable
+    for i in range(6):  # exceed the bound -> stale v1 file pruned first
+        c2.put(f"q{i}", [i])
+    assert c1.get("q") is None
+    assert sum(1 for i in range(6) if c2.get(f"q{i}") is not None) >= 4
