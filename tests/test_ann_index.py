@@ -1,0 +1,87 @@
+"""Persistent IVF-PQ index: build/search round trip, partition-pruned
+probed scan, probe-all == in-memory flat PQ identity, recall gate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from reiz_io_spark.operators import ann_index, pq, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+QIDS = [0, 1, 2]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, emb, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ann_index"))
+    meta = ann_index.build_ann_index(
+        emb, d, m=4, n_codes=16, n_lists=8, seed=7
+    )
+    assert meta["n_vectors"] == emb.count()
+    return d
+
+
+def test_codes_partitioned_by_list(spark, index_dir):
+    names = os.listdir(os.path.join(index_dir, "codes"))
+    parts = [n for n in names if n.startswith("list_id=")]
+    assert len(parts) >= 2  # real partition dirs, one per populated list
+
+
+def test_probed_scan_has_partition_filters(spark, index_dir):
+    """The IVF seek must be FILE pruning: the probed-lists filter lands
+    in PartitionFilters of the parquet scan, not a post-scan Filter."""
+    plan = (
+        ann_index.probed_codes_scan(spark, index_dir, [0, 1])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan
+
+
+def test_search_probe_all_equals_flat_pq(spark, emb, index_dir):
+    """Probing every list prunes nothing, so the persisted-index search
+    must return exactly the in-memory flat-PQ result — build/save/load
+    changes WHERE the codes live, never the answer."""
+    got = sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, index_dir, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect())
+    flat = sorted(tuple(r) for r in pq.pq_topk(
+        emb, QIDS, k=10, m=4, n_codes=16, refine_factor=8
+    ).collect())
+    assert got == flat
+
+
+def test_search_recall_and_exact_scores(spark, emb, index_dir):
+    exact = similarity.brute_force_topk(emb, QIDS, k=10).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact
+    }
+    got = ann_index.ann_index_search(
+        spark, index_dir, emb, QIDS, k=10, n_probe=6, refine_factor=16
+    ).collect()
+    pairs = {(r["query_id"], r["vec_id"]) for r in got}
+    assert len(pairs & exact_pairs) / len(exact_pairs) >= 0.5
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_search_volume_is_partition_bounded(spark, emb, index_dir):
+    """With n_probe=2 of 8 lists the probed scan reads a strict subset
+    of the corpus rows."""
+    n_total = emb.count()
+    probed = ann_index.probed_codes_scan(spark, index_dir, [0, 1])
+    assert 0 < probed.count() < n_total
