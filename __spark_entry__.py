@@ -176,6 +176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_clusters"] = lambda s, d: dedup.dup_clusters(
         _docs(s, d), n=JACCARD_N, threshold=JACCARD_T
     )
+    # chunk-granular dedup (the LLM-pipeline unit: repeated boilerplate
+    # blocks across otherwise-distinct docs; w-token windows, one
+    # shuffle on the chunk hash)
+    q["dedup_chunks"] = lambda s, d: dedup.chunk_dedup(_docs(s, d), w=12)
 
     # --- similarity search ---------------------------------------------------
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk(
@@ -642,6 +646,7 @@ FROM documents GROUP BY sha256(text)
         n=JACCARD_N, threshold=JACCARD_T
     )
     o["dedup_clusters"] = dedup.dup_clusters_sql(n=JACCARD_N, threshold=JACCARD_T)
+    o["dedup_chunks"] = dedup.chunk_dedup_sql(w=12)
     o["ann_cosine_topk"] = similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=10)
     o["dedup_embedding_exact"] = similarity.embedding_dup_pairs_exact_sql(
         threshold=0.25

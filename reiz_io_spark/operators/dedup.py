@@ -53,6 +53,70 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def chunk_dedup(documents: DataFrame, w: int = 12) -> DataFrame:
+    """Chunk-granular exact dedup — the unit LLM training pipelines
+    dedup at (fixed token-window chunks, not whole documents): a
+    boilerplate block repeated across many otherwise-distinct docs is
+    caught here and missed by whole-doc dedup.
+
+    Each doc's token stream splits into ceil(len/w) w-token chunks;
+    duplicated chunks (seen >1 time corpus-wide) are reported with
+    their multiplicity, distinct-doc spread, and the canonical keeper
+    (min doc_id). Map-side: tokenize + chunk inside one projection
+    (zero UDF); ONE shuffle on the chunk hash. At 100 TB the groupBy
+    carries (hash, doc_id, chunk_no) rows — never the chunk text
+    (hashed before the exchange).
+
+    Output: (chunk_md5, n_copies, n_docs, keep_doc_id), duplicated
+    chunks only."""
+    toks = documents.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") > 0)
+    n_chunks = F.ceil(F.size("t") / F.lit(float(w))).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i * w + 1, w))),
+            )
+        ).alias("chunk_no", "chunk_md5"),
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def chunk_dedup_sql(w: int = 12) -> str:
+    """DuckDB twin of chunk_dedup (same tokenizer regex, same chunking
+    arithmetic, same md5)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_no,
+         md5(array_to_string(t[(i*{w}+1):(i*{w}+{w})], ' ')) AS chunk_md5
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(t)/{float(w)!r}) AS INT) - 1)) AS u(i)
+  WHERE len(t) > 0
+)
+SELECT chunk_md5, count(*) AS n_copies,
+       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_doc_id
+FROM chunks GROUP BY chunk_md5 HAVING count(*) > 1
+"""
+
+
 def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """doc_id, shingle (distinct word n-grams, '_'-joined)."""
     toks = documents.select(

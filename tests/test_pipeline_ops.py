@@ -531,3 +531,31 @@ def test_dedup_checkable_simhash_votes(spark):
             if w > 0:
                 sig |= 1 << j
         assert got[row["doc_id"]] == sig
+
+
+def test_chunk_dedup_planted_boilerplate(spark):
+    """A 12-token boilerplate block planted in three otherwise-distinct
+    docs is caught at chunk granularity (whole-doc dedup misses it);
+    chunking arithmetic covers the ragged tail chunk."""
+    from reiz_io_spark.operators.dedup import chunk_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (1, boiler + " unique one tail"),
+        (2, boiler + " other words entirely different here"),
+        (3, "prefix " + " ".join(f"x{i}" for i in range(10)) + " " + boiler),
+        (4, "completely unrelated text with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["chunk_md5"]: r for r in chunk_dedup(df, w=12).collect()}
+    # docs 1 and 2 share the aligned first chunk (the boilerplate);
+    # doc 3's copy is NOT window-aligned, so exact chunking misses it —
+    # that is the documented limitation near-dup (MinHash) covers
+    assert len(got) == 1
+    (rec,) = got.values()
+    assert rec["n_copies"] == 2 and rec["n_docs"] == 2
+    assert rec["keep_doc_id"] == 1
+    # whole-doc dedup finds nothing here
+    from reiz_io_spark.operators.dedup import exact_dedup
+
+    assert exact_dedup(df).filter("n_copies > 1").count() == 0
