@@ -145,3 +145,25 @@ def test_phrase_filters_before_shuffle(spark):
     exch_pos = tree.find("Exchange")
     assert filt_pos > exch_pos > 0, tree  # deeper in tree = printed later
     assert "term" in plan and "IN" in plan.upper()
+
+
+def test_chunk_dedup_hashes_before_shuffle(spark):
+    """Chunk dedup's single shuffle must carry md5 hashes, never chunk
+    text: the Project computing md5 sits BELOW the Exchange, so at
+    100 TB the wire carries 32-byte digests instead of w-token
+    strings."""
+    from reiz_io_spark.operators.dedup import chunk_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = chunk_dedup(docs, w=12)._jdf.queryExecution().executedPlan().toString()
+    # countDistinct lowers to Spark's canonical two-stage distinct:
+    # exactly two exchanges, BOTH keyed on the md5 digest (with partial
+    # aggregation below each — wire rows are pre-combined digests)
+    assert plan.count("Exchange hashpartitioning(chunk_md5") == 2, plan[:2500]
+    assert plan.count("Exchange") == 2, plan[:2500]
+    # the md5 happens inside the explode's transform, BELOW the first
+    # exchange: no raw chunk text ever reaches a shuffle
+    first_exch = plan.rfind("Exchange")  # lowest exchange in the tree
+    gen = plan.find("Generate")
+    assert gen > first_exch > 0, plan[:2500]
+    assert "md5" in plan[gen:], plan[gen:gen + 500]
