@@ -136,12 +136,21 @@ def run_level(cores: int, n_files: int, repeats: int = 2) -> dict:
         spark.stop()
 
 
-def _run_frontends(cores: int, index_dir: str, rounds: int = 2) -> float:
+def _run_frontends(
+    cores: int, index_dir: str, rounds: int = 4, tier: str = "dist"
+) -> float:
     """Aggregate qps of cores//2 independent 2-core query frontends over
     one shared on-disk index. Each frontend is a subprocess pinned to
     its own core slice with its own SparkSession (share-nothing, like N
-    serving replicas over shared storage); the timed window starts after
-    every frontend reports warm."""
+    serving replicas over shared storage); all start together after
+    every frontend reports warm.
+
+    Aggregate = SUM of each replica's own qps over ITS busy window —
+    the throughput N independent replicas actually deliver. (The old
+    total/max-wall statistic divided everyone's work by the slowest
+    straggler's wall, so one co-tenant load spike hitting one frontend
+    dragged the whole level — measured as the dominant variance source
+    in the r04 study.)"""
     import subprocess
 
     n_frontends = max(1, cores // 2)
@@ -149,27 +158,28 @@ def _run_frontends(cores: int, index_dir: str, rounds: int = 2) -> float:
     for i in range(n_frontends):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--frontend",
-             str(2 * i), str(2 * i + 2), index_dir, str(rounds)],
+             str(2 * i), str(2 * i + 2), index_dir, str(rounds), tier],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ))
     for p in procs:  # wait for warm
         line = p.stdout.readline()
         assert line.strip() == "READY", line
-    t0 = time.perf_counter()
     for p in procs:
         p.stdin.write("GO\n")
         p.stdin.flush()
-    total = 0
+    qps = 0.0
     for p in procs:
-        out = p.stdout.readline()
-        total += int(out.strip().split()[1])
+        out = p.stdout.readline().strip().split()
+        n, wall = int(out[1]), float(out[2])
+        qps += n / wall
         p.wait()
-    wall = time.perf_counter() - t0
-    return round(total / wall, 2)
+    return round(qps, 2)
 
 
-def _frontend_main(lo: int, hi: int, index_dir: str, rounds: int) -> None:
+def _frontend_main(
+    lo: int, hi: int, index_dir: str, rounds: int, tier: str = "dist"
+) -> None:
     os.sched_setaffinity(0, set(range(lo, hi)))
     spark = get_spark(
         app_name=f"frontend-{lo}", master=f"local[{hi - lo}]",
@@ -177,16 +187,32 @@ def _frontend_main(lo: int, hi: int, index_dir: str, rounds: int) -> None:
     )
     reader = IndexReader(spark, index_dir).warm()
     queries = sorted(lowered_reference_queries().items())
+    if tier == "serve":
+        # the PRODUCTION query path (warm QueryService — the tier the
+        # reference's published latencies measure); 'dist' exercises
+        # the one-Spark-job-per-query route
+        from reiz_io_spark.serve import QueryService
+
+        service = QueryService(reader)
+
+        def run_one(q):
+            service.query_topk(q, k=10)
+    else:
+        def run_one(q):
+            wand_topk(reader, q, k=10).collect()
+
     for _, q in queries:  # warm: JVM, caches, codegen
-        wand_topk(reader, q, k=10).collect()
+        run_one(q)
     print("READY", flush=True)
     sys.stdin.readline()  # barrier
     n = 0
+    t0 = time.perf_counter()
     for _ in range(rounds):
         for _, q in queries:
-            wand_topk(reader, q, k=10).collect()
+            run_one(q)
             n += 1
-    print("DONE", n, flush=True)
+    wall = time.perf_counter() - t0
+    print("DONE", n, round(wall, 3), flush=True)
     spark.stop()
 
 
@@ -212,7 +238,10 @@ def main():
         print("LEVEL_RESULT " + json.dumps(run_level_pinned(cores, n_files, repeats)))
         return
     if sys.argv[1:2] == ["--frontend"]:  # child mode: one query frontend
-        _frontend_main(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], int(sys.argv[5]))
+        _frontend_main(
+            int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], int(sys.argv[5]),
+            sys.argv[6] if len(sys.argv) > 6 else "dist",
+        )
         return
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
