@@ -229,11 +229,15 @@ def bm25_topk_by_group(
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
         .join(documents.select("doc_id", group_col), "doc_id")
     )
-    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k_per_group)
-        .select(group_col, "doc_id", "score", F.col("rnk").cast("int").alias("rnk"))
+    # two-level top-k (operators/topk.py): per-group scored sets are
+    # df-driven and unbounded for hot terms — never one reducer/group
+    from .topk import two_level_topk
+
+    return two_level_topk(
+        scored, [group_col], [F.desc("score"), F.asc("doc_id")],
+        k_per_group, bucket_on="doc_id", rank_name="rnk",
+    ).select(
+        group_col, "doc_id", "score", F.col("rnk").cast("int").alias("rnk")
     )
 
 

@@ -65,16 +65,15 @@ def brute_force_topk(
         F.col("vec_id").alias("neighbor_id"),
         F.round(sim, 6).alias("cos_sim"),
     )
-    from pyspark.sql.window import Window
+    # two-level top-k (operators/topk.py): the per-query candidate set
+    # is the WHOLE corpus here, so a single global window would funnel
+    # n_vectors rows through one reducer per query
+    from .topk import two_level_topk
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return two_level_topk(
+        scored, ["query_id"], [F.desc("cos_sim"), F.asc("neighbor_id")],
+        k, bucket_on="neighbor_id",
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
 def brute_force_topk_sql(query_ids: list[int], k: int = 10) -> str:

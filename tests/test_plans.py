@@ -167,3 +167,30 @@ def test_chunk_dedup_hashes_before_shuffle(spark):
     gen = plan.find("Generate")
     assert gen > first_exch > 0, plan[:2500]
     assert "md5" in plan[gen:], plan[gen:gen + 500]
+
+
+def test_two_level_topk_window_shape(spark):
+    """brute-force ANN and grouped BM25 must carry the two-level
+    window shape: the FIRST (lower) window partitions by the bucket as
+    well as the group, so no corpus-sized score set ever funnels
+    through one reducer per group."""
+    from reiz_io_spark.operators import fulltext, similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        similarity.brute_force_topk(emb, [0, 1], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") >= 2, plan[:2000]
+    # the lowest Window in the tree is the LOCAL one — keyed on bucket
+    last_win = plan[plan.rfind("Window"):]
+    assert "_tk_bucket" in last_win[:400], last_win[:400]
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan2 = (
+        fulltext.bm25_topk_by_group(docs, ["spark", "stream"], "lang", 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan2.count("Window") >= 2, plan2[:2000]
+    last_win2 = plan2[plan2.rfind("Window"):]
+    assert "_tk_bucket" in last_win2[:400], last_win2[:400]
