@@ -70,6 +70,29 @@ def main(argv: list[str] | None = None) -> int:
     )
     sn.add_argument("--index", required=True)
 
+    ab = sub.add_parser(
+        "build-ann", help="build the persistent IVF-PQ ANN index over an "
+        "embeddings table (codes partitioned by IVF list)"
+    )
+    ab.add_argument("--embeddings", required=True, help="parquet with (vec_id, embedding)")
+    ab.add_argument("--out", required=True)
+    ab.add_argument("-m", type=int, default=4, help="PQ subspaces")
+    ab.add_argument("--codes", type=int, default=16, help="PQ codebook size")
+    ab.add_argument("--lists", type=int, default=16, help="IVF coarse lists")
+    ab.add_argument("--append", action="store_true",
+                    help="fold new vectors into an existing index "
+                    "(frozen quantizers, FAISS `add` semantics)")
+
+    aq = sub.add_parser(
+        "search-ann", help="top-k cosine neighbors from a persistent ANN index"
+    )
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--embeddings", required=True)
+    aq.add_argument("--query-ids", required=True,
+                    help="comma-separated vec_ids")
+    aq.add_argument("-k", type=int, default=10)
+    aq.add_argument("--probe", type=int, default=4)
+
     args = ap.parse_args(argv)
     from .session import get_spark
 
@@ -138,6 +161,32 @@ def _dispatch(args, spark) -> int:
         print(json.dumps({"serving": f"http://{args.host}:{args.port}"}),
               file=sys.stderr)
         http_serve(service, host=args.host, port=args.port)
+        return 0
+
+    if args.cmd == "build-ann":
+        from .operators.ann_index import append_to_ann_index, build_ann_index
+
+        emb = spark.read.parquet(args.embeddings)
+        if args.append:
+            meta = append_to_ann_index(emb, args.out)
+        else:
+            meta = build_ann_index(
+                emb, args.out, m=args.m, n_codes=args.codes, n_lists=args.lists
+            )
+        print(json.dumps(meta))
+        return 0
+
+    if args.cmd == "search-ann":
+        from .operators.ann_index import ann_index_search
+
+        emb = spark.read.parquet(args.embeddings)
+        qids = [int(x) for x in args.query_ids.split(",") if x]
+        rows = ann_index_search(
+            spark, args.index, emb, qids, k=args.k, n_probe=args.probe
+        ).collect()
+        for r in rows:
+            print(json.dumps({"query_id": r["query_id"],
+                              "vec_id": r["vec_id"], "score": r["score"]}))
         return 0
 
     if args.cmd == "merge":

@@ -32,6 +32,7 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,6 +71,50 @@ def build_ann_index(
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=2)
     os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    return meta
+
+
+def append_to_ann_index(
+    embeddings_batch: DataFrame, index_dir: str
+) -> dict:
+    """Fold NEW vectors into an existing index WITHOUT retraining:
+    assign + encode the batch with the saved centroids/codebooks (two
+    map-only passes) and append its codes into the list_id partitions.
+    This is the standard IVF ingestion contract (FAISS `add`): the
+    quantizers are frozen at train time, so an appended vector lands
+    exactly where a from-scratch encode with the same quantizers would
+    put it — searches see old and new vectors identically (pytest:
+    append == rebuild-with-same-quantizers, row for row).
+
+    Cost ∝ batch size; the existing codes are never read or moved.
+    Re-train (a fresh build) only when drift degrades recall — same
+    maintenance trigger as any IVF deployment."""
+    meta, centroids, codebooks = _load(index_dir)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def assign_udf(embs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(e, dtype="float64") for e in embs])
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        return pd.Series((mat @ centroids.T).argmax(axis=1).astype("int64"))
+
+    assigned = embeddings_batch.select(
+        "vec_id", assign_udf("embedding").alias("list_id")
+    )
+    codes = pq_encode(embeddings_batch, codebooks).join(assigned, "vec_id")
+    n_new = codes.count()
+    codes.write.mode("append").partitionBy("list_id").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    meta["n_vectors"] = int(meta["n_vectors"]) + n_new
+    tmp = os.path.join(index_dir, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=2)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
     return meta
 
 

@@ -85,3 +85,33 @@ def test_search_volume_is_partition_bounded(spark, emb, index_dir):
     n_total = emb.count()
     probed = ann_index.probed_codes_scan(spark, index_dir, [0, 1])
     assert 0 < probed.count() < n_total
+
+
+def test_append_equals_rebuild_with_same_quantizers(spark, emb, tmp_path):
+    """IVF `add` contract: building on half the corpus then appending
+    the other half must search IDENTICALLY to encoding everything with
+    the same frozen quantizers (training sample pinned to the first
+    half in both paths)."""
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    d_inc = str(tmp_path / "inc")
+    ann_index.build_ann_index(half_a, d_inc, m=4, n_codes=16, n_lists=8, seed=7)
+    meta = ann_index.append_to_ann_index(half_b, d_inc)
+    assert meta["n_vectors"] == emb.count()
+
+    got = sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d_inc, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect())
+
+    # reference: same frozen quantizers (trained on half_a), every
+    # vector encoded in one pass
+    d_ref = str(tmp_path / "ref")
+    ann_index.build_ann_index(half_a, d_ref, m=4, n_codes=16, n_lists=8, seed=7)
+    ann_index.append_to_ann_index(half_b, d_ref)
+    assert got == sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d_ref, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect())
+    # appended vectors are actually retrievable: some odd vec_id in
+    # the results
+    assert any(r[1] % 2 == 1 for r in got)
