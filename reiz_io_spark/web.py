@@ -111,12 +111,19 @@ def make_handler(
             if self.path != "/stats":
                 return self._error("not found", 404)
             m = service.meta
+            with cache_lock:
+                l1_entries = len(cache)
             self._send(200, {"status": "success", "results": {
                 "n_docs": m.get("n_docs"), "total_dl": m.get("total_dl"),
                 "avgdl": m.get("avgdl"), "build_id": m.get("build_id"),
                 # the reference's Module/AST/stmt/expr instance counts
                 # (reiz/fetch.py:12, web/api.py:117-121)
                 **service.statistics(),
+                # cache-tier observability (the INFO a Redis deploy has)
+                "result_cache": {
+                    "l1_entries": l1_entries,
+                    "l2": l2.stats() if l2 is not None else None,
+                },
             }})
 
         def do_POST(self):

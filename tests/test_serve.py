@@ -130,6 +130,9 @@ def test_http_errors_and_stats(server):
     with urllib.request.urlopen(server + "/stats") as resp:
         stats = json.loads(resp.read())
     assert stats["results"]["n_docs"] > 0
+    # cache-tier observability: L1 count + shared L2 table stats
+    rc = stats["results"]["result_cache"]
+    assert rc["l1_entries"] >= 0 and rc["l2"]["entries"] >= 0
 
 
 def test_positions_distributed_fallback_identical(spark, reader, service):
