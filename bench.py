@@ -114,13 +114,19 @@ def main() -> None:
         service = QueryService(reader)
         for name, q in sorted(lowered_reference_queries().items()):
             service.query_topk(q, k=10)  # warm term/posting caches
-        slat = []
-        for name, q in sorted(lowered_reference_queries().items()):
-            t1 = time.perf_counter()
-            service.query_topk(q, k=10)
-            slat.append(time.perf_counter() - t1)
+        # per-query min over REPEATS passes (a 3 ms measurement jitters
+        # by 10%+ pass to pass; min-of-N makes the p50 comparable
+        # across rounds like every other entry)
+        best: dict[str, float] = {}
+        for _ in range(REPEATS):
+            for name, q in sorted(lowered_reference_queries().items()):
+                t1 = time.perf_counter()
+                service.query_topk(q, k=10)
+                dt = time.perf_counter() - t1
+                best[name] = min(best.get(name, float("inf")), dt)
+        slat = sorted(best.values())
         queries["code_query_p50"] = round(statistics.median(slat), 4)
-        extra["code_query_p90"] = round(sorted(slat)[int(0.9 * (len(slat) - 1))], 4)
+        extra["code_query_p90"] = round(slat[int(0.9 * (len(slat) - 1))], 4)
 
         # the whole 27-query suite as ONE Spark job (bulk/offline shape)
         from reiz_io_spark.operators.wand import wand_topk_batch
