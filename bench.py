@@ -17,8 +17,11 @@ Headline workload:
 Noise protocol: every steady-state entry is timed 3x and the MIN is
 reported (the reference uses mean-of-5, scripts/benchmark_doc.py:22-34;
 min rejects host noise hardest for a warm single-node run). The index
-build stays single-pass — it is a cold pipeline and its files/sec is
-capacity-dominated, not jitter-dominated.
+build — the headline files/sec metric — runs as TWO full passes into
+fresh dirs with the min reported and both raw passes disclosed in
+extra.build_passes, so a co-tenant load spike during one pass can no
+longer silently become the round's number (r04 lesson: 402 vs 1078 f/s
+for identical code on two boxes, unarbitrable from a single pass).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -75,7 +78,7 @@ def main() -> None:
     # and reports the MIN (the reference uses mean-of-5,
     # scripts/benchmark_doc.py:22-34; min is the standard
     # noise-rejecting statistic for a warm single-node run). The index
-    # build is a one-shot cold pipeline and stays single-pass.
+    # build runs two full passes (see below) for the same reason.
     REPEATS = 3
 
     # --- code engine: index build + query p50 -------------------------------
@@ -87,12 +90,25 @@ def main() -> None:
     n_files = corpus.count()
     index_dir = tempfile.mkdtemp(prefix="bench_index_")
     try:
-        t0 = time.perf_counter()
-        build_index(spark, corpus, index_dir, build_id="bench", n_shards=max(cpus, 8))
-        build_s = time.perf_counter() - t0
+        # The build is the one headline entry a single cold pass can't
+        # protect from co-tenant load (r04: 402 f/s driver vs 1078 f/s
+        # builder box, unarbitrable). Two full builds into fresh dirs;
+        # report the MIN and disclose both raw passes in build_passes.
+        build_passes = []
+        for p in range(2):
+            pass_dir = index_dir if p == 0 else tempfile.mkdtemp(
+                prefix="bench_index_p2_")
+            t0 = time.perf_counter()
+            build_index(spark, corpus, pass_dir, build_id="bench",
+                        n_shards=max(cpus, 8))
+            build_passes.append(round(time.perf_counter() - t0, 3))
+            if p > 0:
+                shutil.rmtree(pass_dir, ignore_errors=True)
+        build_s = min(build_passes)
         queries["code_index_build"] = round(build_s, 3)
         extra["files_per_sec"] = round(n_files / build_s, 2)
         extra["n_files"] = n_files
+        extra["build_passes"] = build_passes
 
         reader = IndexReader(spark, index_dir).warm()
 
@@ -207,7 +223,10 @@ def main() -> None:
         right_payload=["value"]).collect())
 
     total = round(sum(queries.values()), 3)
-    extra["bench_protocol"] = f"min-of-{REPEATS} per steady-state entry; build single-pass"
+    extra["bench_protocol"] = (
+        f"min-of-{REPEATS} per steady-state entry; build min-of-2 full "
+        f"passes (raw passes in build_passes)"
+    )
     print(json.dumps({
         "metric": "index-build + query suite wall time",
         "value": total,
