@@ -9,9 +9,15 @@ TABLE, not a per-query recomputation:
   test_ann_index: PartitionFilters on list_id in the physical plan).
   This is the Spark-native equivalent of FAISS's IndexIVFPQ inverted
   lists: file pruning plays the posting-list seek.
-- sidecar: centroids + codebooks as .npy plus a meta.json (atomic
-  write-tmp+rename, same commit discipline as the fulltext index) —
-  tiny driver-side artifacts shipped in UDF closures at query time.
+- codes live in SEGMENT directories (codes/seg-00000, seg-00001, ...),
+  one per build/append batch, each list_id-partitioned inside. A
+  segment is visible to readers ONLY once listed in meta.json, and the
+  meta flip is write-tmp + os.replace — the same snapshot-commit
+  discipline as the fulltext index (build.py:89-111). An append that
+  dies mid-write leaves an unreferenced directory, never a torn read;
+  a concurrent-append guard (O_EXCL lock file) serializes writers.
+- sidecar: centroids + codebooks as .npy plus the meta.json — tiny
+  driver-side artifacts shipped in UDF closures at query time.
 - raw vectors stay in the SOURCE embeddings table; the exact-cosine
   refine is a point-lookup join of ~k*refine survivor ids against it
   (at scale: a bucketed/Z-ordered join on vec_id).
@@ -48,30 +54,51 @@ def build_ann_index(
     n_lists: int = 16,
     seed: int = 7,
 ) -> dict:
-    """Train + encode + write. Returns the committed meta dict."""
+    """Train + encode + write. Returns the committed meta dict.
+
+    The encode pipeline executes exactly ONCE — as the segment write.
+    n_vectors comes from the written parquet's footer metadata (a
+    count over committed files is metadata-only), never from a second
+    evaluation of the encode DataFrame (the r04 layout paid the whole
+    UDF pass twice: once for the write, once for .count())."""
     centroids, assigned = ivf_assignments(embeddings, n_lists=n_lists, seed=seed)
     codebooks = pq_train(embeddings, m=m, n_codes=n_codes, seed=seed)
     codes = pq_encode(embeddings, codebooks).join(assigned, "vec_id")
 
-    os.makedirs(out_dir, exist_ok=True)
-    codes_dir = os.path.join(out_dir, "codes")
-    codes.write.mode("overwrite").partitionBy("list_id").parquet(codes_dir)
+    os.makedirs(os.path.join(out_dir, "codes"), exist_ok=True)
+    seg = "seg-00000"
+    seg_dir = os.path.join(out_dir, "codes", seg)
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(seg_dir)
+    n_vectors = embeddings.sparkSession.read.parquet(seg_dir).count()
 
     np.save(os.path.join(out_dir, "centroids.npy"), centroids)
     np.save(os.path.join(out_dir, "codebooks.npy"), codebooks)
     meta = {
+        "version": 1,
         "m": m,
         "n_codes": n_codes,
         "n_lists": int(centroids.shape[0]),
         "dim": int(centroids.shape[1]),
         "seed": seed,
-        "n_vectors": codes.count(),
+        "n_vectors": n_vectors,
+        "segments": [seg],
     }
-    tmp = os.path.join(out_dir, "meta.json.tmp")
+    _write_meta_atomic(index_dir=out_dir, meta=meta)
+    return meta
+
+
+def _write_meta_atomic(index_dir: str, meta: dict) -> None:
+    """The commit point — write-tmp + os.replace, the same atomic-flip
+    pattern as the fulltext index (build.py:89-111). Isolated so the
+    crash tests can kill the append one instruction before commit."""
+    tmp = os.path.join(index_dir, "meta.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=2)
-    os.replace(tmp, os.path.join(out_dir, "meta.json"))
-    return meta
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+
+
+class ConcurrentAppendError(RuntimeError):
+    """A second appender found the index's append lock held."""
 
 
 def append_to_ann_index(
@@ -79,16 +106,26 @@ def append_to_ann_index(
 ) -> dict:
     """Fold NEW vectors into an existing index WITHOUT retraining:
     assign + encode the batch with the saved centroids/codebooks (two
-    map-only passes) and append its codes into the list_id partitions.
-    This is the standard IVF ingestion contract (FAISS `add`): the
-    quantizers are frozen at train time, so an appended vector lands
-    exactly where a from-scratch encode with the same quantizers would
-    put it — searches see old and new vectors identically (pytest:
+    map-only passes) written as a NEW segment directory. This is the
+    standard IVF ingestion contract (FAISS `add`): the quantizers are
+    frozen at train time, so an appended vector lands exactly where a
+    from-scratch encode with the same quantizers would put it —
+    searches see old and new vectors identically (pytest:
     append == rebuild-with-same-quantizers, row for row).
 
+    Commit discipline: the segment is written FIRST, to a directory no
+    reader references; only then is meta.json flipped (atomic
+    os.replace) to list it and bump the version. A crash at any point
+    before the flip leaves readers on the previous snapshot — the
+    orphan segment directory is invisible (kill-during-append test).
+    An O_EXCL lock file serializes concurrent appenders
+    (ConcurrentAppendError rather than interleaved meta updates).
+
     Cost ∝ batch size; the existing codes are never read or moved.
-    Re-train (a fresh build) only when drift degrades recall — same
-    maintenance trigger as any IVF deployment."""
+    n_vectors comes from the written files' footers — the encode
+    executes once, as the write. Re-train (a fresh build) only when
+    drift degrades recall — same maintenance trigger as any IVF
+    deployment."""
     meta, centroids, codebooks = _load(index_dir)
 
     from pyspark.sql.pandas.functions import pandas_udf
@@ -106,15 +143,37 @@ def append_to_ann_index(
         "vec_id", assign_udf("embedding").alias("list_id")
     )
     codes = pq_encode(embeddings_batch, codebooks).join(assigned, "vec_id")
-    n_new = codes.count()
-    codes.write.mode("append").partitionBy("list_id").parquet(
-        os.path.join(index_dir, "codes")
-    )
-    meta["n_vectors"] = int(meta["n_vectors"]) + n_new
-    tmp = os.path.join(index_dir, "meta.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=2)
-    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+
+    lock = os.path.join(index_dir, "append.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise ConcurrentAppendError(
+            f"append already in progress on {index_dir} ({lock} held); "
+            "retry when it completes, or remove the lock if its owner "
+            "crashed"
+        ) from None
+    try:
+        # re-read meta under the lock: another append may have committed
+        # between our _load and the lock acquisition
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            meta = json.load(fh)
+        segs = meta.get("segments", [])
+        nums = [int(s.split("-")[1]) for s in segs if s.startswith("seg-")]
+        seg = f"seg-{(max(nums) + 1 if nums else len(segs)):05d}"
+        seg_dir = os.path.join(index_dir, "codes", seg)
+        codes.write.mode("overwrite").partitionBy("list_id").parquet(seg_dir)
+        n_new = embeddings_batch.sparkSession.read.parquet(seg_dir).count()
+        meta["n_vectors"] = int(meta["n_vectors"]) + n_new
+        meta["segments"] = segs + [seg]
+        meta["version"] = int(meta.get("version", 1)) + 1
+        _write_meta_atomic(index_dir=index_dir, meta=meta)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
     return meta
 
 
@@ -124,6 +183,16 @@ def _load(index_dir: str) -> tuple[dict, np.ndarray, np.ndarray]:
     centroids = np.load(os.path.join(index_dir, "centroids.npy"))
     codebooks = np.load(os.path.join(index_dir, "codebooks.npy"))
     return meta, centroids, codebooks
+
+
+def _segment_dirs(index_dir: str, meta: dict) -> list[str]:
+    """Committed code directories for this meta snapshot. A pre-segment
+    (r04) index has no `segments` key and stores codes flat under
+    codes/ — still readable."""
+    segs = meta.get("segments")
+    if segs is None:
+        return [os.path.join(index_dir, "codes")]
+    return [os.path.join(index_dir, "codes", s) for s in segs]
 
 
 def ann_index_search(
@@ -186,7 +255,14 @@ def ann_index_search(
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    joined = cands.join(embeddings, "vec_id").join(F.broadcast(q), "query_id")
+    # candidate set is k*refine_factor*|queries| rows — BROADCAST it
+    # so the (possibly 10^9-row) embeddings table is probed in place,
+    # never shuffled for the refine (plan-asserted in test_plans)
+    joined = (
+        F.broadcast(cands)
+        .join(embeddings, "vec_id")
+        .join(F.broadcast(q), "query_id")
+    )
     sim = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * _norm(F.col("qv"))
     )
@@ -206,6 +282,17 @@ def probed_codes_scan(
 ) -> DataFrame:
     """The pruned codes read — isolated so tests can assert the
     physical plan carries PartitionFilters on list_id (file-level
-    pruning, the IVF seek)."""
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    return codes.filter(F.col("list_id").isin([int(p) for p in probed]))
+    pruning, the IVF seek). Reads ONLY the segments committed in the
+    current meta snapshot (union of per-segment scans — each scan gets
+    its own partition discovery + PartitionFilters; an in-flight
+    append's staging directory is invisible here by construction)."""
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    probe_ids = [int(p) for p in probed]
+    out = None
+    for seg_dir in _segment_dirs(index_dir, meta):
+        df = spark.read.parquet(seg_dir).filter(
+            F.col("list_id").isin(probe_ids)
+        )
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -221,7 +221,14 @@ def pq_topk(
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    joined = cands.join(embeddings, "vec_id").join(F.broadcast(q), "query_id")
+    # candidate set is k*refine_factor*|queries| rows — BROADCAST it
+    # so the (possibly 10^9-row) embeddings table is probed in place,
+    # never shuffled for the refine (plan-asserted in test_plans)
+    joined = (
+        F.broadcast(cands)
+        .join(embeddings, "vec_id")
+        .join(F.broadcast(q), "query_id")
+    )
     sim = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * _norm(F.col("qv"))
     )
@@ -306,7 +313,14 @@ def ivf_pq_topk(
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    joined = cands.join(embeddings, "vec_id").join(F.broadcast(q), "query_id")
+    # candidate set is k*refine_factor*|queries| rows — BROADCAST it
+    # so the (possibly 10^9-row) embeddings table is probed in place,
+    # never shuffled for the refine (plan-asserted in test_plans)
+    joined = (
+        F.broadcast(cands)
+        .join(embeddings, "vec_id")
+        .join(F.broadcast(q), "query_id")
+    )
     sim = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * _norm(F.col("qv"))
     )

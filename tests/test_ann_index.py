@@ -30,7 +30,7 @@ def index_dir(spark, emb, tmp_path_factory):
 
 
 def test_codes_partitioned_by_list(spark, index_dir):
-    names = os.listdir(os.path.join(index_dir, "codes"))
+    names = os.listdir(os.path.join(index_dir, "codes", "seg-00000"))
     parts = [n for n in names if n.startswith("list_id=")]
     assert len(parts) >= 2  # real partition dirs, one per populated list
 
@@ -115,3 +115,111 @@ def test_append_equals_rebuild_with_same_quantizers(spark, emb, tmp_path):
     # appended vectors are actually retrievable: some odd vec_id in
     # the results
     assert any(r[1] % 2 == 1 for r in got)
+
+
+def test_append_crash_before_commit_is_invisible(
+    spark, emb, tmp_path, monkeypatch
+):
+    """Kill-during-append (mirrors the fulltext kill-during-merge
+    test): an append that dies one instruction before the meta flip
+    leaves readers on the previous snapshot — same meta, same search
+    results, lock released, orphan segment unreferenced — and the
+    replayed append lands exactly the clean incremental state."""
+    import json
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "crash")
+    ann_index.build_ann_index(half_a, d, m=4, n_codes=16, n_lists=8, seed=7)
+    with open(os.path.join(d, "meta.json")) as fh:
+        meta_before = json.load(fh)
+    search_before = sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect())
+
+    def boom(index_dir, meta):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(ann_index, "_write_meta_atomic", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ann_index.append_to_ann_index(half_b, d)
+    monkeypatch.undo()
+
+    # reader view is byte-identical to the pre-append snapshot
+    with open(os.path.join(d, "meta.json")) as fh:
+        assert json.load(fh) == meta_before
+    assert not os.path.exists(os.path.join(d, "append.lock"))
+    search_now = sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect())
+    assert search_now == search_before
+    # the orphan segment exists on disk but is unreferenced
+    segs_on_disk = sorted(os.listdir(os.path.join(d, "codes")))
+    assert len(segs_on_disk) == 2  # seg-00000 + the orphan
+    assert meta_before["segments"] == ["seg-00000"]
+
+    # replay completes and matches a clean build+append, row for row
+    meta = ann_index.append_to_ann_index(half_b, d)
+    assert meta["n_vectors"] == emb.count()
+    d_ref = str(tmp_path / "ref")
+    ann_index.build_ann_index(half_a, d_ref, m=4, n_codes=16, n_lists=8, seed=7)
+    ann_index.append_to_ann_index(half_b, d_ref)
+    got = sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect())
+    want = sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d_ref, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect())
+    assert got == want
+
+
+def test_concurrent_append_guard(spark, emb, tmp_path):
+    """A held append.lock makes a second appender fail fast with
+    ConcurrentAppendError instead of interleaving meta updates."""
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "lock")
+    ann_index.build_ann_index(half_a, d, m=4, n_codes=16, n_lists=8, seed=7)
+    lock = os.path.join(d, "append.lock")
+    with open(lock, "w"):
+        pass
+    with pytest.raises(ann_index.ConcurrentAppendError):
+        ann_index.append_to_ann_index(half_b, d)
+    os.remove(lock)
+    meta = ann_index.append_to_ann_index(half_b, d)
+    assert meta["n_vectors"] == emb.count()
+
+
+def test_build_and_append_encode_exactly_once(spark, emb, tmp_path, monkeypatch):
+    """The encode UDF pass executes ONCE per build/append — as the
+    write. n_vectors must come from the written files' footers, never a
+    second evaluation of the encode plan (the r04 double-encode). A
+    per-row accumulator inside a counting wrapper around pq_encode
+    proves it: after build, acc == rows(build input); after append,
+    acc == rows(build) + rows(append)."""
+    acc = spark.sparkContext.accumulator(0)
+    real = ann_index.pq_encode
+
+    def counting(embeddings, codebooks):
+        df = real(embeddings, codebooks)
+
+        def tick(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return df.mapInPandas(tick, df.schema)
+
+    monkeypatch.setattr(ann_index, "pq_encode", counting)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    n_a, n_b = half_a.count(), half_b.count()
+    d = str(tmp_path / "once")
+    meta = ann_index.build_ann_index(half_a, d, m=4, n_codes=16, n_lists=8, seed=7)
+    assert meta["n_vectors"] == n_a
+    assert acc.value == n_a, f"build encoded {acc.value} rows for {n_a} inputs"
+    meta = ann_index.append_to_ann_index(half_b, d)
+    assert meta["n_vectors"] == n_a + n_b
+    assert acc.value == n_a + n_b, (
+        f"append encoded {acc.value - n_a} rows for {n_b} inputs"
+    )

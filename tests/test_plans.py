@@ -194,3 +194,32 @@ def test_two_level_topk_window_shape(spark):
     assert plan2.count("Window") >= 2, plan2[:2000]
     last_win2 = plan2[plan2.rfind("Window"):]
     assert "_tk_bucket" in last_win2[:400], last_win2[:400]
+
+
+def test_ann_refine_join_broadcasts_candidates(spark, tmp_path):
+    """The exact-cosine refine must probe the (at scale, 10^9-row)
+    embeddings table with a BROADCAST of the tiny candidate set —
+    explicitly pinned, not left to AQE: the embeddings side must never
+    shuffle under the refine. Asserted for flat PQ, IVF-PQ, and the
+    persistent index search."""
+    from reiz_io_spark.operators import ann_index, pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plans = [
+        pq.pq_topk(emb, [0, 1], k=5)
+        ._jdf.queryExecution().executedPlan().toString(),
+        pq.ivf_pq_topk(emb, [0, 1], k=5)
+        ._jdf.queryExecution().executedPlan().toString(),
+    ]
+    d = str(tmp_path / "ann")
+    ann_index.build_ann_index(emb, d, m=4, n_codes=16, n_lists=8, seed=7)
+    plans.append(
+        ann_index.ann_index_search(spark, d, emb, [0, 1], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for plan in plans:
+        assert "BroadcastHashJoin" in plan, plan[:2500]
+        # the refine's equi-join on vec_id is broadcast — no
+        # SortMergeJoin / shuffled hash join over the embeddings scan
+        assert "SortMergeJoin [vec_id" not in plan, plan[:2500]
+        assert "ShuffledHashJoin [vec_id" not in plan, plan[:2500]
