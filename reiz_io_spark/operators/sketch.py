@@ -53,10 +53,14 @@ def kmin_partials(
     partition, group) — the bounded partial every merge consumes."""
     import pandas as pd
 
+    # NULL values are excluded up front (COUNT DISTINCT semantics; a
+    # NULL hv would also turn the Arrow long column into float64/NaN in
+    # the pandas partial and crash int()) — the DuckDB twins filter
+    # identically.
     hashed = df.select(
         F.col(group_col).cast("string").alias("grp"),
         _hash60(F.col(value_col)).alias("hv"),
-    )
+    ).filter(F.col("hv").isNotNull())
 
     def partial(batches):
         state: dict[str, set[int]] = {}
@@ -127,6 +131,7 @@ def kmv_distinct_by_group(
             F.col(group_col).cast("string").alias(group_col),
             _hash60(F.col(value_col)).alias("hv"),
         )
+        .filter(F.col("hv").isNotNull())
         .distinct()
         .groupBy(group_col)
         .agg(F.count("*").alias("exact_distinct"))
@@ -147,7 +152,7 @@ def kmv_distinct_by_group_sql(
 WITH hashes AS (
   SELECT DISTINCT {group_col} AS grp,
          ('0x' || substr(md5({value_col}::VARCHAR), 1, 15))::BIGINT AS hv
-  FROM {table}
+  FROM {table} WHERE {value_col} IS NOT NULL
 ),
 smallest AS (
   SELECT grp, hv FROM (
@@ -221,7 +226,7 @@ def kmv_set_ops(
     # exact witness (the expensive thing the sketch replaces)
     hashes = sub.select(
         F.col(group_col).alias("grp"), _hash60(F.col(value_col)).alias("hv")
-    ).distinct()
+    ).filter(F.col("hv").isNotNull()).distinct()
     ex = hashes.groupBy("hv").agg(
         F.max(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("a"),
         F.max(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("b"),
@@ -253,7 +258,9 @@ def kmv_set_ops_sql(
 WITH hashes AS (
   SELECT DISTINCT {group_col} AS grp,
          ('0x' || substr(md5({value_col}::VARCHAR), 1, 15))::BIGINT AS hv
-  FROM {table} WHERE {group_col} IN ('{group_a}', '{group_b}')
+  FROM {table}
+  WHERE {group_col} IN ('{group_a}', '{group_b}')
+    AND {value_col} IS NOT NULL
 ),
 sk AS (
   SELECT grp, hv FROM (

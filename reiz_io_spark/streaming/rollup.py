@@ -32,12 +32,18 @@ at-least-once, and readers are concurrent):
   re-creates its batch_id=N <= W partition — which the read filter
   ignores, so nothing is double-counted.
 - there is never a moment without a readable partials dir: compaction
-  stages the merged partition outside the dir, renames it in
-  (atomic), and only then deletes the superseded partitions. A crash
-  at ANY point leaves a consistent view — before the rename, nothing
-  changed; after it, the new generation already shadows everything it
-  folded (readers pick min(batch_id) as the newest generation, so a
-  crash before the old generation's delete is also consistent).
+  stages the merged partition outside the dir and renames it in
+  (atomic). Superseded partitions are GC'd with a ONE-CYCLE grace
+  (at the start of the next compaction, or explicit gc_rollup), so an
+  in-flight reader planned against the previous generation can finish.
+  A crash at ANY point leaves a consistent view — before the rename,
+  nothing changed; after it, the new generation already shadows
+  everything it folded (readers pick min(batch_id) as the newest
+  generation, so uncollected older partitions are also consistent).
+- the merge is CLAMPED to the partition-listing snapshot
+  (watermark < batch_id <= W'), so compaction is safe concurrent with
+  the appending stream: a batch committed mid-compaction has id > W'
+  and stays live outside the new generation.
 
 Compare `streaming/windows.py` (watermarked in-memory windowed aggs —
 answers land in the sink); this operator maintains a QUERYABLE TABLE on
@@ -158,8 +164,27 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
     above its watermark) into ONE new generation ``batch_id=-(W'+1)``
     where W' is the highest streaming batch folded. Readers see the
     same totals before, during, and after; a crash anywhere leaves a
-    readable, non-double-counting state (see module docstring)."""
+    readable, non-double-counting state (see module docstring).
+
+    Safe ALONGSIDE an appending stream: the merge is clamped to the
+    partition-listing snapshot (``batch_id <= W'``), so a batch the
+    concurrent foreachBatch writer commits between our snapshot and
+    Spark's own file listing for the merge read is NEVER folded — its
+    id exceeds W' (batch ids are monotonic under one checkpoint), it
+    stays out of the generation and stays live via ``batch_id > W'``.
+    Without the clamp it would be counted twice: once inside a
+    generation whose encoded watermark doesn't cover it, once in its
+    own still-present partition.
+
+    GC is DEFERRED one compaction cycle: partitions superseded by this
+    generation survive until the next ``compact_rollup`` (or an
+    explicit :func:`gc_rollup`), so an in-flight reader that planned
+    its scan against the previous generation never hits a
+    FileNotFoundException mid-query. Readers ignore superseded
+    partitions by construction, so keeping them costs storage only."""
     partials_dir = os.path.join(rollup_dir, "partials")
+    # grace expired for anything the PREVIOUS compaction superseded
+    gc_rollup(rollup_dir)
     c, watermark = compaction_state(rollup_dir)
     ids = _partition_ids(partials_dir)
     new_batches = [i for i in ids if i > watermark]
@@ -167,7 +192,8 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
         return  # nothing new since the last compaction
     new_wm = max(new_batches)
 
-    live = F.col("batch_id") > watermark
+    # clamp to the snapshot: only LISTED streaming batches are folded
+    live = (F.col("batch_id") > watermark) & (F.col("batch_id") <= new_wm)
     if c is not None:
         live = live | (F.col("batch_id") == c)
     merged = (
@@ -191,12 +217,26 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
 
     shutil.rmtree(new_part, ignore_errors=True)  # stale crash leftover
     os.rename(staging, new_part)
-    # the new generation now shadows everything it folded; deleting the
-    # superseded partitions is pure GC (readers already ignore them:
-    # min(batch_id) selects the new generation, whose watermark W'
-    # covers every id listed before the rename — streaming batches are
-    # all <= W' and older generations encode watermarks < W').
-    for i in ids:
+    # superseded partitions are NOT deleted here — see docstring.
+
+
+def gc_rollup(rollup_dir: str) -> list[int]:
+    """Delete partitions superseded by the CURRENT compacted
+    generation: older generations and streaming batches at or below
+    the watermark. Called at the START of each compaction (one-cycle
+    grace for in-flight readers, the snapshot-retention policy the
+    fulltext index uses for its version dirs) or explicitly. Returns
+    the deleted partition ids."""
+    import shutil
+
+    partials_dir = os.path.join(rollup_dir, "partials")
+    c, watermark = compaction_state(rollup_dir)
+    dead = [
+        i for i in _partition_ids(partials_dir)
+        if i != c and (i < 0 or i <= watermark)
+    ]
+    for i in dead:
         shutil.rmtree(
             os.path.join(partials_dir, f"batch_id={i}"), ignore_errors=True
         )
+    return dead

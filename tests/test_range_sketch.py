@@ -187,3 +187,27 @@ def test_kmv_partials_bounded_and_plan_has_no_distinct(spark):
 
     for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
         assert "hv" not in m.group(1), plan
+
+
+def test_kmv_null_values_tolerated_and_excluded(spark):
+    """ADVICE r04: a nullable value column must not crash the
+    map-side partial (NULL hv -> float64/NaN in pandas -> int() blew
+    up) and NULLs are excluded with COUNT DISTINCT semantics — the
+    estimate/exact columns see only real values."""
+    from reiz_io_spark.operators import sketch
+
+    rows = (
+        [("a", f"v{i}") for i in range(40)]
+        + [("a", None)] * 5
+        + [("b", None)] * 3          # all-NULL group: no output row
+        + [("c", "x"), ("c", None)]
+    )
+    df = spark.createDataFrame(rows, "grp string, val string")
+    got = {
+        r["grp"]: r
+        for r in sketch.kmv_distinct_by_group(df, "grp", "val", k=64).collect()
+    }
+    assert set(got) == {"a", "c"}
+    assert got["a"]["exact_distinct"] == 40
+    assert got["a"]["est_distinct"] == 40.0  # < k -> exact degrade
+    assert got["c"]["exact_distinct"] == 1

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entrymod
 from reiz_io_spark.streaming.rollup import (
     compact_rollup,
+    gc_rollup,
     read_rollup,
     rollup_partials,
     start_rollup,
@@ -97,9 +98,13 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     )
     assert _rows(read_rollup(spark, rollup_dir)) == batch
 
-    # compaction folds partials into one partition; totals unchanged
+    # compaction folds partials into one partition; totals unchanged.
+    # Superseded inputs survive one cycle (in-flight-reader grace) and
+    # are invisible to the reader; explicit GC then leaves only the
+    # generation.
     compact_rollup(spark, rollup_dir)
     assert _rows(read_rollup(spark, rollup_dir)) == batch
+    assert gc_rollup(rollup_dir)  # the folded inputs, grace expired
     post = spark.read.parquet(os.path.join(rollup_dir, "partials"))
     assert post.select("batch_id").distinct().count() == 1
 
@@ -129,6 +134,7 @@ def test_rollup_replay_after_compaction_no_double_count(spark, tmp_path):
 
     compact_rollup(spark, rollup_dir)
     assert _rows(read_rollup(spark, rollup_dir)) == expect
+    gc_rollup(rollup_dir)
     # compacted generation encodes its watermark: batches 0..1 -> -2
     post = {
         r["batch_id"]
@@ -167,8 +173,63 @@ def test_rollup_replay_after_compaction_no_double_count(spark, tmp_path):
     assert grown != expect
     compact_rollup(spark, rollup_dir)
     assert _rows(read_rollup(spark, rollup_dir)) == grown
+    gc_rollup(rollup_dir)
     post = {
         r["batch_id"]
         for r in spark.read.parquet(partials).select("batch_id").distinct().collect()
     }
     assert post == {-3}
+
+
+def test_compaction_concurrent_append_not_double_counted(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r04: a batch the foreachBatch writer commits BETWEEN
+    compaction's partition-listing snapshot and Spark's own file
+    listing for the merge read must not be folded into a generation
+    whose watermark doesn't cover it (that double-counts it forever).
+    The merge clamp (batch_id <= W' from the snapshot) keeps it out;
+    it stays live via batch_id > W'. Simulated deterministically by
+    pinning the snapshot to a stale listing while the new batch's
+    partition already exists on disk."""
+    from reiz_io_spark.streaming import rollup as rollup_mod
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    thirds = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    rollup_dir = str(tmp_path / "rollup")
+    partials = os.path.join(rollup_dir, "partials")
+    for bid, df in enumerate(thirds):
+        (
+            rollup_partials(df, bid)
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(partials)
+        )
+    expect = _rows(read_rollup(spark, rollup_dir))
+
+    # compaction snapshots the listing BEFORE batch 2 landed; batch 2
+    # is on disk by the time Spark lists files for the merge read
+    real = rollup_mod._partition_ids
+    monkeypatch.setattr(
+        rollup_mod, "_partition_ids",
+        lambda d: [i for i in real(d) if i < 2],
+    )
+    compact_rollup(spark, rollup_dir)
+    monkeypatch.undo()
+
+    # generation folded batches 0..1 only (watermark 1); batch 2 is
+    # still live on its own — totals unchanged, nothing double-counted
+    ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(partials).select("batch_id").distinct().collect()
+    }
+    assert -2 in ids and 2 in ids
+    assert _rows(read_rollup(spark, rollup_dir)) == expect
+
+    # the next compaction folds batch 2 in normally
+    compact_rollup(spark, rollup_dir)
+    assert _rows(read_rollup(spark, rollup_dir)) == expect
