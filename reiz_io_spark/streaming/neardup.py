@@ -24,12 +24,17 @@ operator's MAX_SHINGLE_DF. State size <= buckets * cap * (n_hashes+1)
 longs, RocksDB-backed at production scale.
 
 Emission carries the ESTIMATED Jaccard (exact verification would need
-text in state); pipe flagged pairs through
-operators/dedup.jaccard_for_pairs in a foreachBatch sink for the
-exact-verified tier — candidate pair counts are tiny by construction.
-The same pair can surface from multiple agreeing bands; downstream
-`.dropDuplicates(["doc_a", "doc_b"])` (or the sink's upsert) collapses
-them, mirroring the batch operator's distinct.
+text in state). The exact-verified tier is `start_neardup_verified`:
+a foreachBatch sink that pipes each micro-batch's flagged pairs
+through operators/dedup.jaccard_for_pairs (semi-join-pruned to the
+candidate docs — cost ∝ candidates, never the corpus) and upserts
+pairs at exact jaccard >= threshold into a batch_id-partitioned pairs
+table (idempotent partition overwrite on replay, the rollup sink's
+discipline; `read_verified_pairs` is the deduplicated view). The
+estimate tier admits candidates down to threshold - prefilter_margin —
+the same estimator prefilter the batch operator uses — so the verified
+tier agrees with minhash_lsh_pairs run offline over the union corpus
+(pytest: pair-for-pair, value-for-value).
 """
 
 from __future__ import annotations
@@ -157,3 +162,73 @@ def neardup_stream(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return pairs.filter(F.col("est_jaccard") >= threshold)
+
+
+VERIFIED_SCHEMA = "doc_a long, doc_b long, jaccard double, batch_id long"
+
+
+def start_neardup_verified(
+    documents_stream: DataFrame,
+    docs_source: DataFrame,
+    pairs_dir: str,
+    checkpoint: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    bucket_cap: int = 64,
+    text_col: str = "text",
+    prefilter_margin: float | None = 0.15,
+):
+    """The exact-verified tier: estimate-tier candidates (emitted down
+    to threshold - prefilter_margin, matching the batch operator's
+    signature prefilter) -> exact Jaccard on JUST those pairs against
+    `docs_source` (the canonical documents table the ingest sink
+    maintains; jaccard_for_pairs semi-join-prunes it to candidate
+    docs) -> pairs at exact jaccard >= threshold land in
+    ``pairs_dir/batch_id=N``. Replayed batches overwrite their own
+    partition; a pair re-flagged by a later band/batch is collapsed by
+    the read view — together that is the upsert contract."""
+    est_floor = max(0.0, threshold - (prefilter_margin or 0.0))
+    flagged = neardup_stream(
+        documents_stream, n_hashes=n_hashes, bands=bands,
+        shingle_n=shingle_n, threshold=est_floor, seed=seed,
+        bucket_cap=bucket_cap, text_col=text_col,
+    )
+    from ..operators.dedup import jaccard_for_pairs
+
+    def verify_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cand = batch_df.select("doc_a", "doc_b").dropDuplicates(
+            ["doc_a", "doc_b"]
+        )
+        if cand.isEmpty():
+            return
+        (
+            jaccard_for_pairs(docs_source, cand, n=shingle_n)
+            .filter(F.col("jaccard") >= threshold)
+            .withColumn("batch_id", F.lit(batch_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(pairs_dir)
+        )
+
+    return (
+        flagged.writeStream.foreachBatch(verify_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_verified_pairs(spark, pairs_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — the deduplicated verified-pairs view
+    (a pair verified in several batches appears once; the exact
+    jaccard is a pure function of the two texts, so min==max)."""
+    pairs = spark.read.schema(VERIFIED_SCHEMA).parquet(pairs_dir)
+    return pairs.select("doc_a", "doc_b", "jaccard").dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
