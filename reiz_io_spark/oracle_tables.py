@@ -46,7 +46,23 @@ from .functions.links import github_link, username_of
 from .functions.tokenizer import tokenize_source
 from .sources.corpus import synth_corpus_rows
 
-ORACLE_TABLES_DIR = "/tmp/reiz_io_spark_oracle_tables"
+def _default_base() -> str:
+    """Per-user, env-overridable side-table location. A fixed path in
+    world-writable /tmp would let another local user pre-create the
+    directory with a matching stamp and poisoned parquet (ADVICE r04);
+    the uid suffix + 0o700 + ownership check close that."""
+    env = os.environ.get("REIZ_IO_SPARK_ORACLE_DIR")
+    if env:
+        return env
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    return os.path.join(
+        tempfile.gettempdir(), f"reiz_io_spark_oracle_tables_uid{uid}"
+    )
+
+
+ORACLE_TABLES_DIR = _default_base()
 ENTRY_N_FILLER = 150
 ENTRY_SEED = 42
 POSITIONS_QUERY = ("not_constant", "Return(not Constant())")
@@ -138,6 +154,15 @@ def _positions_rows(docs) -> list[tuple]:
 
 def ensure_oracle_tables(base: str = ORACLE_TABLES_DIR) -> str:
     """Generate the side tables if absent or stale; returns base dir."""
+    # never trust a directory another user owns: the stamp+parquet
+    # inside would be attacker-controlled ground truth for the driver's
+    # hash gate
+    if hasattr(os, "getuid") and os.path.isdir(base):
+        if os.stat(base).st_uid != os.getuid():
+            raise RuntimeError(
+                f"oracle side-table dir {base} is owned by another user; "
+                "set REIZ_IO_SPARK_ORACLE_DIR to a directory you own"
+            )
     stamp = os.path.join(base, _STAMP)
     want = _params()
     try:
@@ -153,7 +178,11 @@ def ensure_oracle_tables(base: str = ORACLE_TABLES_DIR) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(base, exist_ok=True)
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    try:
+        os.chmod(base, 0o700)  # makedirs mode is umask-subject
+    except OSError:
+        pass
     docs = _indexed_docs()
 
     t_term, t_doc, t_tf, t_dl = [], [], [], []

@@ -13,7 +13,8 @@ Consistency contract:
 - keys are sha256(request-body JSON + index meta version): a merge that
   flips meta.json to a new version makes every old entry unreachable
   (snapshot semantics, same as the versioned dictionary/blocks dirs);
-  stale-version files are GC'd opportunistically on put.
+  unreachable stale-version files simply age out by mtime under the
+  size bound — pruning never needs to open them.
 - writes are write-tmp + os.replace, so concurrent readers across
   processes see whole entries or nothing; last-writer-wins races are
   benign (both writers hold the same deterministic result).
@@ -47,7 +48,13 @@ class SharedResultCache:
         self.dir = os.path.join(index_dir, CACHE_DIRNAME)
         self.version = str(version)
         self.max_entries = max_entries
+        # directory-size checks (an O(entries) listing) run every
+        # PRUNE_CHECK_EVERY puts, not per put; worst-case overshoot is
+        # PRUNE_CHECK_EVERY * n_frontends entries over the bound
+        self._puts_since_check = 0
         os.makedirs(self.dir, exist_ok=True)
+
+    PRUNE_CHECK_EVERY = 64
 
     def _path(self, request_key: str) -> str:
         h = hashlib.sha256(
@@ -85,8 +92,18 @@ class SharedResultCache:
         self._maybe_prune()
 
     def _maybe_prune(self) -> None:
-        """Amortized bound: GC stale-version entries first, then the
-        oldest by mtime, down to max_entries."""
+        """Amortized bound, ZERO content reads (this runs on the
+        serving hot path): when the directory exceeds max_entries,
+        drop oldest-mtime entries down to a LOW WATERMARK (90%), so
+        the listing+prune cost amortizes over the next ~10% of puts
+        instead of re-triggering on every put at steady state.
+        Stale-version entries need no content check — they are
+        unreachable by filename construction (the version is hashed
+        into the key) and age out by mtime like everything else."""
+        self._puts_since_check += 1
+        if self._puts_since_check < self.PRUNE_CHECK_EVERY:
+            return
+        self._puts_since_check = 0
         try:
             names = [n for n in os.listdir(self.dir) if n.endswith(".json")]
         except OSError:
@@ -97,14 +114,13 @@ class SharedResultCache:
         for n in names:
             p = os.path.join(self.dir, n)
             try:
-                with open(p) as fh:
-                    stale = json.load(fh).get("v") != self.version
                 mtime = os.path.getmtime(p)
-            except (OSError, json.JSONDecodeError):
-                stale, mtime = True, 0.0
-            scored.append((not stale, mtime, p))  # stale first, then oldest
+            except OSError:
+                continue  # concurrently pruned by another frontend
+            scored.append((mtime, p))
         scored.sort()
-        for _, _, p in scored[: len(scored) - self.max_entries]:
+        low_watermark = max(1, int(self.max_entries * 0.9))
+        for _, p in scored[: len(scored) - low_watermark]:
             try:
                 os.unlink(p)
             except OSError:

@@ -285,7 +285,8 @@ def test_shared_cache_across_frontends(service, monkeypatch):
 
 def test_shared_cache_version_invalidation(tmp_path):
     """A merge that flips the snapshot version makes every old entry
-    unreachable; the bound prunes stale-version files first."""
+    unreachable by filename construction; the stale file then AGES OUT
+    by mtime under the size bound (prune never opens it)."""
     from reiz_io_spark.result_cache import SharedResultCache
 
     d = str(tmp_path / "ix")
@@ -294,7 +295,40 @@ def test_shared_cache_version_invalidation(tmp_path):
     assert c1.get("q") == [1, 2, 3]
     c2 = SharedResultCache(d, version=2, max_entries=4)
     assert c2.get("q") is None  # new snapshot -> old entry unreachable
-    for i in range(6):  # exceed the bound -> stale v1 file pruned first
+    # enough puts to cross the amortized size check; the v1 file is the
+    # oldest entry, so the mtime prune removes it first
+    for i in range(c2.PRUNE_CHECK_EVERY + 4):
         c2.put(f"q{i}", [i])
-    assert c1.get("q") is None
-    assert sum(1 for i in range(6) if c2.get(f"q{i}") is not None) >= 4
+    assert c1.get("q") is None  # aged out
+    # bounded: pruned to the low watermark at the check, plus at most
+    # the post-check puts
+    entries = c2.stats()["entries"]
+    assert entries <= 4 + 4
+
+
+def test_shared_cache_prune_zero_content_reads(tmp_path, monkeypatch):
+    """VERDICT r05 item 7: at steady state (directory far over the
+    bound — 5k entries against max 1000) pruning must do ZERO content
+    reads (json.load is the only content-read path) and keep the
+    directory bounded; the O(entries) listing itself is amortized over
+    PRUNE_CHECK_EVERY puts."""
+    from reiz_io_spark import result_cache as rc
+
+    d = str(tmp_path / "ix")
+    c = rc.SharedResultCache(d, version=1, max_entries=1000)
+    reads = {"n": 0}
+    real_load = rc.json.load
+
+    def counting_load(*a, **k):
+        reads["n"] += 1
+        return real_load(*a, **k)
+
+    monkeypatch.setattr(rc.json, "load", counting_load)
+    for i in range(5000):
+        c.put(f"req{i}", {"rows": [i]})
+    assert reads["n"] == 0, f"prune opened {reads['n']} entry files"
+    entries = c.stats()["entries"]
+    assert entries <= 1000 + c.PRUNE_CHECK_EVERY  # bounded
+    assert entries < 5000  # prune actually ran
+    # hot entries survive: the most recent puts are still readable
+    assert c.get("req4999") == {"rows": [4999]}
