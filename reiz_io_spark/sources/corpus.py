@@ -348,9 +348,41 @@ def synth_corpus_distributed(
     )
 
 
+def parse_table_ref(ref: str) -> tuple[str, dict[str, str]]:
+    """``<catalog.db.name>[@snapshot=<id> | @ts=<millis>]`` ->
+    (table name, Iceberg read options). The option names are Iceberg's
+    own (`snapshot-id`, `as-of-timestamp`); non-Iceberg sources ignore
+    them, so the same code path serves both."""
+    name, _, pin = ref.partition("@")
+    if not name:
+        raise ValueError(f"empty table name in table:{ref!r}")
+    opts: dict[str, str] = {}
+    if pin:
+        key, _, val = pin.partition("=")
+        if key == "snapshot" and val:
+            opts["snapshot-id"] = val
+        elif key == "ts" and val:
+            opts["as-of-timestamp"] = val
+        else:
+            raise ValueError(
+                f"bad table pin {pin!r} (want @snapshot=<id> or @ts=<millis>)"
+            )
+    return name, opts
+
+
 def read_corpus(spark: SparkSession, path: str) -> DataFrame:
-    """Read a corpus table. Parquet path or ``table:<name>`` (Iceberg-style
-    catalog table — snapshot-pinned reads on a real deployment)."""
+    """Read a corpus table. Parquet path, or ``table:<name>`` for a
+    catalog table — when the session is configured with an Iceberg
+    catalog (spark.sql.catalog.<name> = o.a.iceberg.spark.SparkCatalog)
+    this is a real Iceberg read, and ``@snapshot=<id>`` /
+    ``@ts=<millis>`` pin the snapshot (Iceberg time travel). Against
+    the plain session catalog the same call reads the table's current
+    state and the pin options are inert — one code path, no fallback
+    branch to drift."""
     if path.startswith("table:"):
-        return spark.read.table(path[len("table:") :])
+        name, opts = parse_table_ref(path[len("table:"):])
+        reader = spark.read
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.table(name)
     return spark.read.schema(CORPUS).parquet(path)
