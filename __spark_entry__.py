@@ -33,6 +33,8 @@ from reiz_io_spark.operators import (
 BM25_CONJ_TERMS = ["batch", "hash", "join"]
 BM25_DISJ_TERMS = ["spark", "stream", "vector"]
 ANN_QUERY_IDS = [0, 1, 2]
+HYBRID_TERMS = ["spark", "stream", "vector"]
+HYBRID_QUERY_VEC = 0
 JACCARD_N, JACCARD_T = 3, 0.5
 PHRASE = ["table", "hash"]
 PHRASE3 = ["slow", "hash", "batch"]
@@ -213,6 +215,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_exact"] = lambda s, d: similarity.embedding_dup_pairs_exact(
         _emb(s, d), threshold=0.25
     )
+    # hybrid lexical+semantic retrieval: BM25 top-n and cosine top-n
+    # fused with Reciprocal Rank Fusion (operators/hybrid.py; vec_id
+    # identifies the same document as doc_id in the test tables)
+    from reiz_io_spark.operators.hybrid import hybrid_rrf_topk
+
+    q["hybrid_rrf_topk"] = lambda s, d: hybrid_rrf_topk(
+        _docs(s, d), _emb(s, d), HYBRID_TERMS, HYBRID_QUERY_VEC, k=10,
+        n_deep=50,
+    )
 
     # --- text analysis --------------------------------------------------------
     q["text_langid"] = lambda s, d: textstats.language_id(_docs(s, d))
@@ -311,7 +322,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (test_matcher golden lines), UNION (semi/anti join gates +
     # test_fulltext), LIMIT/OFFSET (wand.py offset tests + serving
     # paths) — sit LAST and yield their sweep slots.
-    tail = ["ft_len_range", "ft_union_distinct", "ft_topk_offset"]
+    tail = [
+        "ft_len_range", "ft_union_distinct", "ft_topk_offset",
+        "ft_ilike_match",  # idci: caseless machinery also gated by
+                           # ft_like_prefix + the rank-identity suite
+    ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
     return ordered
@@ -659,6 +674,11 @@ FROM documents GROUP BY sha256(text)
     o["dedup_clusters"] = dedup.dup_clusters_sql(n=JACCARD_N, threshold=JACCARD_T)
     o["dedup_chunks"] = dedup.chunk_dedup_sql(w=12)
     o["ann_cosine_topk"] = similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=10)
+    from reiz_io_spark.operators.hybrid import hybrid_rrf_topk_sql
+
+    o["hybrid_rrf_topk"] = hybrid_rrf_topk_sql(
+        HYBRID_TERMS, HYBRID_QUERY_VEC, k=10, n_deep=50
+    )
     o["dedup_embedding_exact"] = similarity.embedding_dup_pairs_exact_sql(
         threshold=0.25
     )

@@ -1,0 +1,111 @@
+"""Hybrid retrieval — lexical BM25 and embedding-cosine candidate
+lists fused with Reciprocal Rank Fusion:
+
+    rrf(d) = sum over lists r containing d of 1 / (K + rank_r(d))
+
+(Cormack, Clarke, Buettcher, "Reciprocal rank fusion outperforms
+Condorcet and individual rank learning methods", SIGIR 2009 — K=60 is
+the paper's constant). The reference engine is lexical-only
+(reiz/index textsearch); hybrid fusion is part of this repo's
+beyond-reference retrieval surface, and the de-facto serving shape for
+a fulltext index that also owns an ANN tier.
+
+Scale shape: each input list is an independently scale-safe top-n_deep
+(bm25_topk and brute_force_topk both carry the two-level window — the
+corpus-sized work happens there, plan-asserted in test_plans). The
+fusion itself touches <= 2 * n_deep rows: a full-outer join of two
+tiny frames plus one global sort of <= 2 * n_deep rows — constant cost
+at any corpus size, no new shuffle over the data.
+
+Determinism: both engines rank over the ROUNDED (6 dp) component
+scores with doc_id tie-breaks, so list membership and ranks — and
+therefore the fused scores — are bit-stable across Spark and the
+DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .fulltext import bm25_topk, bm25_topk_sql
+from .similarity import brute_force_topk, brute_force_topk_sql
+
+RRF_K = 60
+
+
+def hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    n_deep: int = 50,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """(doc_id, rrf_score, bm_rank, vec_rank) top-k: BM25 (disjunctive)
+    top-n_deep fused with the query vector's cosine top-n_deep.
+    doc_id and vec_id identify the same document. A rank of 0 means
+    "absent from that list's top n_deep" (contributes nothing)."""
+    bm = bm25_topk(documents, query_terms, n_deep, conjunctive=False)
+    # global window over <= n_deep rows (the list is already small)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bmr = bm.select("doc_id", F.row_number().over(w).alias("bm_rank"))
+    annr = brute_force_topk(embeddings, [query_vec_id], n_deep).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = bmr.join(annr, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("bm_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.round(rrf, 6).alias("rrf_score"),
+            F.coalesce("bm_rank", F.lit(0)).cast("int").alias("bm_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("int").alias("vec_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def hybrid_rrf_topk_sql(
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    n_deep: int = 50,
+    rrf_k: int = RRF_K,
+) -> str:
+    """DuckDB twin — composes the two component twins verbatim, so any
+    divergence in a component would surface in its own driver entry
+    before it could hide here."""
+    bm_sql = bm25_topk_sql(query_terms, n_deep, conjunctive=False)
+    ann_sql = brute_force_topk_sql([query_vec_id], n_deep)
+    return f"""
+WITH bm AS (SELECT * FROM ({bm_sql})),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS bm_rank
+  FROM bm
+),
+annr AS (
+  SELECT neighbor_id AS doc_id, rank AS vec_rank FROM ({ann_sql})
+),
+fused AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, b.bm_rank, a.vec_rank
+  FROM bmr b FULL OUTER JOIN annr a ON b.doc_id = a.doc_id
+)
+SELECT doc_id,
+       round(coalesce(1.0 / ({rrf_k} + bm_rank), 0)
+             + coalesce(1.0 / ({rrf_k} + vec_rank), 0), 6) AS rrf_score,
+       CAST(coalesce(bm_rank, 0) AS INT) AS bm_rank,
+       CAST(coalesce(vec_rank, 0) AS INT) AS vec_rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {k}
+"""
