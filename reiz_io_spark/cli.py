@@ -83,6 +83,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="fold new vectors into an existing index "
                     "(frozen quantizers, FAISS `add` semantics)")
 
+    ac = sub.add_parser(
+        "compact-ann", help="fold all committed ANN code segments into "
+        "one (no re-encode; deferred GC of superseded segments)"
+    )
+    ac.add_argument("--index", required=True)
+
     aq = sub.add_parser(
         "search-ann", help="top-k cosine neighbors from a persistent ANN index"
     )
@@ -174,6 +180,12 @@ def _dispatch(args, spark) -> int:
                 emb, args.out, m=args.m, n_codes=args.codes, n_lists=args.lists
             )
         print(json.dumps(meta))
+        return 0
+
+    if args.cmd == "compact-ann":
+        from .operators.ann_index import compact_ann_index
+
+        print(json.dumps(compact_ann_index(spark, args.index)))
         return 0
 
     if args.cmd == "search-ann":

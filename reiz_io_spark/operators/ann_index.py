@@ -296,3 +296,79 @@ def probed_codes_scan(
         )
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
+    """Fold all committed segments into ONE (the maintenance move after
+    many appends: per-search file-listing cost is O(segments), and
+    small append segments fragment the list_id partition layout).
+
+    Pure code movement — rows are copied, nothing is re-encoded (the
+    quantizers are frozen, so the codes are already final). Commit
+    discipline mirrors append: merged segment written to an
+    unreferenced directory, meta flipped atomically to reference only
+    it; the superseded segments are GC'd with a ONE-CYCLE grace (at
+    the start of the next compaction) so in-flight readers planned
+    against the previous snapshot can finish — the same
+    deferred-GC policy as the streaming rollup. Serializes with
+    appenders via the same O_EXCL lock, so a concurrent append's
+    not-yet-committed segment can never be folded or GC'd mid-write."""
+    lock = os.path.join(index_dir, "append.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise ConcurrentAppendError(
+            f"append/compaction already in progress on {index_dir}"
+        ) from None
+    try:
+        gc_ann_index(index_dir)  # grace expired for the previous cycle
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            meta = json.load(fh)
+        segs = meta.get("segments")
+        if segs is None or len(segs) <= 1:
+            return meta  # legacy layout or already compact
+        merged = None
+        for seg_dir in _segment_dirs(index_dir, meta):
+            df = spark.read.parquet(seg_dir)
+            merged = df if merged is None else merged.unionByName(df)
+        nums = [int(s.split("-")[1]) for s in segs if s.startswith("seg-")]
+        new_seg = f"seg-{max(nums) + 1:05d}"
+        new_dir = os.path.join(index_dir, "codes", new_seg)
+        (
+            merged.withColumn("list_id", F.col("list_id").cast("int"))
+            .write.mode("overwrite").partitionBy("list_id").parquet(new_dir)
+        )
+        meta["segments"] = [new_seg]
+        meta["version"] = int(meta.get("version", 1)) + 1
+        _write_meta_atomic(index_dir=index_dir, meta=meta)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+    return meta
+
+
+def gc_ann_index(index_dir: str) -> list[str]:
+    """Delete code segment directories not referenced by the current
+    meta snapshot — superseded generations from a past compaction and
+    orphans from crashed appends. Called under the append lock (from
+    compact_ann_index) or explicitly when no writer is active.
+    Returns the deleted directory names."""
+    import shutil
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    segs = meta.get("segments")
+    if segs is None:
+        return []  # legacy flat layout: nothing segment-shaped to GC
+    codes_dir = os.path.join(index_dir, "codes")
+    try:
+        on_disk = [n for n in os.listdir(codes_dir) if n.startswith("seg-")]
+    except OSError:
+        return []
+    dead = sorted(set(on_disk) - set(segs))
+    for n in dead:
+        shutil.rmtree(os.path.join(codes_dir, n), ignore_errors=True)
+    return dead

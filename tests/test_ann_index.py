@@ -223,3 +223,83 @@ def test_build_and_append_encode_exactly_once(spark, emb, tmp_path, monkeypatch)
     assert acc.value == n_a + n_b, (
         f"append encoded {acc.value - n_a} rows for {n_b} inputs"
     )
+
+
+def test_compaction_folds_segments_search_identical(spark, emb, tmp_path):
+    """Compaction is pure code movement: after N appends, folding all
+    segments into one changes file layout only — search results are
+    row-identical, superseded segments survive one grace cycle, and
+    the next compaction GCs them."""
+    thirds = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    d = str(tmp_path / "cmp")
+    ann_index.build_ann_index(thirds[0], d, m=4, n_codes=16, n_lists=8, seed=7)
+    ann_index.append_to_ann_index(thirds[1], d)
+    ann_index.append_to_ann_index(thirds[2], d)
+    import json
+
+    with open(os.path.join(d, "meta.json")) as fh:
+        assert len(json.load(fh)["segments"]) == 3
+    before = sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect())
+
+    meta = ann_index.compact_ann_index(spark, d)
+    assert len(meta["segments"]) == 1
+    assert meta["n_vectors"] == emb.count()
+    after = sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect())
+    assert after == before
+    # grace: superseded segment dirs still on disk, invisible to reads
+    on_disk = [n for n in os.listdir(os.path.join(d, "codes"))
+               if n.startswith("seg-")]
+    assert len(on_disk) == 4  # 3 old + 1 merged
+    # second compaction is a no-op fold but GCs the previous cycle
+    ann_index.compact_ann_index(spark, d)
+    on_disk = [n for n in os.listdir(os.path.join(d, "codes"))
+               if n.startswith("seg-")]
+    assert on_disk == meta["segments"]
+    # post-compaction reads remain stable (lock released, meta sound)
+    assert sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect()) == before
+
+
+def test_compaction_crash_before_commit_is_invisible(
+    spark, emb, tmp_path, monkeypatch
+):
+    """A compaction killed one instruction before the meta flip leaves
+    readers on the multi-segment snapshot; the replay completes."""
+    import json
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "cc")
+    ann_index.build_ann_index(half_a, d, m=4, n_codes=16, n_lists=8, seed=7)
+    ann_index.append_to_ann_index(half_b, d)
+    with open(os.path.join(d, "meta.json")) as fh:
+        meta_before = json.load(fh)
+    before = sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect())
+
+    def boom(index_dir, meta):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(ann_index, "_write_meta_atomic", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ann_index.compact_ann_index(spark, d)
+    monkeypatch.undo()
+    with open(os.path.join(d, "meta.json")) as fh:
+        assert json.load(fh) == meta_before
+    assert not os.path.exists(os.path.join(d, "append.lock"))
+    assert sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect()) == before
+    # replay: the orphan merged segment is GC'd (unreferenced) and the
+    # compaction lands
+    meta = ann_index.compact_ann_index(spark, d)
+    assert len(meta["segments"]) == 1
+    assert sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect()) == before
