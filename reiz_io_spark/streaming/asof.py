@@ -1,0 +1,122 @@
+"""Streaming backward as-of join — the online twin of
+operators/asof.asof_join_backward: each LEFT event (e.g. purchase) is
+joined to the latest RIGHT event (e.g. click) at or before it for the
+same key, AS THE EVENTS ARRIVE, without re-scanning history per batch.
+
+Shape: one stream carrying both sides (tagged by event type), keyed by
+the join key into applyInPandasWithState. State per key is ONE row —
+the latest right event seen (ts, id, payload) — updated as right rows
+stream through; each left row is emitted immediately, joined against
+the state at that moment. State size is O(active keys), independent of
+history length (the trade that makes the operator viable on an
+unbounded stream).
+
+Ordering contract (the standard streaming as-of assumption — a Kafka
+topic partitioned by the key delivers exactly this): each key's events
+arrive in timestamp order ACROSS batches. Within a batch, rows are
+sorted (ts asc, right-before-left at equal ts, id asc) before the
+state walk, so the batch operator's tie rule holds exactly; under the
+ordering contract the streamed output row-for-row equals
+asof_join_backward run offline over the union of all batches
+(pytest: time-split batches, full equality including never-matched
+lefts). A right event arriving LATE (after a left it should have
+matched was already emitted) cannot retroactively rewrite that left —
+the batch operator remains the backfill path, same as every
+streaming/batch lambda pair in this package.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, ts timestamp_ntz, event_id long, right_value double, "
+    "right_ts timestamp_ntz, right_id long"
+)
+_STATE_SCHEMA = "right_ts long, right_id long, right_value double"
+
+
+def _asof_for_key(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # batch-operator tie rule: right rows order before left rows at
+    # equal ts; ties within a side break by id
+    rows = rows.sort_values(
+        ["ts", "_is_right", "event_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    if state.exists:
+        r_ts_us, r_id, r_val = state.get
+    else:
+        r_ts_us, r_id, r_val = None, None, None
+
+    out = {k: [] for k in (
+        "user_id", "ts", "event_id", "right_value", "right_ts", "right_id"
+    )}
+    uid = int(key[0])
+    for ts_v, is_r, eid, val in zip(
+        rows["ts"], rows["_is_right"], rows["event_id"], rows["value"]
+    ):
+        if is_r == 1:
+            r_ts_us = int(ts_v.value // 1_000)  # pandas ns -> micros
+            r_id = int(eid)
+            r_val = None if pd.isna(val) else float(val)
+        else:
+            out["user_id"].append(uid)
+            out["ts"].append(ts_v)
+            out["event_id"].append(int(eid))
+            out["right_value"].append(r_val)
+            out["right_ts"].append(
+                None if r_ts_us is None
+                else pd.Timestamp(r_ts_us * 1_000)
+            )
+            out["right_id"].append(r_id)
+    if r_ts_us is not None:
+        state.update((r_ts_us, r_id, r_val))
+    yield pd.DataFrame({
+        "user_id": pd.Series(out["user_id"], dtype="int64"),
+        "ts": pd.Series(out["ts"], dtype="datetime64[ns]"),
+        "event_id": pd.Series(out["event_id"], dtype="int64"),
+        "right_value": pd.Series(out["right_value"], dtype="float64"),
+        "right_ts": pd.Series(out["right_ts"], dtype="datetime64[ns]"),
+        "right_id": pd.Series(out["right_id"], dtype="Int64"),
+    })
+
+
+def asof_join_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    left_type: str = "purchase",
+    right_type: str = "click",
+    value_col: str = "value",
+) -> DataFrame:
+    """events stream -> one row per LEFT event: (key, ts, id,
+    right_value, right_ts, right_id), right_* null when no right event
+    has arrived for the key yet. The stream's only shuffle is the key
+    grouping."""
+    tagged = (
+        events.filter(F.col("event_type").isin([left_type, right_type]))
+        .select(
+            F.col(key).alias("user_id"),
+            F.col(ts).alias("ts"),
+            F.col(id_col).alias("event_id"),
+            F.col(value_col).alias("value"),
+            F.when(F.col("event_type") == right_type, F.lit(1))
+            .otherwise(F.lit(0)).alias("_is_right"),
+        )
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _asof_for_key,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
