@@ -314,6 +314,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontam_ngram"] = _contam
     q["pii_scrub"] = lambda s, d: _dc.scrub_pii(_docs(s, d))
+    # the composed hygiene pipeline: dedup -> quality -> decontam ->
+    # split as ONE declarative job (operators/pipeline.py)
+    from reiz_io_spark.operators.pipeline import clean_corpus
+
+    def _clean(s, d):
+        from pyspark.sql import Row
+
+        bench = s.createDataFrame(
+            [Row(bench_id=b, text=t) for b, t in DECONTAM_BENCH]
+        )
+        return clean_corpus(
+            _docs(s, d), bench, quality_min=0.5, n=3, weights=SPLIT_WEIGHTS
+        )
+
+    q["pipeline_clean_corpus"] = _clean
     # The driver's correctness sweep records the FIRST 50 registry
     # entries (r04: 53 registered, the last 3 went unswept). The
     # training-data-hygiene tier (decontam/pii/stratified) must carry
@@ -324,8 +339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paths) — sit LAST and yield their sweep slots.
     tail = [
         "ft_len_range", "ft_union_distinct", "ft_topk_offset",
-        "ft_ilike_match",  # idci: caseless machinery also gated by
-                           # ft_like_prefix + the rank-identity suite
+        "ft_ilike_match",   # idci: caseless machinery also gated by
+                            # ft_like_prefix + the rank-identity suite
+        "ft_phrase_match",  # subsumed by swept ft_phrase_topk (built
+                            # on the same match) + ft_proximity_near
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -678,6 +695,11 @@ FROM documents GROUP BY sha256(text)
 
     o["hybrid_rrf_topk"] = hybrid_rrf_topk_sql(
         HYBRID_TERMS, HYBRID_QUERY_VEC, k=10, n_deep=50
+    )
+    from reiz_io_spark.operators.pipeline import clean_corpus_sql
+
+    o["pipeline_clean_corpus"] = clean_corpus_sql(
+        DECONTAM_BENCH, quality_min=0.5, n=3, weights=SPLIT_WEIGHTS
     )
     o["dedup_embedding_exact"] = similarity.embedding_dup_pairs_exact_sql(
         threshold=0.25
