@@ -71,6 +71,39 @@ def dictionary(documents: DataFrame) -> DataFrame:
     )
 
 
+_STATS_CACHE: dict[tuple[str, int], tuple[int, float]] = {}
+
+
+def corpus_stats(documents: DataFrame) -> tuple[int, float]:
+    """(n_docs, avgdl) with a per-application memo keyed on the
+    analyzed plan's semantic hash: repeat queries over the same corpus
+    snapshot skip the full tokenize pass the stats need (half the
+    index-free query's scan work). Stats are snapshot-scoped, like
+    every read in this package — a corpus mutated in place must be
+    re-read (a fresh read resolves a different file listing, hence a
+    different plan hash). Falls back to computing when the hash is
+    unavailable; the memo is process-local and tiny (one entry per
+    distinct corpus plan)."""
+    key = None
+    try:
+        key = (
+            documents.sparkSession.sparkContext.applicationId,
+            int(documents._jdf.queryExecution().analyzed().semanticHash()),
+        )
+    except Exception:
+        pass
+    if key is not None and key in _STATS_CACHE:
+        return _STATS_CACHE[key]
+    stats = tokens(documents).agg(
+        F.sum(F.size("toks")).alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = int(stats["s"] or 0) / n_docs
+    if key is not None:
+        _STATS_CACHE[key] = (n_docs, avgdl)
+    return n_docs, avgdl
+
+
 def bm25_topk(
     documents: DataFrame,
     query_terms: list[str],
@@ -82,15 +115,11 @@ def bm25_topk(
     """BM25 top-k with conjunctive (every term) or disjunctive (any term)
     semantics; deterministic tie-break (score desc, doc_id asc).
 
-    This is the index-free, DuckDB-checkable twin — it re-derives
-    collection stats from the raw table per call (one stats job + one
-    scoring job). The SERVING path is the code-engine index
-    (IndexReader/QueryService); never route interactive traffic here."""
-    stats = tokens(documents).agg(
-        F.sum(F.size("toks")).alias("s"), F.count("*").alias("n")
-    ).collect()[0]
-    n_docs = int(stats["n"])
-    avgdl = int(stats["s"] or 0) / n_docs
+    This is the index-free, DuckDB-checkable twin — one scoring job,
+    plus a stats job memoized per corpus snapshot (corpus_stats). The
+    SERVING path is the code-engine index (IndexReader/QueryService);
+    never route interactive traffic here."""
+    n_docs, avgdl = corpus_stats(documents)
 
     p = postings(documents).filter(F.col("term").isin(query_terms))
     d = (
@@ -196,11 +225,7 @@ def bm25_topk_by_group(
     (score desc, doc_id asc) inside each group."""
     from pyspark.sql.window import Window
 
-    stats = tokens(documents).agg(
-        F.sum(F.size("toks")).alias("s"), F.count("*").alias("n")
-    ).collect()[0]
-    n_docs = int(stats["n"])
-    avgdl = int(stats["s"] or 0) / n_docs
+    n_docs, avgdl = corpus_stats(documents)
 
     p = postings(documents).filter(F.col("term").isin(query_terms))
     d = (

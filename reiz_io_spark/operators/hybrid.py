@@ -49,8 +49,9 @@ def hybrid_rrf_topk(
     doc_id and vec_id identify the same document. A rank of 0 means
     "absent from that list's top n_deep" (contributes nothing)."""
     bm = bm25_topk(documents, query_terms, n_deep, conjunctive=False)
-    # global window over <= n_deep rows (the list is already small)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # global rank over <= n_deep rows; the constant partition key only
+    # silences Spark's single-partition warning — the data IS tiny here
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
     bmr = bm.select("doc_id", F.row_number().over(w).alias("bm_rank"))
     annr = brute_force_topk(embeddings, [query_vec_id], n_deep).select(
         F.col("neighbor_id").alias("doc_id"),
