@@ -112,11 +112,15 @@ def phrase_topk(
     dl = tokens(documents).select(
         "doc_id", F.size("toks").cast("long").alias("dl")
     )
-    n_docs = documents.count()
+    # memoized per corpus snapshot (fulltext.corpus_stats): avg(dl)
+    # over all docs == sum(len(toks))/count in exact IEEE terms, so
+    # reusing the shared memo changes nothing vs the DuckDB twin and
+    # drops two of this query's three driver-side actions on repeats
+    from .fulltext import corpus_stats
+
+    n_docs, avgdl = corpus_stats(documents)
     scored = m.join(dl, "doc_id")
     df = m.count()
-    avgdl_row = dl.agg(F.avg("dl").alias("avgdl")).collect()[0]
-    avgdl = float(avgdl_row["avgdl"] or 0.0)
     import math
 
     idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
