@@ -164,7 +164,20 @@ def append_to_ann_index(
         seg = f"seg-{(max(nums) + 1 if nums else len(segs)):05d}"
         seg_dir = os.path.join(index_dir, "codes", seg)
         codes.write.mode("overwrite").partitionBy("list_id").parquet(seg_dir)
-        n_new = embeddings_batch.sparkSession.read.parquet(seg_dir).count()
+        # explicit schema: an EMPTY batch writes a part-file-less dir
+        # whose schema can't be inferred — with the schema the count is
+        # simply 0 and the segment is dropped instead of committed (a
+        # schema-less dir in meta would break every later scan)
+        n_new = (
+            embeddings_batch.sparkSession.read
+            .schema("vec_id long, codes array<int>, list_id int")
+            .parquet(seg_dir).count()
+        )
+        if n_new == 0:
+            import shutil
+
+            shutil.rmtree(seg_dir, ignore_errors=True)
+            return meta  # nothing to commit; meta/version unchanged
         meta["n_vectors"] = int(meta["n_vectors"]) + n_new
         meta["segments"] = segs + [seg]
         meta["version"] = int(meta.get("version", 1)) + 1

@@ -303,3 +303,27 @@ def test_compaction_crash_before_commit_is_invisible(
     assert sorted(tuple(r) for r in ann_index.ann_index_search(
         spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
     ).collect()) == before
+
+
+def test_empty_append_is_a_noop(spark, emb, tmp_path):
+    """An empty batch must not commit a schema-less segment (which
+    would break every later scan) — meta, version and search results
+    stay untouched."""
+    import json
+
+    d = str(tmp_path / "empty")
+    ann_index.build_ann_index(emb, d, m=4, n_codes=16, n_lists=8, seed=7)
+    with open(os.path.join(d, "meta.json")) as fh:
+        meta_before = json.load(fh)
+    before = sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect())
+
+    meta = ann_index.append_to_ann_index(emb.filter(F.lit(False)), d)
+    assert meta == meta_before
+    with open(os.path.join(d, "meta.json")) as fh:
+        assert json.load(fh) == meta_before
+    assert not os.path.exists(os.path.join(d, "append.lock"))
+    assert sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
+    ).collect()) == before
