@@ -110,3 +110,57 @@ FROM fused
 ORDER BY rrf_score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def hybrid_rrf_topk_indexed(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    ann_index_dir: str,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    n_deep: int = 50,
+    n_probe: int = 4,
+    refine_factor: int = 4,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """The scale path for hybrid retrieval: the vector list comes from
+    the persistent IVF-PQ index (partition-pruned probe + broadcast
+    refine — ann_index.ann_index_search) instead of the brute-force
+    corpus scan, so the fused query's cost is index-seek-shaped on
+    BOTH lists. Same output contract as hybrid_rrf_topk; the vector
+    list's membership is the ANN approximation (probe-all + deep
+    refine converges it to the flat-PQ list — pytest)."""
+    from .ann_index import ann_index_search
+
+    bm = bm25_topk(documents, query_terms, n_deep, conjunctive=False)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    bmr = bm.select("doc_id", F.row_number().over(w).alias("bm_rank"))
+    ann = ann_index_search(
+        documents.sparkSession, ann_index_dir, embeddings,
+        [query_vec_id], k=n_deep, n_probe=n_probe,
+        refine_factor=refine_factor,
+    )
+    wv = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    annr = ann.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).alias("vec_rank"),
+    )
+    fused = bmr.join(annr, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("bm_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.round(rrf, 6).alias("rrf_score"),
+            F.coalesce("bm_rank", F.lit(0)).cast("int").alias("bm_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("int").alias("vec_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )
