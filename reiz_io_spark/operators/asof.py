@@ -96,9 +96,12 @@ def asof_join_backward(
 
 def purchases_last_click_sql() -> str:
     """DuckDB twin of the driver entry: every purchase joined to the
-    user's latest click at-or-before it. Carries the SAME single-struct
-    shape as the Spark operator (one last_value over a struct), so the
-    one-matched-row semantics are identical engine to engine."""
+    user's latest click at-or-before it. The twin keeps the
+    single-struct carry (one last_value over a struct); the Spark
+    operator now carries the same fields as separate primitive
+    last(ignorenulls) columns guarded by a shared match id (r5 perf
+    rework) — the one-matched-row SEMANTICS are identical engine to
+    engine, and the results hash-match."""
     return """
 WITH u AS (
   SELECT user_id, ts, event_id, 0 AS is_right,

@@ -71,27 +71,52 @@ def dictionary(documents: DataFrame) -> DataFrame:
     )
 
 
-_STATS_CACHE: dict[tuple[str, int], tuple[int, float]] = {}
+_STATS_CACHE: dict[tuple, tuple[int, float]] = {}
+
+
+def invalidate_corpus_stats() -> None:
+    """Explicit bust hook for long-lived serving processes that know a
+    corpus changed out from under them (e.g. an external writer they
+    cannot observe through the listing)."""
+    _STATS_CACHE.clear()
+
+
+def _stats_key(documents: DataFrame):
+    """Memo key = (appId, plan semantic hash, file-listing fingerprint).
+
+    The semantic hash alone is NOT enough for path-based sources:
+    Spark's InMemoryFileIndex hashes/equals by rootPaths only, so a
+    corpus OVERWRITTEN at the same path and freshly re-read in the same
+    application would produce the same semantic hash — and silently
+    serve the old corpus's (n_docs, avgdl). inputFiles() pins the key
+    to the resolved file listing instead (parquet part files carry
+    write-UUID names, so any rewrite changes the listing); a source
+    with no listing (pure in-memory relation) contributes an empty
+    fingerprint and relies on the semantic hash, which IS sound there
+    (localRelation hashes its data)."""
+    try:
+        sem = int(documents._jdf.queryExecution().analyzed().semanticHash())
+        files = tuple(sorted(documents.inputFiles()))
+        import hashlib
+
+        fp = hashlib.sha256("\x00".join(files).encode()).hexdigest()
+        return (
+            documents.sparkSession.sparkContext.applicationId, sem, fp,
+        )
+    except Exception:
+        return None
 
 
 def corpus_stats(documents: DataFrame) -> tuple[int, float]:
-    """(n_docs, avgdl) with a per-application memo keyed on the
-    analyzed plan's semantic hash: repeat queries over the same corpus
-    snapshot skip the full tokenize pass the stats need (half the
-    index-free query's scan work). Stats are snapshot-scoped, like
-    every read in this package — a corpus mutated in place must be
-    re-read (a fresh read resolves a different file listing, hence a
-    different plan hash). Falls back to computing when the hash is
-    unavailable; the memo is process-local and tiny (one entry per
-    distinct corpus plan)."""
-    key = None
-    try:
-        key = (
-            documents.sparkSession.sparkContext.applicationId,
-            int(documents._jdf.queryExecution().analyzed().semanticHash()),
-        )
-    except Exception:
-        pass
+    """(n_docs, avgdl) with a per-application memo: repeat queries over
+    the same corpus snapshot skip the full tokenize pass the stats need
+    (half the index-free query's scan work). The memo key includes the
+    resolved file listing (see _stats_key), so an in-place overwrite at
+    the same path is observed by the next fresh read; a long-lived
+    process can also call invalidate_corpus_stats() explicitly. Falls
+    back to computing when the key is unavailable; the memo is
+    process-local and tiny (one entry per distinct corpus snapshot)."""
+    key = _stats_key(documents)
     if key is not None and key in _STATS_CACHE:
         return _STATS_CACHE[key]
     stats = tokens(documents).agg(

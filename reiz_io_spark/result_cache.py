@@ -118,6 +118,8 @@ class SharedResultCache:
             except OSError:
                 continue  # concurrently pruned by another frontend
             scored.append((mtime, p))
+        if len(scored) <= self.max_entries:
+            return  # concurrent pruners already brought us under bound
         scored.sort()
         low_watermark = max(1, int(self.max_entries * 0.9))
         for _, p in scored[: len(scored) - low_watermark]:

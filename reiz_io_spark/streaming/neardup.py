@@ -50,7 +50,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = "doc_a long, doc_b long, band int, est_jaccard double"
 
 
-def _state_schema(cap: int) -> str:
+def _state_schema() -> str:
     return "docs array<long>, sigs array<long>"
 
 
@@ -157,7 +157,7 @@ def neardup_stream(
     pairs = buckets.groupBy("bucket").applyInPandasWithState(
         _pairs_for_key(n_hashes, bucket_cap, threshold),
         outputStructType=OUTPUT_SCHEMA,
-        stateStructType=_state_schema(bucket_cap),
+        stateStructType=_state_schema(),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
