@@ -89,6 +89,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     ac.add_argument("--index", required=True)
 
+    ag = sub.add_parser(
+        "gc-ann", help="delete unreferenced ANN code segments older "
+        "than --max-age-seconds (crashed-append orphans, superseded "
+        "generations) without waiting for the next compaction"
+    )
+    ag.add_argument("--index", required=True)
+    ag.add_argument("--max-age-seconds", type=float, default=3600.0,
+                    help="only segments whose newest file is older than "
+                    "this are deleted (an in-flight append's staging "
+                    "dir is young, so this is safe to run any time)")
+
     aq = sub.add_parser(
         "search-ann", help="top-k cosine neighbors from a persistent ANN index"
     )
@@ -186,6 +197,15 @@ def _dispatch(args, spark) -> int:
         from .operators.ann_index import compact_ann_index
 
         print(json.dumps(compact_ann_index(spark, args.index)))
+        return 0
+
+    if args.cmd == "gc-ann":
+        from .operators.ann_index import gc_ann_index
+
+        deleted = gc_ann_index(
+            args.index, max_age_seconds=args.max_age_seconds
+        )
+        print(json.dumps({"deleted": deleted}))
         return 0
 
     if args.cmd == "search-ann":

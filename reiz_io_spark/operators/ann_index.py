@@ -54,13 +54,39 @@ def build_ann_index(
     n_lists: int = 16,
     seed: int = 7,
 ) -> dict:
-    """Train + encode + write. Returns the committed meta dict.
+    """Train + encode + write a FRESH index. Returns the committed meta.
+
+    Commit discipline (r6): build refuses a directory that already has
+    a committed meta.json — a rebuild there would overwrite
+    codes/seg-00000 and the quantizer sidecars IN PLACE, segments and
+    files the live meta references, so concurrent readers could see
+    torn scans or a codes/codebook mismatch (the append/compact paths
+    never do this; they write unreferenced directories and flip meta
+    atomically). Re-train into a fresh directory and swap the path —
+    or grow an existing index with append_to_ann_index (frozen
+    quantizers). Sidecars are written write-tmp + os.replace so even
+    the fresh-dir build has no torn-file window.
 
     The encode pipeline executes exactly ONCE — as the segment write.
     n_vectors comes from the written parquet's footer metadata (a
     count over committed files is metadata-only), never from a second
     evaluation of the encode DataFrame (the r04 layout paid the whole
     UDF pass twice: once for the write, once for .count())."""
+    if os.path.exists(os.path.join(out_dir, "meta.json")):
+        raise ValueError(
+            f"build_ann_index: {out_dir} already holds a committed index "
+            "(meta.json present). Re-train into a FRESH directory (an "
+            "in-place rebuild would tear concurrent readers), or use "
+            "append_to_ann_index to add vectors under the frozen "
+            "quantizers."
+        )
+    if embeddings.isEmpty():
+        raise ValueError(
+            "build_ann_index: embeddings input is empty — an IVF-PQ "
+            "index trains its quantizers from the data. Build from a "
+            "non-empty batch; later increments (including empty ones, "
+            "which no-op) go through append_to_ann_index."
+        )
     centroids, assigned = ivf_assignments(embeddings, n_lists=n_lists, seed=seed)
     codebooks = pq_train(embeddings, m=m, n_codes=n_codes, seed=seed)
     codes = pq_encode(embeddings, codebooks).join(assigned, "vec_id")
@@ -69,10 +95,16 @@ def build_ann_index(
     seg = "seg-00000"
     seg_dir = os.path.join(out_dir, "codes", seg)
     codes.write.mode("overwrite").partitionBy("list_id").parquet(seg_dir)
-    n_vectors = embeddings.sparkSession.read.parquet(seg_dir).count()
+    # explicit schema, same as the append path: metadata-only count
+    # that cannot trip over schema inference edge cases
+    n_vectors = (
+        embeddings.sparkSession.read
+        .schema("vec_id long, codes array<int>, list_id int")
+        .parquet(seg_dir).count()
+    )
 
-    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
-    np.save(os.path.join(out_dir, "codebooks.npy"), codebooks)
+    _save_sidecar_atomic(os.path.join(out_dir, "centroids.npy"), centroids)
+    _save_sidecar_atomic(os.path.join(out_dir, "codebooks.npy"), codebooks)
     meta = {
         "version": 1,
         "m": m,
@@ -85,6 +117,15 @@ def build_ann_index(
     }
     _write_meta_atomic(index_dir=out_dir, meta=meta)
     return meta
+
+
+def _save_sidecar_atomic(path: str, arr: np.ndarray) -> None:
+    """np.save via write-tmp + os.replace: a concurrent _load never
+    reads a torn .npy (np.save writes in place and is not atomic)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.save(fh, arr)
+    os.replace(tmp, path)
 
 
 def _write_meta_atomic(index_dir: str, meta: dict) -> None:
@@ -216,22 +257,30 @@ def ann_index_search(
     k: int = 10,
     n_probe: int = 4,
     refine_factor: int = 4,
+    query_vectors: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, score) top-k per query — ADC scan over the
     PROBED PARTITIONS ONLY of the persisted codes table, exact-cosine
     refine against the source embeddings. Same output contract as
-    pq.ivf_pq_topk (scores exact, approximation picks candidates)."""
+    pq.ivf_pq_topk (scores exact, approximation picks candidates).
+
+    Query vectors resolve with AT MOST ONE embeddings pass per call —
+    pass `query_vectors` (the serving case: the caller just encoded
+    the query) and the call touches the embeddings table only for the
+    broadcast-pinned candidate refine; with ids only, one point-lookup
+    is collected and reused for both the LUT build and the refine's
+    query side (the r5 layout scanned twice — pq.resolve_query_vectors)."""
+    from .pq import query_frame, resolve_query_vectors
+
     meta, centroids, codebooks = _load(index_dir)
     m = int(meta["m"])
     sub = codebooks.shape[2]
 
-    qrows = embeddings.filter(F.col("vec_id").isin(query_ids)).collect()
+    qvecs = resolve_query_vectors(embeddings, query_ids, query_vectors)
     luts: dict[int, np.ndarray] = {}
     probe_lists: dict[int, set] = {}
-    for r in qrows:
-        q = np.asarray(r["embedding"], dtype="float64")
-        q = q / max(float(np.linalg.norm(q)), 1e-12)
-        qid = int(r["vec_id"])
+    for qid, raw in qvecs.items():
+        q = raw / max(float(np.linalg.norm(raw)), 1e-12)
         luts[qid] = np.stack(
             [codebooks[j] @ q[j * sub:(j + 1) * sub] for j in range(m)]
         )
@@ -265,9 +314,7 @@ def ann_index_search(
     approx = pruned.mapInPandas(scan, "query_id long, vec_id long, approx double")
     cands = _global_topk_candidates(approx, n_cand)
 
-    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
+    q = query_frame(spark, qvecs)
     # candidate set is k*refine_factor*|queries| rows — BROADCAST it
     # so the (possibly 10^9-row) embeddings table is probed in place,
     # never shuffled for the refine (plan-asserted in test_plans)
@@ -363,13 +410,26 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     return meta
 
 
-def gc_ann_index(index_dir: str) -> list[str]:
+def gc_ann_index(
+    index_dir: str, max_age_seconds: float | None = None
+) -> list[str]:
     """Delete code segment directories not referenced by the current
     meta snapshot — superseded generations from a past compaction and
-    orphans from crashed appends. Called under the append lock (from
-    compact_ann_index) or explicitly when no writer is active.
-    Returns the deleted directory names."""
+    orphans from crashed appends. Returns the deleted directory names.
+
+    Two modes:
+    - max_age_seconds=None (compaction path): delete every
+      unreferenced segment. Safe ONLY under the append lock (a live
+      append's staging directory is unreferenced too) — this is how
+      compact_ann_index calls it, with grace already expired.
+    - max_age_seconds=N (explicit `gc-ann` CLI, any time): delete only
+      unreferenced segments whose newest file is older than N seconds.
+      An in-flight append's staging dir is young by construction, so
+      this bounds orphan retention in WALL TIME without waiting for
+      the next compaction (the one-cycle grace alone was unbounded —
+      a crashed append's orphan lived until someone compacted)."""
     import shutil
+    import time
 
     with open(os.path.join(index_dir, "meta.json")) as fh:
         meta = json.load(fh)
@@ -382,6 +442,34 @@ def gc_ann_index(index_dir: str) -> list[str]:
     except OSError:
         return []
     dead = sorted(set(on_disk) - set(segs))
+    if max_age_seconds is not None:
+        now = time.time()
+        old_enough = []
+        for n in dead:
+            p = os.path.join(codes_dir, n)
+            try:
+                # newest mtime under the whole tree: a writer touching
+                # ANY file inside keeps the segment alive
+                mt = _newest_mtime(p)
+            except OSError:
+                continue
+            if now - mt > max_age_seconds:
+                old_enough.append(n)
+        dead = old_enough
     for n in dead:
         shutil.rmtree(os.path.join(codes_dir, n), ignore_errors=True)
     return dead
+
+
+def _newest_mtime(path: str) -> float:
+    """Newest mtime of the directory tree (dir entries + files)."""
+    newest = os.path.getmtime(path)
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(root, name))
+                )
+            except OSError:
+                pass
+    return newest

@@ -327,3 +327,98 @@ def test_empty_append_is_a_noop(spark, emb, tmp_path):
     assert sorted(tuple(r) for r in ann_index.ann_index_search(
         spark, d, emb, QIDS, k=10, n_probe=8, refine_factor=8
     ).collect()) == before
+
+
+def test_search_accepts_literal_query_vectors(spark, emb, index_dir):
+    """The serving API shape: the caller supplies the query vectors
+    (it just encoded them), and the search touches the embeddings
+    table ONLY for the broadcast refine — identical results to the
+    id-lookup path."""
+    qv = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(QIDS)).collect()
+    }
+    by_ids = sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, index_dir, emb, QIDS, k=5, n_probe=4
+    ).collect())
+    by_vecs = sorted(tuple(r) for r in ann_index.ann_index_search(
+        spark, index_dir, emb, QIDS, k=5, n_probe=4, query_vectors=qv
+    ).collect())
+    assert by_ids == by_vecs and len(by_ids) == 15
+
+
+def test_search_plan_scans_embeddings_once(spark, emb, index_dir):
+    """r5 scanned the embeddings table twice per search (LUT build +
+    refine query side); the refine's query side is now a local
+    relation, so the physical plan references the embeddings source
+    exactly once — the broadcast-pinned candidate refine probe."""
+    plan = (
+        ann_index.ann_index_search(spark, index_dir, emb, QIDS, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("embeddings.parquet") == 1, plan[:3000]
+
+
+def test_pq_literal_query_vectors_identity(spark, emb):
+    qv = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(QIDS)).collect()
+    }
+    assert sorted(tuple(r) for r in pq.pq_topk(
+        emb, QIDS, k=5
+    ).collect()) == sorted(tuple(r) for r in pq.pq_topk(
+        emb, QIDS, k=5, query_vectors=qv
+    ).collect())
+    assert sorted(tuple(r) for r in pq.ivf_pq_topk(
+        emb, QIDS, k=5
+    ).collect()) == sorted(tuple(r) for r in pq.ivf_pq_topk(
+        emb, QIDS, k=5, query_vectors=qv
+    ).collect())
+
+
+def test_build_refuses_committed_dir(spark, emb, tmp_path):
+    """An in-place rebuild would overwrite seg-00000 and the quantizer
+    sidecars while the live meta references them — build must refuse
+    and point at fresh-dir retrain / append instead (ADVICE r5)."""
+    d = str(tmp_path / "ann")
+    ann_index.build_ann_index(emb, d, m=4, n_codes=16, n_lists=4, seed=7)
+    with pytest.raises(ValueError, match="already holds a committed index"):
+        ann_index.build_ann_index(emb, d, m=4, n_codes=16, n_lists=4, seed=7)
+
+
+def test_build_empty_input_raises_cleanly(spark, tmp_path):
+    """Empty input used to die inside schema inference on the zero-row
+    segment write; it must fail fast with a message naming the append
+    path for empty increments (ADVICE r5)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        ann_index.build_ann_index(empty, str(tmp_path / "ann_e"))
+    assert not os.path.exists(str(tmp_path / "ann_e" / "meta.json"))
+
+
+def test_gc_age_threshold(spark, emb, tmp_path):
+    """Explicit age-based GC: an unreferenced orphan older than the
+    threshold is removed WITHOUT a compaction; a young orphan (an
+    in-flight append's staging dir) survives."""
+    import shutil as _sh
+    import time
+
+    d = str(tmp_path / "ann")
+    ann_index.build_ann_index(emb, d, m=4, n_codes=16, n_lists=4, seed=7)
+    codes = os.path.join(d, "codes")
+    # fabricate two orphans: copies of the committed segment that no
+    # meta references (exactly what a crashed append leaves behind)
+    _sh.copytree(os.path.join(codes, "seg-00000"), os.path.join(codes, "seg-00007"))
+    _sh.copytree(os.path.join(codes, "seg-00000"), os.path.join(codes, "seg-00008"))
+    old = time.time() - 7200
+    for root, dirs, files in os.walk(os.path.join(codes, "seg-00007"), topdown=False):
+        for n in files + dirs:
+            os.utime(os.path.join(root, n), (old, old))
+    os.utime(os.path.join(codes, "seg-00007"), (old, old))
+
+    deleted = ann_index.gc_ann_index(d, max_age_seconds=3600)
+    assert deleted == ["seg-00007"]
+    assert not os.path.exists(os.path.join(codes, "seg-00007"))
+    assert os.path.exists(os.path.join(codes, "seg-00008"))  # young: kept
+    # searches still work on the committed snapshot
+    assert ann_index.ann_index_search(spark, d, emb, QIDS, k=3).count() == 9
