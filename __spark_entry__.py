@@ -224,6 +224,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), _emb(s, d), HYBRID_TERMS, HYBRID_QUERY_VEC, k=10,
         n_deep=50,
     )
+    # the SERVING shape: the vector list routed through the persistent
+    # IVF-PQ index (partition-pruned probe + broadcast refine) instead
+    # of a corpus scan. Swept with probe-all + full-coverage refine, so
+    # the approximate candidate stage provably converges to the exact
+    # cosine list and the entry shares hybrid_rrf_topk's DuckDB twin —
+    # the pruned-probe regime is pytest-gated (test_hybrid).
+    from reiz_io_spark.operators.hybrid import hybrid_rrf_topk_indexed
+
+    def _hybrid_indexed(s, d):
+        emb = _emb(s, d)
+        idx = _ensure_entry_ann_index(s, d)
+        n_deep = 50
+        # n_cand = n_deep * refine >= n_vectors + probe-all => the ADC
+        # stage keeps EVERY vector as a candidate; the exact refine then
+        # reproduces the brute-force list bit-for-bit
+        n_vectors = _ANN_INDEX_META[d]["n_vectors"]
+        rf = max(4, -(-n_vectors // n_deep))  # ceil
+        return hybrid_rrf_topk_indexed(
+            _docs(s, d), emb, idx, HYBRID_TERMS, HYBRID_QUERY_VEC,
+            k=10, n_deep=n_deep,
+            n_probe=_ANN_INDEX_META[d]["n_lists"], refine_factor=rf,
+        )
+
+    q["hybrid_rrf_topk_indexed"] = _hybrid_indexed
 
     # --- text analysis --------------------------------------------------------
     q["text_langid"] = lambda s, d: textstats.language_id(_docs(s, d))
@@ -343,6 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             # ft_like_prefix + the rank-identity suite
         "ft_phrase_match",  # subsumed by swept ft_phrase_topk (built
                             # on the same match) + ft_proximity_near
+        "mm_media_decode_stub",  # r6: yields its slot to the indexed
+                            # hybrid entry — extract_media_features'
+                            # plumbing stays swept via
+                            # mm_media_features; the stub decode's
+                            # sha256 feature arithmetic is pytest-gated
+                            # and still full-sweep-checked locally
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -350,6 +380,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _CODE_INDEX_CACHE: dict[str, str] = {}
+_ANN_INDEX_CACHE: dict[str, str] = {}
+_ANN_INDEX_META: dict[str, dict] = {}
+
+
+def _ensure_entry_ann_index(s: SparkSession, d: str) -> str:
+    """Persistent IVF-PQ index over the sf_dir's embeddings table,
+    built once per process (the hybrid-indexed entry's vector side)."""
+    import tempfile
+
+    from reiz_io_spark.operators.ann_index import build_ann_index
+
+    if d not in _ANN_INDEX_CACHE:
+        out = tempfile.mkdtemp(prefix="entry_ann_index_")
+        # build refuses a committed dir; mkdtemp is always fresh
+        meta = build_ann_index(
+            _emb(s, d), os.path.join(out, "ix"),
+            m=4, n_codes=16, n_lists=16, seed=7,
+        )
+        _ANN_INDEX_CACHE[d] = os.path.join(out, "ix")
+        _ANN_INDEX_META[d] = meta
+    return _ANN_INDEX_CACHE[d]
 
 
 def _ensure_entry_index(s: SparkSession, d: str) -> None:
@@ -696,6 +747,10 @@ FROM documents GROUP BY sha256(text)
     o["hybrid_rrf_topk"] = hybrid_rrf_topk_sql(
         HYBRID_TERMS, HYBRID_QUERY_VEC, k=10, n_deep=50
     )
+    # the indexed variant is swept at probe-all + full-coverage refine,
+    # where its vector list equals the exact cosine list (see queries())
+    # — so the SAME composed twin is its oracle
+    o["hybrid_rrf_topk_indexed"] = o["hybrid_rrf_topk"]
     from reiz_io_spark.operators.pipeline import clean_corpus_sql
 
     o["pipeline_clean_corpus"] = clean_corpus_sql(
