@@ -23,6 +23,15 @@ lefts). A right event arriving LATE (after a left it should have
 matched was already emitted) cannot retroactively rewrite that left —
 the batch operator remains the backfill path, same as every
 streaming/batch lambda pair in this package.
+
+Contract violations are MEASURED, not silently absorbed (r6): the
+state carries the key's emitted-left high-water mark, and every
+arrival that breaks the cross-batch order — a right at or before the
+last emitted left (that left would have matched it), or a left before
+the state's right (it now matches a right from its own future) — adds
+to the caller-supplied accumulator (ooo_counter). Operators watch the
+counter to know when the documented no-rewrite behavior has actually
+lost matches and a batch backfill is required.
 """
 
 from __future__ import annotations
@@ -38,55 +47,98 @@ OUTPUT_SCHEMA = (
     "user_id long, ts timestamp_ntz, event_id long, right_value double, "
     "right_ts timestamp_ntz, right_id long"
 )
-_STATE_SCHEMA = "right_ts long, right_id long, right_value double"
+_STATE_SCHEMA = (
+    "right_ts long, right_id long, right_value double, max_left_ts long"
+)
 
 
-def _asof_for_key(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    # batch-operator tie rule: right rows order before left rows at
-    # equal ts; ties within a side break by id
-    rows = rows.sort_values(
-        ["ts", "_is_right", "event_id"], ascending=[True, False, True],
-        kind="stable",
-    )
-    if state.exists:
-        r_ts_us, r_id, r_val = state.get
-    else:
-        r_ts_us, r_id, r_val = None, None, None
+def _asof_kernel(ooo_counter=None):
+    """Bind the (optional) out-of-order accumulator into the stateful
+    kernel. The counter is a plain SparkContext accumulator: updates
+    flow back from the Python workers per task, so violations are
+    visible on the driver even in batches that emit no left rows."""
 
-    out = {k: [] for k in (
-        "user_id", "ts", "event_id", "right_value", "right_ts", "right_id"
-    )}
-    uid = int(key[0])
-    for ts_v, is_r, eid, val in zip(
-        rows["ts"], rows["_is_right"], rows["event_id"], rows["value"]
-    ):
-        if is_r == 1:
-            r_ts_us = int(ts_v.value // 1_000)  # pandas ns -> micros
-            r_id = int(eid)
-            r_val = None if pd.isna(val) else float(val)
+    def _asof_for_key(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # batch-operator tie rule: right rows order before left rows at
+        # equal ts; ties within a side break by id
+        rows = rows.sort_values(
+            ["ts", "_is_right", "event_id"], ascending=[True, False, True],
+            kind="stable",
+        )
+        if state.exists:
+            r_ts_us, r_id, r_val, max_left_us = state.get
+            if max_left_us is not None and max_left_us < 0:
+                max_left_us = None  # sentinel: no left emitted yet
         else:
-            out["user_id"].append(uid)
-            out["ts"].append(ts_v)
-            out["event_id"].append(int(eid))
-            out["right_value"].append(r_val)
-            out["right_ts"].append(
-                None if r_ts_us is None
-                else pd.Timestamp(r_ts_us * 1_000)
-            )
-            out["right_id"].append(r_id)
-    if r_ts_us is not None:
-        state.update((r_ts_us, r_id, r_val))
-    yield pd.DataFrame({
-        "user_id": pd.Series(out["user_id"], dtype="int64"),
-        "ts": pd.Series(out["ts"], dtype="datetime64[ns]"),
-        "event_id": pd.Series(out["event_id"], dtype="int64"),
-        "right_value": pd.Series(out["right_value"], dtype="float64"),
-        "right_ts": pd.Series(out["right_ts"], dtype="datetime64[ns]"),
-        "right_id": pd.Series(out["right_id"], dtype="Int64"),
-    })
+            r_ts_us, r_id, r_val, max_left_us = None, None, None, None
+        # violation detection compares THIS batch's arrivals against the
+        # PRIOR batches' high-water marks (within a batch the sort above
+        # restores order, so only cross-batch disorder loses matches)
+        prior_left_us = max_left_us
+        prior_right_us = r_ts_us
+        ooo = 0
+
+        out = {k: [] for k in (
+            "user_id", "ts", "event_id", "right_value", "right_ts", "right_id"
+        )}
+        uid = int(key[0])
+        for ts_v, is_r, eid, val in zip(
+            rows["ts"], rows["_is_right"], rows["event_id"], rows["value"]
+        ):
+            ts_us = int(ts_v.value // 1_000)  # pandas ns -> micros
+            if is_r == 1:
+                # a right at/before the last emitted left: that left
+                # would have matched it offline — match is lost
+                if prior_left_us is not None and ts_us <= prior_left_us:
+                    ooo += 1
+                r_ts_us = ts_us
+                r_id = int(eid)
+                r_val = None if pd.isna(val) else float(val)
+            else:
+                # a left before the state's right: it now joins a right
+                # from its own future — offline it would not
+                if prior_right_us is not None and ts_us < prior_right_us:
+                    ooo += 1
+                max_left_us = ts_us if max_left_us is None else max(
+                    max_left_us, ts_us
+                )
+                out["user_id"].append(uid)
+                out["ts"].append(ts_v)
+                out["event_id"].append(int(eid))
+                out["right_value"].append(r_val)
+                out["right_ts"].append(
+                    None if r_ts_us is None
+                    else pd.Timestamp(r_ts_us * 1_000)
+                )
+                out["right_id"].append(r_id)
+        if ooo and ooo_counter is not None:
+            ooo_counter.add(ooo)
+        if r_ts_us is not None or max_left_us is not None:
+            state.update((
+                r_ts_us, r_id, r_val,
+                -1 if max_left_us is None else max_left_us,
+            ))
+        yield pd.DataFrame({
+            "user_id": pd.Series(out["user_id"], dtype="int64"),
+            "ts": pd.Series(out["ts"], dtype="datetime64[ns]"),
+            "event_id": pd.Series(out["event_id"], dtype="int64"),
+            "right_value": pd.Series(out["right_value"], dtype="float64"),
+            "right_ts": pd.Series(out["right_ts"], dtype="datetime64[ns]"),
+            "right_id": pd.Series(out["right_id"], dtype="Int64"),
+        })
+
+    return _asof_for_key
+
+
+def make_ooo_counter(spark):
+    """An accumulator for asof_join_stream's ordering-contract
+    violations. Read `counter.value` on the driver (e.g. alongside
+    query.lastProgress) — a non-zero, growing value means late arrivals
+    have lost matches and the batch operator should backfill."""
+    return spark.sparkContext.accumulator(0)
 
 
 def asof_join_stream(
@@ -97,11 +149,13 @@ def asof_join_stream(
     left_type: str = "purchase",
     right_type: str = "click",
     value_col: str = "value",
+    ooo_counter=None,
 ) -> DataFrame:
     """events stream -> one row per LEFT event: (key, ts, id,
     right_value, right_ts, right_id), right_* null when no right event
     has arrived for the key yet. The stream's only shuffle is the key
-    grouping."""
+    grouping. Pass ooo_counter=make_ooo_counter(spark) to count
+    per-key ordering-contract violations (see module docstring)."""
     tagged = (
         events.filter(F.col("event_type").isin([left_type, right_type]))
         .select(
@@ -114,7 +168,7 @@ def asof_join_stream(
         )
     )
     return tagged.groupBy("user_id").applyInPandasWithState(
-        _asof_for_key,
+        _asof_kernel(ooo_counter),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

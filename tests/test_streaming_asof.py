@@ -75,3 +75,106 @@ def test_streaming_asof_equals_batch(spark, tmp_path):
     assert cross, "no purchase matched an earlier-batch click"
     # and some purchases had no click yet (null right side preserved)
     assert any(g[4] is None for g in got)
+
+
+def test_out_of_order_counter_and_no_rewrite(spark, tmp_path):
+    """A right event arriving AFTER a left it should have matched:
+    the documented no-rewrite behavior holds (the emitted left keeps
+    its at-emission match) and the ordering-contract counter
+    increments, so operators know a batch backfill is due."""
+    from datetime import datetime, timedelta
+
+    from reiz_io_spark.streaming.asof import make_ooo_counter
+
+    schema = "event_id long, user_id long, ts timestamp_ntz, event_type string, value double"
+    t0 = datetime(2026, 1, 1)
+
+    def ts(sec):
+        return t0 + timedelta(seconds=sec)
+
+    # batch 0: click@10, purchase@20 (matches click@10)
+    b0 = [(1, 7, ts(10), "click", 1.0), (2, 7, ts(20), "purchase", None)]
+    # batch 1: click@15 — LATE: purchase@20 should have matched it;
+    # then purchase@30 (matches the late click, state is latest-right)
+    b1 = [(3, 7, ts(15), "click", 2.0), (4, 7, ts(30), "purchase", None)]
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(landing + "/c0")
+    time.sleep(1.1)
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(landing + "/c1")
+
+    stream = (
+        spark.readStream.schema(
+            spark.createDataFrame(b0, schema).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    counter = make_ooo_counter(spark)
+    got = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r["event_id"]] = (r["right_id"], r["right_value"])
+
+    q = (
+        asof_join_stream(stream, ooo_counter=counter)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # no-rewrite: purchase@20 keeps its at-emission match (click@10)
+    assert got[2] == (1, 1.0)
+    # the late click IS the state for later lefts
+    assert got[4] == (3, 2.0)
+    # and the violation was counted exactly once
+    assert counter.value == 1
+
+
+def test_counter_stays_zero_under_contract(spark, tmp_path):
+    """In-order arrival (the partitioned-topic contract): counter 0."""
+    from datetime import datetime, timedelta
+
+    from reiz_io_spark.streaming.asof import make_ooo_counter
+
+    schema = "event_id long, user_id long, ts timestamp_ntz, event_type string, value double"
+    t0 = datetime(2026, 1, 1)
+    b0 = [(1, 7, t0 + timedelta(seconds=10), "purchase", None)]
+    b1 = [
+        (2, 7, t0 + timedelta(seconds=15), "click", 2.0),
+        (3, 7, t0 + timedelta(seconds=20), "purchase", None),
+    ]
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(landing + "/c0")
+    time.sleep(1.1)
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(landing + "/c1")
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(b0, schema).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    counter = make_ooo_counter(spark)
+    rows = []
+
+    def sink(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        asof_join_stream(stream, ooo_counter=counter)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert counter.value == 0
+    assert len(rows) == 2
