@@ -97,6 +97,16 @@ def main() -> None:
     dedup.minhash_signatures(docs, 8, 3).count()
 
     def timed(name, fn):
+        # one UNTIMED warm-up execution of the exact entry before the
+        # timed repeats: the first runs of a distinct plan on a fresh
+        # JVM carry JIT/codegen cost that min-of-3 provably does not
+        # amortize (r06 arbitration, scripts/bench_order_study.py —
+        # dedup_ngram_jaccard raw [10.9, 6.3, 4.4] cold vs
+        # [2.67, 2.47, 2.72] warmed on the same box). With the warm-up,
+        # entry timings are independent of section ordering — the
+        # mechanism behind the r05 gate-flagged 'regressions' on
+        # unchanged code (docs section moved to fresh-JVM position).
+        fn()
         lat = []
         for _ in range(REPEATS):
             t = time.perf_counter()
@@ -229,8 +239,10 @@ def main() -> None:
 
     total = round(sum(queries.values()), 3)
     extra["bench_protocol"] = (
-        f"min-of-{REPEATS} per steady-state entry; docs section first, "
-        f"build last (min-of-2 full passes, raw passes in build_passes)"
+        f"per-entry untimed warm-up then min-of-{REPEATS} (position-"
+        f"independent; see scripts/bench_order_study.py); docs section "
+        f"first, build last (min-of-2 full passes, raw passes in "
+        f"build_passes)"
     )
     print(json.dumps({
         "metric": "index-build + query suite wall time",
