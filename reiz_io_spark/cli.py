@@ -109,6 +109,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated vec_ids")
     aq.add_argument("-k", type=int, default=10)
     aq.add_argument("--probe", type=int, default=4)
+    aq.add_argument("--query-vectors", default=None,
+                    help="optional JSON {vec_id: [floats...]} — when "
+                    "given, the search never scans the embeddings "
+                    "table for query vectors (serving shape)")
 
     args = ap.parse_args(argv)
     from .session import get_spark
@@ -213,8 +217,15 @@ def _dispatch(args, spark) -> int:
 
         emb = spark.read.parquet(args.embeddings)
         qids = [int(x) for x in args.query_ids.split(",") if x]
+        qvecs = None
+        if args.query_vectors:
+            qvecs = {
+                int(k_): v for k_, v in
+                json.loads(args.query_vectors).items()
+            }
         rows = ann_index_search(
-            spark, args.index, emb, qids, k=args.k, n_probe=args.probe
+            spark, args.index, emb, qids, k=args.k, n_probe=args.probe,
+            query_vectors=qvecs,
         ).collect()
         for r in rows:
             print(json.dumps({"query_id": r["query_id"],

@@ -178,3 +178,108 @@ def test_counter_stays_zero_under_contract(spark, tmp_path):
     q.awaitTermination(300)
     assert counter.value == 0
     assert len(rows) == 2
+
+
+def _run_reordered(spark, tmp_path, batches, schema, max_delay, counter):
+    from reiz_io_spark.streaming.asof import asof_join_stream_reordered
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            landing + f"/c{i}"
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(batches[0], schema).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    got = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r["event_id"]] = (r["right_id"], r["right_value"])
+
+    q = (
+        asof_join_stream_reordered(
+            stream, max_delay=max_delay, ooo_counter=counter
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return got
+
+
+def test_reordered_absorbs_disorder_within_delay(spark, tmp_path):
+    """Cross-batch disorder INSIDE the watermark delay: the reorder
+    buffer produces the offline answer (purchase@20 matches the
+    click@15 that arrived one batch later), where the plain kernel
+    would have emitted the stale click@10 match. Counter stays 0."""
+    from datetime import datetime, timedelta
+
+    from reiz_io_spark.streaming.asof import make_ooo_counter
+
+    schema = "event_id long, user_id long, ts timestamp_ntz, event_type string, value double"
+    t0 = datetime(2026, 1, 1)
+
+    def ts(sec):
+        return t0 + timedelta(seconds=sec)
+
+    b0 = [(1, 7, ts(10), "click", 1.0), (2, 7, ts(20), "purchase", None)]
+    b1 = [
+        (3, 7, ts(15), "click", 2.0),      # out of order vs batch 0
+        (4, 7, ts(40), "purchase", None),
+        (5, 7, ts(90), "click", 3.0),      # advances the watermark
+    ]
+    b2 = [(6, 7, ts(95), "purchase", None)]
+    counter = make_ooo_counter(spark)
+    got = _run_reordered(
+        spark, tmp_path, [b0, b1, b2], schema, "30 seconds", counter
+    )
+    # ripe at batch 2 (wm=60): both purchases match the reordered click@15
+    assert got[2] == (3, 2.0)
+    assert got[4] == (3, 2.0)
+    # within-delay disorder is absorbed, not a violation
+    assert counter.value == 0
+    # unripe rows (ts > final watermark) are still buffered at shutdown
+    assert 6 not in got
+
+
+def test_reordered_counts_beyond_delay_and_guards_carry(spark, tmp_path):
+    """Arrivals LATER than the delay are counted; a late right older
+    than the carried right is skipped, so subsequent lefts still match
+    what the offline operator would give them."""
+    from datetime import datetime, timedelta
+
+    from reiz_io_spark.streaming.asof import make_ooo_counter
+
+    schema = "event_id long, user_id long, ts timestamp_ntz, event_type string, value double"
+    t0 = datetime(2026, 1, 1)
+
+    def ts(sec):
+        return t0 + timedelta(seconds=sec)
+
+    b0 = [
+        (1, 7, ts(10), "click", 1.0),
+        (2, 7, ts(20), "purchase", None),
+        (3, 7, ts(200), "click", 3.0),   # watermark -> 170 after b0
+    ]
+    b1 = [(4, 7, ts(15), "click", 2.0)]  # 15 <= prev wm 170: beyond delay
+    b2 = [
+        (5, 7, ts(12), "click", 9.0),    # beyond delay AND older than carry
+        (6, 7, ts(170), "purchase", None),
+    ]
+    counter = make_ooo_counter(spark)
+    got = _run_reordered(
+        spark, tmp_path, [b0, b1, b2], schema, "30 seconds", counter
+    )
+    # c@12 was skipped (carry stays c@15); offline latest click <= 170
+    # is indeed c@15
+    assert got[6] == (4, 2.0)
+    assert counter.value == 2
