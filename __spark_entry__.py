@@ -25,6 +25,7 @@ from reiz_io_spark.operators import (
     fulltext,
     multimodal,
     phrase,
+    regexsearch,
     similarity,
     textstats,
 )
@@ -40,6 +41,11 @@ PHRASE = ["table", "hash"]
 PHRASE3 = ["slow", "hash", "batch"]
 PROX_A, PROX_B, PROX_SLOP = "spark", "stream", 3
 FUZZY_TERM = "strem"
+# portable Java-regex/RE2 subset only (both entries are hash-compared
+# against DuckDB's RE2): alternation exercises the DNF distribute, the
+# classes/quantifiers exercise the no-constraint fallthrough
+REGEX_DOC_PATTERN = r"spark\s+(join|window)"
+GREP_PATTERN = r"def [a-z_]+\("
 SPLIT_WEIGHTS = {"train": 0.8, "test": 0.1, "val": 0.1}
 DECONTAM_BENCH = [
     (1, "spark stream vector table"),
@@ -288,6 +294,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # also pytest-gated against the golden `# tp:` line sets for all
     # 27 reference queries (tests/test_verify.py).
     q["code_search_positions"] = _code_search_positions
+    # grep-grade regex over the documents table: required-literal-factor
+    # DNF prefilter (JVM Contains, scan-pushed) + rlike verify on the
+    # surviving fraction only (operators/regexsearch.py). Twin: DuckDB
+    # RE2 regexp_matches/extract_all on the same table — portable-syntax
+    # pattern, identical leftmost-non-overlapping count semantics.
+    q["regex_search_factors"] = lambda s, d: regexsearch.regex_search(
+        _docs(s, d), REGEX_DOC_PATTERN
+    ).orderBy("doc_id")
+    # regex over the INDEXED corpus via the persistent trigram sidecar
+    # (build once per process): per-alternative rarest-trigram posting
+    # seek (bucket partition pruning + delta/varint decode), intersect
+    # by count, rlike-verify candidates only, metadata join. Twin: RE2
+    # grep over the materialized raw-content side table — the whole
+    # distributed index+sidecar pipeline sits inside the compare.
+    q["code_grep_index"] = _code_grep_index
 
     # --- general relational operators (joins/windows/aggs) --------------------
     q["tpch_pricing_summary"] = lambda s, d: _tpch_pricing(s, d)
@@ -373,6 +394,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             # mm_media_features; the stub decode's
                             # sha256 feature arithmetic is pytest-gated
                             # and still full-sweep-checked locally
+        "ann_lsh_topk",     # r6: yields its slot to the regex tier —
+                            # the ANN family keeps four swept entries
+                            # (cosine/ivf/pq/hybrid-indexed) and the
+                            # LSH bucketing machinery is also gated by
+                            # swept dedup_minhash_lsh + pytest recall
+        "text_fingerprint", # r6: yields its slot to the regex tier —
+                            # map-only built-ins, same shape as the
+                            # three swept textstats entries; rolling-
+                            # hash arithmetic pytest- and param-smith-
+                            # gated, still full-sweep-checked locally
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -429,6 +460,24 @@ def _code_search_wand(s: SparkSession, d: str) -> DataFrame:
     top = wand_topk(reader, lower_query("flagship", "Call(Name('len'))"), k=10)
     return attach_doc_metadata(reader, top).select(
         "doc_id", "repo", "path", F.round("score", 6).alias("score")
+    )
+
+
+_TRIGRAM_BUILT: set[str] = set()
+
+
+def _code_grep_index(s: SparkSession, d: str) -> DataFrame:
+    """Full trigram-sidecar grep: corpus -> index build -> sidecar build
+    (salted fragments, delta+varint, bucket-partitioned) -> rarest-
+    trigram posting seek -> intersection -> rlike verify -> metadata
+    join. Index and sidecar cached per process."""
+    _ensure_entry_index(s, d)
+    index_dir = _CODE_INDEX_CACHE[d]
+    if index_dir not in _TRIGRAM_BUILT:
+        regexsearch.build_trigram_index(s, index_dir)
+        _TRIGRAM_BUILT.add(index_dir)
+    return regexsearch.grep_index(s, index_dir, GREP_PATTERN).orderBy(
+        "doc_id"
     )
 
 
@@ -859,4 +908,12 @@ FROM documents
         "flagship", "Call(Name('len'))", k=10
     )
     o["code_search_positions"] = oracle_tables.positions_oracle_sql()
+    # regex tier: DuckDB's RE2 greps the same text the Spark side does —
+    # directly for the documents-table entry, via the materialized
+    # raw-content side table for the trigram-sidecar entry (so the
+    # whole index+sidecar pipeline sits inside that compare)
+    o["regex_search_factors"] = regexsearch.regex_search_sql(
+        REGEX_DOC_PATTERN
+    )
+    o["code_grep_index"] = oracle_tables.grep_oracle_sql(GREP_PATTERN)
     return o

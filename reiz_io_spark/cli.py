@@ -114,6 +114,23 @@ def main(argv: list[str] | None = None) -> int:
                     "given, the search never scans the embeddings "
                     "table for query vectors (serving shape)")
 
+    tg = sub.add_parser(
+        "build-trigrams",
+        help="build the trigram grep sidecar for a committed index",
+    )
+    tg.add_argument("--index", required=True)
+
+    gp = sub.add_parser(
+        "grep", help="regex search over an indexed corpus (trigram seek)"
+    )
+    gp.add_argument("--index", required=True)
+    gp.add_argument("--pattern", required=True)
+    gp.add_argument("--brute", action="store_true",
+                    help="full-scan rlike instead of the trigram seek")
+    gp.add_argument("--allow-stale", action="store_true",
+                    help="search a sidecar built at an older index version")
+    gp.add_argument("--limit", type=int, default=100)
+
     args = ap.parse_args(argv)
     from .session import get_spark
 
@@ -182,6 +199,31 @@ def _dispatch(args, spark) -> int:
         print(json.dumps({"serving": f"http://{args.host}:{args.port}"}),
               file=sys.stderr)
         http_serve(service, host=args.host, port=args.port)
+        return 0
+
+    if args.cmd == "build-trigrams":
+        from .operators.regexsearch import build_trigram_index
+
+        print(json.dumps(build_trigram_index(spark, args.index)))
+        return 0
+
+    if args.cmd == "grep":
+        from .operators.regexsearch import grep_bruteforce, grep_index
+
+        t0 = time.perf_counter()
+        fn = grep_bruteforce if args.brute else grep_index
+        kw = {} if args.brute else {"allow_stale": args.allow_stale}
+        rows = (
+            fn(spark, args.index, args.pattern, **kw)
+            .orderBy("doc_id").limit(args.limit).collect()
+        )
+        wall = time.perf_counter() - t0
+        for r in rows:
+            print(json.dumps({
+                "doc_id": r["doc_id"], "repo": r["repo"],
+                "path": r["path"], "n_matches": r["n_matches"],
+            }))
+        print(f"# {len(rows)} rows in {wall:.3f}s", file=sys.stderr)
         return 0
 
     if args.cmd == "build-ann":

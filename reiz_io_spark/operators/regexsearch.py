@@ -1,0 +1,683 @@
+"""Regex search over the corpus — literal-factor prefilter + trigram
+index seek (the Google-Code-Search / Zoekt shape, re-expressed in
+Spark).
+
+The reference's query language reaches content-level patterns only
+through LIKE markers on identifiers (reiz/ir/backends/edgeql.py:105-108
+compiles `f"prefix%"` to a LIKE over the dictionary); a grep-grade
+regex over raw sources is the canonical remaining fulltext-index-tier
+capability. Two tiers, one analyzer:
+
+1. **Factor analysis** (`analyze`): walk the stdlib regex AST
+   (`re._parser`) and emit a DNF of REQUIRED literal factors — strings
+   that must appear in any match. Concatenation is AND (cross-product,
+   capped), alternation is OR (an unconstrained branch poisons the
+   whole OR), `x*`/`x?` contribute nothing, `x+` contributes x's
+   factors, classes/dot/anchors/lookarounds/backrefs contribute
+   nothing (conservative = never drops a true match). Returns None
+   when nothing usable survives -> full-scan fallback.
+
+2. **One-shot path** (`regex_search`): factors become JVM
+   `Contains(text, lit)` conjunctions under an OR — predicates Spark
+   pushes into the parquet scan (row-group skipping via min/max is
+   content-dependent, but the verify-stage `rlike` then runs on the
+   surviving fraction only, keeping the expensive Java-regex engine
+   off the hot path). The whole plan is WholeStageCodegen; zero
+   Python.
+
+3. **Index-seek path** (`build_trigram_index` + `grep_index`): a
+   persistent trigram sidecar over the code index's content table —
+   posting lists of distinct content byte-trigrams (packed big-endian
+   into a long: int keys shuffle, join, and push down far cheaper than
+   3-char strings at 10^10 postings), salted into <=
+   TG_FRAGMENT-posting fragments (same Zipf-hot-key defense as the
+   main build: 'def'/'    ' appear in ~every source file), written
+   partitioned by pmod(xxhash64(tg), N_TG_BUCKETS) so a query reads
+   ONLY its trigrams' buckets (partition pruning, the blocks-table
+   discipline). Query: per DNF alternative pick the R rarest trigrams
+   by df (driver-side dictionary lookup, broadcast-sized), decode
+   their postings (delta+varint, functions/codec.py), intersect by
+   count, union alternatives, then rlike-verify just the candidates'
+   content. A trigram absent from the dictionary proves the
+   alternative matches nothing — the seek can answer "0 rows" without
+   touching content at all.
+
+At 100 TB: the sidecar build is one extra shuffle over content (same
+salting bound as the main index build); a selective query decodes a
+few fragments (MB, not TB) and verifies a candidate set proportional
+to the rarest-trigram df — the regex engine never sees the corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:  # Python 3.11+: the sre internals live under re.*
+    from re import _constants as _sre_c
+    from re import _parser as _sre_parse
+except ImportError:  # pragma: no cover - older CPython
+    import sre_constants as _sre_c
+    import sre_parse as _sre_parse
+
+import re
+
+MIN_FACTOR_LEN = 3  # a factor shorter than a trigram can't seed the index
+_MAX_ALTS = 24  # DNF width cap: AND overflow relaxes, OR overflow -> None
+
+N_TG_BUCKETS = 32
+TG_FRAGMENT = 262_144  # target postings per salted fragment (as build.py)
+
+
+# --------------------------------------------------------------------------
+# factor analysis
+# --------------------------------------------------------------------------
+
+def _and(d1, d2):
+    """AND of two DNFs. None = unconstrained (identity). On width
+    overflow DROPPING one side is a pure relaxation (the result stays a
+    necessary condition), so keep the narrower operand."""
+    if d1 is None:
+        return d2
+    if d2 is None:
+        return d1
+    cross = {a | b for a in d1 for b in d2}
+    if len(cross) > _MAX_ALTS:
+        return d1 if len(d1) <= len(d2) else d2
+    return list(cross)
+
+
+def _or(dnfs):
+    """OR of child DNFs. Any unconstrained branch (None, or an
+    alternative with zero factors) means a match may satisfy the regex
+    through that branch with no literal evidence -> None. Dropping an
+    alternative would STRENGTHEN the filter (could miss matches), so
+    width overflow also degrades to None."""
+    out = []
+    for d in dnfs:
+        if d is None:
+            return None
+        out.extend(d)
+    if any(len(alt) == 0 for alt in out) or len(out) > _MAX_ALTS:
+        return None
+    return out
+
+
+def _analyze_seq(tokens, min_len: int):
+    dnf = [frozenset()]  # AND identity with zero factors so far
+    run: list[str] = []
+
+    def flush():
+        nonlocal dnf
+        if len(run) >= min_len:
+            dnf = _and(dnf, [frozenset(["".join(run)])])
+        run.clear()
+
+    for op, av in tokens:
+        if op is _sre_c.LITERAL:
+            run.append(chr(av))
+            continue
+        flush()
+        if op is _sre_c.SUBPATTERN:
+            # av = (group, add_flags, del_flags, subpattern); inline
+            # flag changes (e.g. (?i:...)) alter matching inside ->
+            # conservative: no constraint from that group
+            if av[1] == 0 and av[2] == 0:
+                dnf = _and(dnf, _analyze_seq(av[3], min_len))
+        elif op is getattr(_sre_c, "ATOMIC_GROUP", object()):
+            dnf = _and(dnf, _analyze_seq(av, min_len))
+        elif op is _sre_c.BRANCH:
+            dnf = _and(
+                dnf, _or([_analyze_seq(b, min_len) for b in av[1]])
+            )
+        elif op in (
+            _sre_c.MAX_REPEAT,
+            _sre_c.MIN_REPEAT,
+            getattr(_sre_c, "POSSESSIVE_REPEAT", object()),
+        ):
+            lo, _hi, item = av
+            if lo >= 1:  # at least one occurrence -> its factors appear
+                dnf = _and(dnf, _analyze_seq(item, min_len))
+        # IN / ANY / AT / NOT_LITERAL / GROUPREF / ASSERT / ASSERT_NOT
+        # and anything unrecognized: contributes no constraint, but the
+        # factors of the surrounding concatenation remain required.
+    flush()
+    return dnf
+
+
+def analyze(
+    pattern: str, min_len: int = MIN_FACTOR_LEN
+) -> tuple[list[frozenset[str]] | None, bool]:
+    """Required-literal-factor DNF for ``pattern`` plus a fold-case
+    flag. Returns (None, fold) when no usable constraint exists (the
+    caller must full-scan). Guarantee: every string matched by the
+    pattern contains, for at least one alternative, every factor in it
+    (case-folded when fold is True)."""
+    try:
+        parsed = _sre_parse.parse(pattern)
+    except re.error:
+        raise
+    fold = bool(parsed.state.flags & re.IGNORECASE)
+    dnf = _analyze_seq(parsed, min_len)
+    if dnf is not None:
+        dnf = [alt for alt in dnf]
+        if any(len(alt) == 0 for alt in dnf) or not dnf:
+            dnf = None
+    if dnf is not None and fold:
+        dnf = [frozenset(f.lower() for f in alt) for alt in dnf]
+    return dnf, fold
+
+
+def trigrams_of(factor: str) -> list[int]:
+    """Byte trigrams of a factor, packed big-endian into one int (the
+    sidecar's key type: a long shuffles/pushes down far cheaper than a
+    3-char string at 10^10 postings). Byte-level is consistent between
+    build and query for any UTF-8 content: if the factor's chars appear
+    in the content, the factor's bytes appear in the content bytes."""
+    b = factor.encode("utf-8")
+    return [int.from_bytes(b[i : i + 3], "big") for i in range(len(b) - 2)]
+
+
+# --------------------------------------------------------------------------
+# one-shot path (documents-table tier; DuckDB-oracle-checkable)
+# --------------------------------------------------------------------------
+
+def regex_search(
+    documents: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs whose text matches ``pattern`` (Java-regex find semantics,
+    = RE2 partial match for the shared syntax subset), with the
+    leftmost-non-overlapping match count. Required literal factors run
+    first as JVM Contains conjunctions — the rlike verify only sees
+    rows that passed the factor prefilter (on a no-factor pattern the
+    plan degrades to the brute scan, still all-JVM)."""
+    dnf, fold = analyze(pattern)
+    text = F.col(text_col)
+    probe = F.lower(text) if fold else text
+    df = documents
+    if dnf is not None:
+        df = df.filter(
+            reduce(
+                lambda a, b: a | b,
+                (
+                    reduce(
+                        lambda a, b: a & b,
+                        (probe.contains(f) for f in sorted(alt)),
+                    )
+                    for alt in dnf
+                ),
+            )
+        )
+    return df.filter(text.rlike(pattern)).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).alias(
+            "n_matches"
+        ),
+    )
+
+
+def regex_search_sql(pattern: str) -> str:
+    """DuckDB twin: RE2 partial-match + leftmost-non-overlapping
+    extract_all — identical semantics to the Spark side for the
+    engine-portable syntax subset the entries use."""
+    p = pattern.replace("'", "''")
+    return (
+        f"SELECT doc_id, len(regexp_extract_all(text, '{p}')) AS n_matches"
+        f" FROM documents WHERE regexp_matches(text, '{p}')"
+        f" ORDER BY doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# persistent trigram sidecar over the code index's content table
+# --------------------------------------------------------------------------
+
+class StaleTrigramIndex(RuntimeError):
+    """The sidecar was built against a different index snapshot."""
+
+
+def _tg_paths(index_dir: str) -> dict[str, str]:
+    return {
+        "postings": os.path.join(index_dir, "trigrams", "postings"),
+        "dictionary": os.path.join(index_dir, "trigrams", "dictionary"),
+        "meta": os.path.join(index_dir, "trigrams", "meta.json"),
+    }
+
+
+def build_trigram_index(spark: SparkSession, index_dir: str) -> dict:
+    """Build the trigram sidecar for a committed code index. Sidecar,
+    not snapshot member: it lives under <index>/trigrams/ with its own
+    atomically-replaced meta.json recording the index version it was
+    built from — the main commit/merge/time-travel discipline
+    (build.py:_write_meta_atomic) is untouched, and grep_index refuses
+    a version mismatch instead of silently missing newly merged docs.
+
+    Shape: content -> distinct trigrams per doc (one JVM
+    array/transform expression, no Python) -> df per trigram ->
+    salt = pmod(xxhash64(doc_id), ceil(df / TG_FRAGMENT)) so no task
+    ever owns a whole hot trigram's postings -> per (tg, salt) sorted
+    doc_id fragments, delta+varint encoded (functions/codec.py),
+    written partitioned by pmod(xxhash64(tg), N_TG_BUCKETS)."""
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    from ..schema import CONTENT_ON_DISK
+
+    content = spark.read.schema(CONTENT_ON_DISK).parquet(
+        os.path.join(index_dir, "content")
+    )
+
+    def _doc_trigrams(pdf_iter):
+        # distinct packed byte trigrams per doc — numpy shift/or over
+        # the raw UTF-8 bytes (a JVM sequence+transform+substr built
+        # ~len(content) string objects per row and measured 10x slower)
+        for pdf in pdf_iter:
+            ids, tgs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["content"]):
+                b = text.encode("utf-8")
+                if len(b) < 3:
+                    continue
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                uniq = np.unique(
+                    (a[:-2] << 16) | (a[1:-1] << 8) | a[2:]
+                )
+                ids.append(np.full(uniq.size, doc_id, dtype=np.int64))
+                tgs.append(uniq)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids)
+                    if ids else np.empty(0, dtype=np.int64),
+                    "tg": np.concatenate(tgs)
+                    if tgs else np.empty(0, dtype=np.int64),
+                }
+            )
+
+    posts = content.select("doc_id", "content").mapInPandas(
+        _doc_trigrams, schema="doc_id long, tg long"
+    )
+    df_per_tg = posts.groupBy("tg").agg(F.count("*").alias("df"))
+    salted = (
+        posts.join(F.broadcast(df_per_tg), "tg")
+        .withColumn(
+            "n_salts",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("df") / F.lit(TG_FRAGMENT))
+            ).cast("int"),
+        )
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
+        )
+    )
+    frags = salted.groupBy("tg", "salt").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids")
+    )
+
+    def _encode(pdf_iter):
+        from ..functions import codec
+
+        for pdf in pdf_iter:
+            rows = {
+                "tg": [], "salt": [], "first_doc_id": [], "n_docs": [],
+                "doc_deltas": [], "bucket": [],
+            }
+            for tg, salt, ids in zip(
+                pdf["tg"], pdf["salt"], pdf["doc_ids"]
+            ):
+                arr = np.asarray(ids, dtype=np.int64)
+                rows["tg"].append(int(tg))
+                rows["salt"].append(int(salt))
+                rows["first_doc_id"].append(int(arr[0]))
+                rows["n_docs"].append(len(arr))
+                rows["doc_deltas"].append(codec.delta_encode_docids(arr))
+                rows["bucket"].append(_tg_bucket(tg))
+            yield pd.DataFrame(rows)
+
+    encoded = frags.mapInPandas(
+        _encode,
+        schema=(
+            "tg long, salt int, first_doc_id long, n_docs long, "
+            "doc_deltas binary, bucket int"
+        ),
+    )
+    p = _tg_paths(index_dir)
+    (
+        encoded.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(p["postings"])
+    )
+    df_per_tg.write.mode("overwrite").parquet(p["dictionary"])
+    tmeta = {
+        "version": 1,
+        "index_version": meta.get("version"),
+        "n_term_buckets": N_TG_BUCKETS,
+    }
+    tmp = p["meta"] + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(tmeta, fh)
+    os.replace(tmp, p["meta"])
+    # a same-process rebuild overwrote the sidecar in place — drop any
+    # warm dictionary/posting cache entries for these paths
+    _drop_caches_for(p["dictionary"], p["postings"])
+    return tmeta
+
+
+def _tg_bucket(tg: int) -> int:
+    """Bucket of a packed trigram. Only build/query consistency matters
+    (both call THIS function; Spark never hashes tg), xxhash64 for
+    uniformity — packed ASCII trigrams are far from uniform themselves."""
+    from ..functions.hashing import spark_xxhash64
+
+    return spark_xxhash64(tg) % N_TG_BUCKETS
+
+
+R_TRIGRAMS_PER_ALT = 3  # intersect the R rarest trigrams per alternative
+
+# warm per-process dictionary cache: (postings_dir, index_version) ->
+# (sorted tg array, df array). Scale-safe to hold driver-side at ANY
+# corpus size: byte trigrams are bounded by 256^3 = 16.7M entries
+# (~270 MB as two numpy arrays at the absolute ceiling; real code
+# corpora sit around 100-500k), unlike the term dictionary, which
+# grows with the corpus.
+_DICT_CACHE: dict[tuple[str, object], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _load_dictionary(
+    spark: SparkSession, paths: dict[str, str], version
+) -> tuple[np.ndarray, np.ndarray]:
+    key = (paths["dictionary"], version)
+    if key not in _DICT_CACHE:
+        pdf = spark.read.parquet(paths["dictionary"]).toPandas()
+        tgs = pdf["tg"].to_numpy(dtype=np.int64)
+        dfs = pdf["df"].to_numpy(dtype=np.int64)
+        order = np.argsort(tgs)
+        _DICT_CACHE[key] = (tgs[order], dfs[order])
+    return _DICT_CACHE[key]
+
+
+# warm per-process posting-list cache for the driver-decode path:
+# (postings_dir, index_version, tg) -> sorted doc_id array. Byte-
+# budgeted LRU (an entry is at most driver_decode_max postings; the
+# budget keeps the total bounded regardless) — the serving tier's
+# analog of IndexReader.warm: repeat/overlapping queries skip the
+# fragment read entirely.
+_POSTING_CACHE: "dict[tuple, np.ndarray]" = {}
+_POSTING_CACHE_BYTES = 256 << 20
+
+
+def _posting_cache_put(key: tuple, arr: np.ndarray) -> None:
+    _POSTING_CACHE[key] = arr
+    total = sum(a.nbytes for a in _POSTING_CACHE.values())
+    while total > _POSTING_CACHE_BYTES and len(_POSTING_CACHE) > 1:
+        oldest = next(iter(_POSTING_CACHE))  # insertion-order eviction
+        total -= _POSTING_CACHE.pop(oldest).nbytes
+
+
+def _drop_caches_for(dictionary_path: str, postings_path: str) -> None:
+    for key in [k for k in _DICT_CACHE if k[0] == dictionary_path]:
+        del _DICT_CACHE[key]
+    for key in [k for k in _POSTING_CACHE if k[0] == postings_path]:
+        del _POSTING_CACHE[key]
+
+
+def _df_lookup(
+    tg_sorted: np.ndarray, dfs: np.ndarray, tgs: list[int]
+) -> dict[int, int]:
+    """df of each queried trigram (absent -> missing from the result)."""
+    if tg_sorted.size == 0:
+        return {}
+    q = np.asarray(tgs, dtype=np.int64)
+    pos = np.searchsorted(tg_sorted, q)
+    ok = (pos < tg_sorted.size) & (tg_sorted[np.minimum(pos, tg_sorted.size - 1)] == q)
+    return {int(t): int(dfs[p]) for t, p, o in zip(q, pos, ok) if o}
+
+
+DRIVER_DECODE_MAX = 2 << 20  # <=2M postings (~16 MB) decode driver-side
+ISIN_CAND_MAX = 10_000  # candidate sets this small push down as IN filters
+
+
+def grep_index(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    allow_stale: bool = False,
+    driver_decode_max: int = DRIVER_DECODE_MAX,
+) -> DataFrame:
+    """Regex search over an indexed corpus via the trigram sidecar.
+    Per DNF alternative: look up candidate trigrams' df in the warm
+    dictionary cache (driver-side; bounded by 256^3 entries at ANY
+    corpus size), keep the R rarest, then read only their posting
+    fragments (bucket partition pruning + tg predicate pushdown).
+    Selective queries (dictionary-known total postings <=
+    ``driver_decode_max``) decode + intersect driver-side in numpy and
+    broadcast the candidate list — one Spark job end-to-end; hot
+    queries keep the distributed decode/intersect. Either way the
+    rlike verify sees candidates only. Falls back to the full content
+    scan when the pattern yields no factors. Returns
+    (doc_id, repo, path, n_matches)."""
+    p = _tg_paths(index_dir)
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    have_sidecar = os.path.exists(p["meta"])
+    if have_sidecar:
+        with open(p["meta"]) as fh:
+            tmeta = json.load(fh)
+        if tmeta.get("index_version") != meta.get("version") and not allow_stale:
+            raise StaleTrigramIndex(
+                f"trigram sidecar built at index version "
+                f"{tmeta.get('index_version')}, index is at "
+                f"{meta.get('version')} — rebuild with build_trigram_index"
+                f" (or pass allow_stale=True to search the stale snapshot)"
+            )
+    from ..schema import CONTENT_ON_DISK, DOCS_ON_DISK
+
+    content = spark.read.schema(CONTENT_ON_DISK).parquet(
+        os.path.join(index_dir, "content")
+    )
+    docs = spark.read.schema(DOCS_ON_DISK).parquet(
+        os.path.join(index_dir, "docs")
+    )
+    dnf, fold = analyze(pattern)
+    if fold:
+        dnf = None  # sidecar stores original case; caseless -> verify scan
+
+    cand = None
+    if dnf is not None and have_sidecar:
+        alt_tgs = [
+            sorted({t for fac in alt for t in trigrams_of(fac)})
+            for alt in dnf
+        ]
+        need = sorted({t for alt in alt_tgs for t in alt})
+        tg_sorted, dfs = _load_dictionary(
+            spark, p, tmeta.get("index_version")
+        )
+        df_of = _df_lookup(tg_sorted, dfs, need)
+        chosen_per_alt = []
+        for tgs in alt_tgs:
+            if any(t not in df_of for t in tgs):
+                # a required trigram occurs in NO document: this
+                # alternative provably matches nothing
+                continue
+            chosen_per_alt.append(
+                sorted(sorted(tgs, key=lambda t: df_of[t])[:R_TRIGRAMS_PER_ALT])
+            )
+        if not chosen_per_alt:
+            return (
+                docs.select("doc_id", "repo", "path")
+                .withColumn("n_matches", F.lit(0))
+                .limit(0)
+            )
+        chosen = sorted({t for tgs in chosen_per_alt for t in tgs})
+        total_df = sum(df_of[t] for t in chosen)
+        if total_df <= driver_decode_max:
+            # serving shape: the chosen trigrams are by construction the
+            # RAREST ones, and the dictionary told us their exact total
+            # posting count before touching any fragment — when it's
+            # bounded, one pruned collect + local numpy intersect beats
+            # a 6-stage distributed plan by ~3x fixed overhead. The
+            # candidate list ships back as a broadcast local relation.
+            from ..functions import codec
+
+            ver = tmeta.get("index_version")
+            ids_of = {
+                t: _POSTING_CACHE[(p["postings"], ver, t)]
+                for t in chosen
+                if (p["postings"], ver, t) in _POSTING_CACHE
+            }
+            missing = [t for t in chosen if t not in ids_of]
+            if missing:
+                mb = sorted({_tg_bucket(t) for t in missing})
+                by_tg: dict[int, list[np.ndarray]] = {}
+                for r in (
+                    spark.read.parquet(p["postings"])
+                    .filter(F.col("bucket").isin(mb))
+                    .filter(F.col("tg").isin(missing))
+                    .select("tg", "first_doc_id", "n_docs", "doc_deltas")
+                    .collect()
+                ):
+                    by_tg.setdefault(int(r["tg"]), []).append(
+                        codec.delta_decode_docids(
+                            int(r["first_doc_id"]), bytes(r["doc_deltas"]),
+                            int(r["n_docs"]),
+                        )
+                    )
+                for t, frags in by_tg.items():
+                    arr = np.sort(np.concatenate(frags))
+                    ids_of[t] = arr
+                    _posting_cache_put((p["postings"], ver, t), arr)
+            alt_ids = [
+                reduce(
+                    lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                    (ids_of.get(t, np.empty(0, np.int64)) for t in tgs),
+                )
+                for tgs in chosen_per_alt
+            ]
+            cand_ids = np.unique(np.concatenate(alt_ids))
+            if cand_ids.size == 0:
+                return (
+                    docs.select("doc_id", "repo", "path")
+                    .withColumn("n_matches", F.lit(0))
+                    .limit(0)
+                )
+            if cand_ids.size <= ISIN_CAND_MAX:
+                # small candidate set: push the ids into the content
+                # scan as an IN filter — ONE stage, no join exchange
+                # (a broadcast semi join measured ~1 s of pure
+                # machinery at this candidate size)
+                ids = [int(i) for i in cand_ids]
+                verified = content.filter(F.col("doc_id").isin(ids))
+                return _verify_and_render(verified, docs, pattern)
+            cand = F.broadcast(
+                spark.createDataFrame(
+                    [(int(i),) for i in cand_ids], "doc_id long"
+                )
+            )  # bounded by driver_decode_max
+        else:
+            # hot-trigram path: the postings stay distributed —
+            # decode in Arrow batches, intersect by per-alternative
+            # match count, union the alternatives
+            buckets = sorted({_tg_bucket(t) for t in chosen})
+            posts = (
+                spark.read.parquet(p["postings"])
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("tg").isin(chosen))
+            )
+
+            def _decode(pdf_iter):
+                from ..functions import codec
+
+                for pdf in pdf_iter:
+                    tg_out, id_out = [], []
+                    for tg, first, n, buf in zip(
+                        pdf["tg"], pdf["first_doc_id"], pdf["n_docs"],
+                        pdf["doc_deltas"],
+                    ):
+                        ids = codec.delta_decode_docids(
+                            int(first), bytes(buf), int(n)
+                        )
+                        tg_out.append(np.repeat(np.int64(tg), int(n)))
+                        id_out.append(ids)
+                    yield pd.DataFrame({
+                        "tg": np.concatenate(tg_out) if tg_out else
+                        np.empty(0, dtype=np.int64),
+                        "doc_id": np.concatenate(id_out) if id_out else
+                        np.empty(0, dtype=np.int64),
+                    })
+
+            decoded = posts.mapInPandas(
+                _decode, schema="tg long, doc_id long"
+            )
+            # (tg, doc_id) pairs are distinct by construction (a doc
+            # lands in exactly one salt fragment per trigram), so a
+            # plain count(*) equals countDistinct(tg) — cheaper agg
+            alts_cand = [
+                decoded.filter(F.col("tg").isin(tgs))
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_tg"))
+                .filter(F.col("n_tg") == len(tgs))
+                .select("doc_id")
+                for tgs in chosen_per_alt
+            ]
+            # unhinted: a hot-trigram intersection can still be huge —
+            # AQE picks broadcast iff it turns out small
+            cand = reduce(
+                lambda a, b: a.unionByName(b), alts_cand
+            ).distinct()
+
+    verified = content
+    if cand is not None:
+        verified = content.join(cand, "doc_id", "left_semi")
+    return _verify_and_render(verified, docs, pattern)
+
+
+def _verify_and_render(
+    verified: DataFrame, docs: DataFrame, pattern: str
+) -> DataFrame:
+    """rlike-verify surviving content rows, count leftmost-non-
+    overlapping matches, join doc metadata."""
+    text = F.col("content")
+    return (
+        verified.filter(text.rlike(pattern))
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(text, F.lit(pattern), F.lit(0))
+            ).alias("n_matches"),
+        )
+        .join(docs.select("doc_id", "repo", "path"), "doc_id")
+        .select("doc_id", "repo", "path", "n_matches")
+    )
+
+
+def grep_bruteforce(spark: SparkSession, index_dir: str, pattern: str) -> DataFrame:
+    """The defining full-scan twin of grep_index (tests compare them
+    row-for-row): rlike over the whole content table."""
+    from ..schema import CONTENT_ON_DISK, DOCS_ON_DISK
+
+    content = spark.read.schema(CONTENT_ON_DISK).parquet(
+        os.path.join(index_dir, "content")
+    )
+    docs = spark.read.schema(DOCS_ON_DISK).parquet(
+        os.path.join(index_dir, "docs")
+    )
+    text = F.col("content")
+    return (
+        content.filter(text.rlike(pattern))
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(text, F.lit(pattern), F.lit(0))
+            ).alias("n_matches"),
+        )
+        .join(docs.select("doc_id", "repo", "path"), "doc_id")
+        .select("doc_id", "repo", "path", "n_matches")
+    )

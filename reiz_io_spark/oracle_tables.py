@@ -19,6 +19,10 @@ seed-fixed corpus the entry queries index:
   the structural entry — exhaustive BM25 ranking (oracle.py, the same
   float contract as the engine) + rank-ordered structural verification
   with plans/matcher.match_spans + the reference's link projection.
+- code_content.parquet (doc_id, repo, path, content): the raw admitted
+  sources (ALL lang==python rows, including parse-failed ones the
+  index keeps with parse_ok=False) — ground truth for the trigram-
+  sidecar grep entry's RE2 twin.
 
 With these on disk the driver's DuckDB twin can:
 - recompute conjunctive BM25 top-k FROM THE TERMS TABLE with its own
@@ -77,7 +81,8 @@ def _params() -> dict:
         "seed": ENTRY_SEED,
         "positions_query": list(POSITIONS_QUERY),
         "positions_k": POSITIONS_K,
-        "v": 2,
+        "v": 4,  # v4: + code_content.parquet (regex-grep oracle; ALL
+        # admitted docs incl. parse-failed, self-contained columns)
     }
 
 
@@ -91,6 +96,10 @@ def docs_path(base: str = ORACLE_TABLES_DIR) -> str:
 
 def positions_path(base: str = ORACLE_TABLES_DIR) -> str:
     return os.path.join(base, "code_positions_oracle.parquet")
+
+
+def content_path(base: str = ORACLE_TABLES_DIR) -> str:
+    return os.path.join(base, "code_content.parquet")
 
 
 def _indexed_docs() -> list[tuple[int, str, str, str, str, dict]]:
@@ -169,7 +178,10 @@ def ensure_oracle_tables(base: str = ORACLE_TABLES_DIR) -> str:
         with open(stamp) as fh:
             if json.load(fh) == want and all(
                 os.path.exists(p)
-                for p in (terms_path(base), docs_path(base), positions_path(base))
+                for p in (
+                    terms_path(base), docs_path(base),
+                    positions_path(base), content_path(base),
+                )
             ):
                 return base
     except (OSError, json.JSONDecodeError):
@@ -225,6 +237,33 @@ def ensure_oracle_tables(base: str = ORACLE_TABLES_DIR) -> str:
                 "path": pa.array(d_path, pa.string()),
                 "commit": pa.array(d_commit, pa.string()),
                 "dl": pa.array(d_dl, pa.int64()),
+            }
+        ),
+    )
+    # content covers ALL admitted docs (lang == python), NOT just the
+    # tokenizer-parseable subset above: the index stores parse-failed
+    # sources too (build.prepare_docs keeps them with parse_ok=False,
+    # the reference's Insertion.SKIPPED), and grep is a content-level
+    # operator that must search them — self-contained columns so the
+    # grep oracle never joins the tokenized-docs table
+    c_doc, c_repo, c_path, c_content = [], [], [], []
+    for repo, path, _commit, lang, content in synth_corpus_rows(
+        n_filler=ENTRY_N_FILLER, seed=ENTRY_SEED
+    ):
+        if lang != "python":
+            continue
+        c_doc.append(doc_id_of(repo, path))
+        c_repo.append(repo)
+        c_path.append(path)
+        c_content.append(content)
+    _write(
+        content_path(base),
+        pa.table(
+            {
+                "doc_id": pa.array(c_doc, pa.int64()),
+                "repo": pa.array(c_repo, pa.string()),
+                "path": pa.array(c_path, pa.string()),
+                "content": pa.array(c_content, pa.string()),
             }
         ),
     )
@@ -306,3 +345,21 @@ def positions_oracle_sql(base: str = ORACLE_TABLES_DIR) -> str:
 SELECT doc_id, repo, path, lineno, score, github_link, username
 FROM read_parquet('{positions_path(base)}')
 """
+
+
+def grep_oracle_sql(pattern: str, base: str = ORACLE_TABLES_DIR) -> str:
+    """DuckDB twin of the trigram-sidecar grep entry: RE2 grep over the
+    materialized raw content. The ENTIRE distributed pipeline — index
+    build, trigram-sidecar encode (salted fragments, delta+varint),
+    bucket-pruned posting seek, per-alternative intersection, rlike
+    verify, metadata join — sits between the shared corpus rows and the
+    compared output. Portable-syntax patterns only (Java regex on the
+    Spark side, RE2 here)."""
+    p = pattern.replace("'", "''")
+    return (
+        f"SELECT doc_id, repo, path, "
+        f"len(regexp_extract_all(content, '{p}')) AS n_matches "
+        f"FROM read_parquet('{content_path(base)}') "
+        f"WHERE regexp_matches(content, '{p}') "
+        f"ORDER BY doc_id"
+    )

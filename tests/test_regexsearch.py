@@ -1,0 +1,294 @@
+"""Regex search: factor analyzer guarantees, one-shot path vs the
+DuckDB twin, trigram-sidecar grep vs the defining brute-force scan.
+
+Reference parity: the reference reaches content patterns only via LIKE
+markers (reiz/ir/backends/edgeql.py:105-108); grep-grade regex over raw
+sources is the remaining fulltext-index-tier capability, built here in
+the Google-Code-Search / Zoekt shape (literal-factor prefilter +
+trigram posting intersection + verify)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from reiz_io_spark.operators import regexsearch as rx
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# factor analyzer
+# --------------------------------------------------------------------------
+
+def _alts(pattern):
+    dnf, _ = rx.analyze(pattern)
+    return None if dnf is None else sorted(sorted(a) for a in dnf)
+
+
+def test_analyze_literal():
+    assert _alts("spark") == [["spark"]]
+
+
+def test_analyze_concat_breaks_on_class():
+    # class contributes nothing; both literal runs required
+    assert _alts(r"def [a-z]+_handler") == [["_handler", "def "]]
+
+
+def test_analyze_alternation():
+    assert _alts(r"(join|window)") == [["join"], ["window"]]
+
+
+def test_analyze_alternation_distributes():
+    assert _alts(r"spark (join|window)") == [
+        ["join", "spark "],
+        ["spark ", "window"],
+    ]
+
+
+def test_analyze_unconstrained_branch_poisons_or():
+    # `.*` branch can match with no literal evidence
+    assert _alts(r"(join|.*)") is None
+
+
+def test_analyze_star_contributes_nothing_plus_does():
+    assert _alts(r"(foo)*bar") == [["bar"]]
+    assert _alts(r"(foo)+bar") == [["bar", "foo"]]
+
+
+def test_analyze_short_factors_dropped():
+    assert _alts(r"ab") is None  # shorter than a trigram
+    assert _alts(r"ab|xyz") is None  # one branch unconstrained -> None
+
+
+def test_analyze_case_insensitive_folds():
+    dnf, fold = rx.analyze(r"(?i)Spark")
+    assert fold is True
+    assert sorted(sorted(a) for a in dnf) == [["spark"]]
+
+
+def test_analyze_invalid_pattern_raises():
+    with pytest.raises(re.error):
+        rx.analyze("(unclosed")
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        r"spark",
+        r"def [a-z]+_handler",
+        r"(join|window) function",
+        r"import (numpy|pandas)",
+        r"(?i)Spark SQL",
+        r"wind(ow)+s?",
+        r"^from \w+ import",
+    ],
+)
+def test_analyze_factors_are_necessary(pattern):
+    """Soundness: any string matching the pattern contains every factor
+    of at least one alternative (the analyzer's one guarantee)."""
+    dnf, fold = rx.analyze(pattern)
+    if dnf is None:
+        return
+    samples = [
+        "spark join function over windows",
+        "def on_click_handler(x): pass",
+        "import pandas as pd",
+        "from collections import deque",
+        "SPARK SQL window function",
+        "windowowows",
+    ]
+    creg = re.compile(pattern)
+    for s in samples:
+        if creg.search(s):
+            probe = s.lower() if fold else s
+            assert any(all(f in probe for f in alt) for alt in dnf), (
+                pattern,
+                s,
+            )
+
+
+# --------------------------------------------------------------------------
+# one-shot path over documents (vs brute rlike and vs the DuckDB twin)
+# --------------------------------------------------------------------------
+
+PATTERNS = [
+    r"the [a-z]+ of",
+    r"(data|model) training",
+    r"quick.*fox",  # factors on both sides of .*
+    r"[0-9]{4}",  # no factors -> full-scan fallback
+    r"lorem ipsum",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).cache()
+    )
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_regex_search_equals_brute(spark, docs, pattern):
+    got = rx.regex_search(docs, pattern).orderBy("doc_id").collect()
+    want = (
+        docs.filter(F.col("text").rlike(pattern))
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(0))
+            ).alias("n_matches"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_regex_search_matches_duckdb(spark, docs, pattern):
+    got = [tuple(r) for r in rx.regex_search(docs, pattern).orderBy("doc_id").collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    want = con.execute(rx.regex_search_sql(pattern)).fetchall()
+    assert got == [(int(a), int(b)) for a, b in want]
+
+
+def test_regex_search_prefilter_is_jvm_pushed(spark, docs, pattern=r"lorem ipsum"):
+    """Factors must reach the scan as data filters (StringContains),
+    and the verify rlike must not add any Python stage."""
+    plan = rx.regex_search(docs, pattern)._jdf.queryExecution().executedPlan().toString()
+    assert "Contains" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# trigram sidecar over the code index
+# --------------------------------------------------------------------------
+
+GREP_PATTERNS = [
+    r"def [a-z_]+\(",  # factor 'def ' — hot trigram, salted
+    r"return (None|self)",
+    r"class \w+:",
+    r"(?i)IMPORT",  # caseless -> sidecar bypass, verify scan
+    r"[0-9]+",  # no factors -> brute fallback path inside grep_index
+]
+
+
+@pytest.fixture(scope="module")
+def trigram_index(spark, built_index):
+    index_dir, _ = built_index
+    tmeta = rx.build_trigram_index(spark, index_dir)
+    return index_dir, tmeta
+
+
+def test_sidecar_meta_records_index_version(trigram_index):
+    index_dir, tmeta = trigram_index
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        assert tmeta["index_version"] == json.load(fh)["version"]
+
+
+@pytest.mark.parametrize("decode_max", [rx.DRIVER_DECODE_MAX, 0])
+@pytest.mark.parametrize("pattern", GREP_PATTERNS)
+def test_grep_index_equals_bruteforce(spark, trigram_index, pattern, decode_max):
+    """Both candidate paths (driver-side numpy intersect and the
+    distributed decode, forced via decode_max=0) equal the defining
+    full scan row-for-row."""
+    index_dir, _ = trigram_index
+    got = sorted(
+        tuple(r)
+        for r in rx.grep_index(
+            spark, index_dir, pattern, driver_decode_max=decode_max
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in rx.grep_bruteforce(spark, index_dir, pattern).collect()
+    )
+    assert got == want
+    assert len(want) > 0 or pattern == GREP_PATTERNS[-1]
+
+
+def test_grep_index_absent_trigram_answers_empty_cheaply(spark, trigram_index):
+    """A required trigram in no document proves 0 rows — the plan never
+    touches the content table."""
+    index_dir, _ = trigram_index
+    df = rx.grep_index(spark, index_dir, r"zqxjkvbnzzz")
+    assert df.count() == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
+
+
+def test_grep_index_postings_scan_prunes_buckets(spark, trigram_index):
+    """Distributed path (forced): the postings read must carry bucket
+    partition filters and a tg pushdown — a selective grep reads
+    fragments, not the sidecar."""
+    index_dir, _ = trigram_index
+    df = rx.grep_index(
+        spark, index_dir, r"def [a-z_]+_helper", driver_decode_max=0
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_grep_index_driver_path_pushes_isin_filter(spark, trigram_index):
+    """Serving shape: postings decoded driver-side and the candidate
+    set pushed into the content scan as an IN filter — the final plan
+    holds NO postings scan and NO semi join, just filter + verify +
+    metadata join."""
+    index_dir, _ = trigram_index
+    df = rx.grep_index(spark, index_dir, r"def [a-z_]+_helper")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "trigrams" not in plan  # postings were consumed pre-plan
+    assert "LeftSemi" not in plan
+    assert "INSET" in plan or "In(doc_id" in plan
+
+
+def test_grep_index_posting_cache_serves_repeat_queries(spark, trigram_index):
+    """Second identical grep resolves its trigram postings from the
+    warm cache (no new entries added) and returns the same rows."""
+    index_dir, _ = trigram_index
+    pat = r"class [A-Za-z_]+:"
+    first = sorted(map(tuple, rx.grep_index(spark, index_dir, pat).collect()))
+    n_entries = len(rx._POSTING_CACHE)
+    again = sorted(map(tuple, rx.grep_index(spark, index_dir, pat).collect()))
+    assert again == first
+    assert len(rx._POSTING_CACHE) == n_entries
+
+
+def test_grep_index_refuses_stale_sidecar(spark, trigram_index):
+    index_dir, _ = trigram_index
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    bumped = dict(meta, version=str(meta["version"]) + "-newer")
+    with open(meta_path, "w") as fh:
+        json.dump(bumped, fh)
+    try:
+        with pytest.raises(rx.StaleTrigramIndex):
+            rx.grep_index(spark, index_dir, r"def main")
+        # allow_stale searches the stale snapshot instead
+        rx.grep_index(
+            spark, index_dir, r"def [a-z_]+\(", allow_stale=True
+        ).count()
+    finally:
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+
+
+def test_trigram_fragments_respect_salt_bound(spark, trigram_index):
+    """No fragment may exceed TG_FRAGMENT postings (the Zipf-hot-key
+    defense: 'def'/'    ' style trigrams appear in ~every file)."""
+    index_dir, _ = trigram_index
+    posts = spark.read.parquet(
+        os.path.join(index_dir, "trigrams", "postings")
+    )
+    assert posts.filter(F.col("n_docs") > rx.TG_FRAGMENT).count() == 0
