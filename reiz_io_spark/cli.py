@@ -120,6 +120,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     tg.add_argument("--index", required=True)
 
+    tgu = sub.add_parser(
+        "update-trigrams",
+        help="fold content batches merged since the sidecar's last "
+        "commit into a new generation (cost ∝ new-batch size)",
+    )
+    tgu.add_argument("--index", required=True)
+
     gp = sub.add_parser(
         "grep", help="regex search over an indexed corpus (trigram seek)"
     )
@@ -205,6 +212,12 @@ def _dispatch(args, spark) -> int:
         from .operators.regexsearch import build_trigram_index
 
         print(json.dumps(build_trigram_index(spark, args.index)))
+        return 0
+
+    if args.cmd == "update-trigrams":
+        from .operators.regexsearch import update_trigram_index
+
+        print(json.dumps(update_trigram_index(spark, args.index)))
         return 0
 
     if args.cmd == "grep":

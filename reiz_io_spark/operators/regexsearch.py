@@ -245,12 +245,74 @@ class StaleTrigramIndex(RuntimeError):
     """The sidecar was built against a different index snapshot."""
 
 
+class ConcurrentSidecarUpdate(RuntimeError):
+    """Another build/update holds the sidecar lock."""
+
+
 def _tg_paths(index_dir: str) -> dict[str, str]:
+    base = os.path.join(index_dir, "trigrams")
     return {
-        "postings": os.path.join(index_dir, "trigrams", "postings"),
-        "dictionary": os.path.join(index_dir, "trigrams", "dictionary"),
-        "meta": os.path.join(index_dir, "trigrams", "meta.json"),
+        "base": base,
+        "meta": os.path.join(base, "meta.json"),
+        "lock": os.path.join(base, "update.lock"),
     }
+
+
+def _gen_postings(base: str, gen: str) -> str:
+    return os.path.join(base, gen, "postings")
+
+
+def _gen_dictionary(base: str, gen: str) -> str:
+    return os.path.join(base, gen, "dictionary")
+
+
+def _read_postings(
+    spark: SparkSession, base: str, gens: list[str]
+) -> DataFrame:
+    """Union of the generations' posting tables. One scan per
+    generation (multi-root reads trip Spark's partition discovery);
+    bucket partition filters and tg pushdown apply to each branch, and
+    generations hold disjoint doc sets so plain union is the merge."""
+    reads = [
+        spark.read.schema(
+            "tg long, salt int, first_doc_id long, n_docs long, "
+            "doc_deltas binary, bucket int"
+        ).parquet(_gen_postings(base, g))
+        for g in gens
+    ]
+    return reduce(lambda a, b: a.unionByName(b), reads)
+
+
+def _content_batches(index_dir: str) -> list[str]:
+    """batch ids present in the content table's hive layout."""
+    try:
+        names = os.listdir(os.path.join(index_dir, "content"))
+    except OSError:
+        return []
+    return sorted(
+        n.split("=", 1)[1] for n in names if n.startswith("batch=")
+    )
+
+
+def _write_tg_meta(p: dict[str, str], tmeta: dict) -> None:
+    tmp = p["meta"] + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(tmeta, fh)
+    os.replace(tmp, p["meta"])
+    _drop_caches_for(p["base"])
+
+
+def _sidecar_lock(p: dict[str, str]):
+    os.makedirs(p["base"], exist_ok=True)
+    try:
+        fd = os.open(p["lock"], os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise ConcurrentSidecarUpdate(
+            f"sidecar build/update already in progress ({p['lock']} "
+            "held); retry when it completes, or remove the lock if its "
+            "owner crashed"
+        ) from None
 
 
 def build_trigram_index(spark: SparkSession, index_dir: str) -> dict:
@@ -261,18 +323,114 @@ def build_trigram_index(spark: SparkSession, index_dir: str) -> dict:
     (build.py:_write_meta_atomic) is untouched, and grep_index refuses
     a version mismatch instead of silently missing newly merged docs.
 
-    Shape: content -> distinct trigrams per doc (one JVM
-    array/transform expression, no Python) -> df per trigram ->
-    salt = pmod(xxhash64(doc_id), ceil(df / TG_FRAGMENT)) so no task
-    ever owns a whole hot trigram's postings -> per (tg, salt) sorted
-    doc_id fragments, delta+varint encoded (functions/codec.py),
-    written partitioned by pmod(xxhash64(tg), N_TG_BUCKETS)."""
+    Commit discipline (the ANN-segment shape, ann_index.py): postings
+    and dictionary land in a generation dir no reader references
+    (gen-00000 here); meta.json is flipped atomically afterwards.
+    REFUSES a dir with a committed sidecar — after an incremental
+    index merge call update_trigram_index, which appends a generation
+    covering ONLY the new batches. An O_EXCL lock serializes writers.
+
+    Shape: content -> distinct packed byte-trigrams per doc (numpy) ->
+    df per trigram -> salt = pmod(xxhash64(doc_id), ceil(df /
+    TG_FRAGMENT)) so no task ever owns a whole hot trigram's postings
+    -> per (tg, salt) sorted doc_id fragments, delta+varint encoded
+    (functions/codec.py), partitioned by pmod(xxhash64(tg),
+    N_TG_BUCKETS)."""
+    p = _tg_paths(index_dir)
+    if os.path.exists(p["meta"]):
+        raise RuntimeError(
+            f"{p['base']} already holds a committed sidecar — an "
+            "in-place rebuild would tear concurrent readers. Use "
+            "update_trigram_index to fold in new batches, or remove "
+            "the trigrams dir for a from-scratch rebuild."
+        )
     with open(os.path.join(index_dir, "meta.json")) as fh:
         meta = json.load(fh)
+    batches = _content_batches(index_dir)
+    _sidecar_lock(p)
+    try:
+        gen = "gen-00000"
+        n_frags = _build_generation(spark, index_dir, gen, batches)
+        tmeta = {
+            "format": 2,
+            "commit": 1,
+            "index_version": meta.get("version"),
+            "n_term_buckets": N_TG_BUCKETS,
+            "generations": [gen] if n_frags else [],
+            "covered_batches": batches,
+        }
+        _write_tg_meta(p, tmeta)
+    finally:
+        try:
+            os.remove(p["lock"])
+        except OSError:
+            pass
+    return tmeta
+
+
+def update_trigram_index(spark: SparkSession, index_dir: str) -> dict:
+    """Fold the content batches added since the sidecar's last commit
+    into a NEW generation — cost ∝ new-batch size; committed
+    generations are never read or moved (the ANN append contract).
+    Doc_ids are disjoint across batches (the main build's cross-batch
+    anti-join, build.py:144-170), so a trigram's postings are simply
+    the union of its fragments across generations; the merged
+    dictionary df is the per-generation sum. A crash before the meta
+    flip leaves readers on the previous snapshot (the orphan
+    generation dir is invisible). No new batches -> the commit just
+    revalidates index_version (e.g. after a metadata-only change)."""
+    p = _tg_paths(index_dir)
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    _sidecar_lock(p)
+    try:
+        with open(p["meta"]) as fh:
+            tmeta = json.load(fh)
+        covered = set(tmeta.get("covered_batches", []))
+        on_disk = _content_batches(index_dir)
+        gone = covered - set(on_disk)
+        if gone:
+            raise RuntimeError(
+                f"content batches {sorted(gone)} covered by the sidecar "
+                "no longer exist (content was compacted/rewritten) — "
+                "remove the trigrams dir and rebuild from scratch"
+            )
+        new = [b for b in on_disk if b not in covered]
+        if new:
+            gens = tmeta.get("generations", [])
+            nums = [int(g.split("-")[1]) for g in gens]
+            gen = f"gen-{(max(nums) + 1 if nums else 0):05d}"
+            n_frags = _build_generation(spark, index_dir, gen, new)
+            if n_frags:
+                tmeta["generations"] = gens + [gen]
+        elif tmeta.get("index_version") == meta.get("version"):
+            return tmeta  # nothing to do
+        tmeta["covered_batches"] = sorted(covered | set(new))
+        tmeta["index_version"] = meta.get("version")
+        tmeta["commit"] = int(tmeta.get("commit", 1)) + 1
+        _write_tg_meta(p, tmeta)
+    finally:
+        try:
+            os.remove(p["lock"])
+        except OSError:
+            pass
+    return tmeta
+
+
+def _build_generation(
+    spark: SparkSession, index_dir: str, gen: str, batches: list[str]
+) -> int:
+    """Encode the given content batches into <trigrams>/<gen>/
+    (postings + dictionary). Returns the number of posting fragments
+    written (0 = empty input; the caller skips committing the
+    generation)."""
     from ..schema import CONTENT_ON_DISK
 
-    content = spark.read.schema(CONTENT_ON_DISK).parquet(
-        os.path.join(index_dir, "content")
+    p = _tg_paths(index_dir)
+    content = (
+        spark.read.schema(CONTENT_ON_DISK)
+        .parquet(os.path.join(index_dir, "content"))
+        .filter(F.col("batch").isin(batches))  # partition-pruned
     )
 
     def _doc_trigrams(pdf_iter):
@@ -348,27 +506,25 @@ def build_trigram_index(spark: SparkSession, index_dir: str) -> dict:
             "doc_deltas binary, bucket int"
         ),
     )
-    p = _tg_paths(index_dir)
     (
         encoded.repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(p["postings"])
+        .parquet(_gen_postings(p["base"], gen))
     )
-    df_per_tg.write.mode("overwrite").parquet(p["dictionary"])
-    tmeta = {
-        "version": 1,
-        "index_version": meta.get("version"),
-        "n_term_buckets": N_TG_BUCKETS,
-    }
-    tmp = p["meta"] + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(tmeta, fh)
-    os.replace(tmp, p["meta"])
-    # a same-process rebuild overwrote the sidecar in place — drop any
-    # warm dictionary/posting cache entries for these paths
-    _drop_caches_for(p["dictionary"], p["postings"])
-    return tmeta
+    df_per_tg.write.mode("overwrite").parquet(
+        _gen_dictionary(p["base"], gen)
+    )
+    # explicit schema: an empty input writes a part-file-less dir whose
+    # schema can't be inferred (the ANN append lesson, ann_index.py)
+    return (
+        spark.read.schema(
+            "tg long, salt int, first_doc_id long, n_docs long, "
+            "doc_deltas binary, bucket int"
+        )
+        .parquet(_gen_postings(p["base"], gen))
+        .count()
+    )
 
 
 def _tg_bucket(tg: int) -> int:
@@ -382,21 +538,33 @@ def _tg_bucket(tg: int) -> int:
 
 R_TRIGRAMS_PER_ALT = 3  # intersect the R rarest trigrams per alternative
 
-# warm per-process dictionary cache: (postings_dir, index_version) ->
-# (sorted tg array, df array). Scale-safe to hold driver-side at ANY
-# corpus size: byte trigrams are bounded by 256^3 = 16.7M entries
-# (~270 MB as two numpy arrays at the absolute ceiling; real code
-# corpora sit around 100-500k), unlike the term dictionary, which
-# grows with the corpus.
+# warm per-process dictionary cache: (sidecar base, commit) ->
+# (sorted tg array, merged df array). Scale-safe to hold driver-side
+# at ANY corpus size: byte trigrams are bounded by 256^3 = 16.7M
+# entries (~270 MB as two numpy arrays at the absolute ceiling; real
+# code corpora sit around 100-500k), unlike the term dictionary,
+# which grows with the corpus.
 _DICT_CACHE: dict[tuple[str, object], tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _load_dictionary(
-    spark: SparkSession, paths: dict[str, str], version
+    spark: SparkSession, paths: dict[str, str], tmeta: dict
 ) -> tuple[np.ndarray, np.ndarray]:
-    key = (paths["dictionary"], version)
+    key = (paths["base"], tmeta.get("commit"))
     if key not in _DICT_CACHE:
-        pdf = spark.read.parquet(paths["dictionary"]).toPandas()
+        gens = tmeta.get("generations", [])
+        if not gens:
+            empty = np.empty(0, dtype=np.int64)
+            _DICT_CACHE[key] = (empty, empty)
+            return _DICT_CACHE[key]
+        # merged df across generations (disjoint doc sets -> sum)
+        pdf = (
+            spark.read.schema("tg long, df long")
+            .parquet(*[_gen_dictionary(paths["base"], g) for g in gens])
+            .groupBy("tg")
+            .agg(F.sum("df").alias("df"))
+            .toPandas()
+        )
         tgs = pdf["tg"].to_numpy(dtype=np.int64)
         dfs = pdf["df"].to_numpy(dtype=np.int64)
         order = np.argsort(tgs)
@@ -405,11 +573,11 @@ def _load_dictionary(
 
 
 # warm per-process posting-list cache for the driver-decode path:
-# (postings_dir, index_version, tg) -> sorted doc_id array. Byte-
-# budgeted LRU (an entry is at most driver_decode_max postings; the
-# budget keeps the total bounded regardless) — the serving tier's
-# analog of IndexReader.warm: repeat/overlapping queries skip the
-# fragment read entirely.
+# (sidecar base, commit, tg) -> sorted doc_id array. Byte-budgeted LRU
+# (an entry is at most driver_decode_max postings; the budget keeps
+# the total bounded regardless) — the serving tier's analog of
+# IndexReader.warm: repeat/overlapping queries skip the fragment read
+# entirely.
 _POSTING_CACHE: "dict[tuple, np.ndarray]" = {}
 _POSTING_CACHE_BYTES = 256 << 20
 
@@ -422,11 +590,10 @@ def _posting_cache_put(key: tuple, arr: np.ndarray) -> None:
         total -= _POSTING_CACHE.pop(oldest).nbytes
 
 
-def _drop_caches_for(dictionary_path: str, postings_path: str) -> None:
-    for key in [k for k in _DICT_CACHE if k[0] == dictionary_path]:
-        del _DICT_CACHE[key]
-    for key in [k for k in _POSTING_CACHE if k[0] == postings_path]:
-        del _POSTING_CACHE[key]
+def _drop_caches_for(base: str) -> None:
+    for cache in (_DICT_CACHE, _POSTING_CACHE):
+        for key in [k for k in cache if k[0] == base]:
+            del cache[key]
 
 
 def _df_lookup(
@@ -497,10 +664,9 @@ def grep_index(
             for alt in dnf
         ]
         need = sorted({t for alt in alt_tgs for t in alt})
-        tg_sorted, dfs = _load_dictionary(
-            spark, p, tmeta.get("index_version")
-        )
+        tg_sorted, dfs = _load_dictionary(spark, p, tmeta)
         df_of = _df_lookup(tg_sorted, dfs, need)
+        gens = tmeta.get("generations", [])
         chosen_per_alt = []
         for tgs in alt_tgs:
             if any(t not in df_of for t in tgs):
@@ -527,18 +693,18 @@ def grep_index(
             # candidate list ships back as a broadcast local relation.
             from ..functions import codec
 
-            ver = tmeta.get("index_version")
+            ck = tmeta.get("commit")
             ids_of = {
-                t: _POSTING_CACHE[(p["postings"], ver, t)]
+                t: _POSTING_CACHE[(p["base"], ck, t)]
                 for t in chosen
-                if (p["postings"], ver, t) in _POSTING_CACHE
+                if (p["base"], ck, t) in _POSTING_CACHE
             }
             missing = [t for t in chosen if t not in ids_of]
             if missing:
                 mb = sorted({_tg_bucket(t) for t in missing})
                 by_tg: dict[int, list[np.ndarray]] = {}
                 for r in (
-                    spark.read.parquet(p["postings"])
+                    _read_postings(spark, p["base"], gens)
                     .filter(F.col("bucket").isin(mb))
                     .filter(F.col("tg").isin(missing))
                     .select("tg", "first_doc_id", "n_docs", "doc_deltas")
@@ -553,7 +719,7 @@ def grep_index(
                 for t, frags in by_tg.items():
                     arr = np.sort(np.concatenate(frags))
                     ids_of[t] = arr
-                    _posting_cache_put((p["postings"], ver, t), arr)
+                    _posting_cache_put((p["base"], ck, t), arr)
             alt_ids = [
                 reduce(
                     lambda a, b: np.intersect1d(a, b, assume_unique=True),
@@ -587,7 +753,7 @@ def grep_index(
             # match count, union the alternatives
             buckets = sorted({_tg_bucket(t) for t in chosen})
             posts = (
-                spark.read.parquet(p["postings"])
+                _read_postings(spark, p["base"], gens)
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("tg").isin(chosen))
             )

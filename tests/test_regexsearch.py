@@ -287,8 +287,95 @@ def test_grep_index_refuses_stale_sidecar(spark, trigram_index):
 def test_trigram_fragments_respect_salt_bound(spark, trigram_index):
     """No fragment may exceed TG_FRAGMENT postings (the Zipf-hot-key
     defense: 'def'/'    ' style trigrams appear in ~every file)."""
+    index_dir, tmeta = trigram_index
+    for gen in tmeta["generations"]:
+        posts = spark.read.parquet(
+            os.path.join(index_dir, "trigrams", gen, "postings")
+        )
+        assert posts.filter(F.col("n_docs") > rx.TG_FRAGMENT).count() == 0
+
+
+def test_build_refuses_committed_sidecar(spark, trigram_index):
+    """An in-place rebuild over a committed sidecar would tear readers
+    mid-scan (the ADVICE ann_index finding, applied here from day one)."""
     index_dir, _ = trigram_index
-    posts = spark.read.parquet(
-        os.path.join(index_dir, "trigrams", "postings")
+    with pytest.raises(RuntimeError, match="committed sidecar"):
+        rx.build_trigram_index(spark, index_dir)
+
+
+def test_sidecar_lock_serializes_writers(spark, trigram_index):
+    index_dir, _ = trigram_index
+    lock = os.path.join(index_dir, "trigrams", "update.lock")
+    open(lock, "w").close()
+    try:
+        with pytest.raises(rx.ConcurrentSidecarUpdate):
+            rx.update_trigram_index(spark, index_dir)
+    finally:
+        os.remove(lock)
+
+
+# --------------------------------------------------------------------------
+# generational incremental update
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def grown_index(spark, tmp_path_factory):
+    """Index built from batch A, sidecar committed, then batch B merged
+    in and the sidecar incrementally updated."""
+    from reiz_io_spark.operators.build import (
+        merge_and_encode,
+        merge_incremental,
+        stage1_ingest,
     )
-    assert posts.filter(F.col("n_docs") > rx.TG_FRAGMENT).count() == 0
+    from reiz_io_spark.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(spark, n_filler=80, seed=23).cache()
+    a = corpus.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 0)
+    b = corpus.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 1)
+    inc_dir = str(tmp_path_factory.mktemp("inc_tg"))
+    stage1_ingest(spark, a, inc_dir, build_id="b0", n_shards=4)
+    merge_and_encode(spark, inc_dir, build_id="b0", fragment_postings=64)
+    t0 = rx.build_trigram_index(spark, inc_dir)
+    stage1_ingest(spark, b, inc_dir, build_id="b1", n_shards=4)
+    merge_incremental(spark, inc_dir)
+    return inc_dir, t0
+
+
+def test_update_folds_new_batch_into_new_generation(spark, grown_index):
+    """After an index merge the sidecar is stale; update_trigram_index
+    appends a generation covering ONLY the new batch (committed
+    generation files untouched), and grep over the merged corpus equals
+    the defining brute scan again."""
+    inc_dir, t0 = grown_index
+    with pytest.raises(rx.StaleTrigramIndex):
+        rx.grep_index(spark, inc_dir, r"def [a-z_]+\(")
+    import glob
+
+    gen0_files = sorted(
+        glob.glob(
+            os.path.join(inc_dir, "trigrams", t0["generations"][0], "**", "*"),
+            recursive=True,
+        )
+    )
+    mtimes = {f: os.path.getmtime(f) for f in gen0_files}
+    t1 = rx.update_trigram_index(spark, inc_dir)
+    assert len(t1["generations"]) == 2
+    assert t1["generations"][0] == t0["generations"][0]
+    assert t1["commit"] == t0["commit"] + 1
+    assert {f: os.path.getmtime(f) for f in gen0_files} == mtimes
+    for pat in (r"def [a-z_]+\(", r"return (None|self)"):
+        got = sorted(
+            map(tuple, rx.grep_index(spark, inc_dir, pat).collect())
+        )
+        want = sorted(
+            map(tuple, rx.grep_bruteforce(spark, inc_dir, pat).collect())
+        )
+        assert got == want and len(want) > 0
+
+
+def test_update_noop_when_no_new_batches(spark, grown_index):
+    inc_dir, _ = grown_index
+    before = rx.update_trigram_index(spark, inc_dir)  # idempotent entry
+    after = rx.update_trigram_index(spark, inc_dir)
+    assert after["generations"] == before["generations"]
+    assert after["covered_batches"] == before["covered_batches"]
