@@ -176,12 +176,39 @@ def analyze(
 
 def trigrams_of(factor: str) -> list[int]:
     """Byte trigrams of a factor, packed big-endian into one int (the
-    sidecar's key type: a long shuffles/pushes down far cheaper than a
-    3-char string at 10^10 postings). Byte-level is consistent between
-    build and query for any UTF-8 content: if the factor's chars appear
-    in the content, the factor's bytes appear in the content bytes."""
+    sidecar's key type: a long shuffles, joins, and pushes down far
+    cheaper than a 3-char string at 10^10 postings). Byte-level is
+    consistent between build and query for any UTF-8 content: if the
+    factor's chars appear in the content, the factor's bytes appear in
+    the content bytes."""
     b = factor.encode("utf-8")
     return [int.from_bytes(b[i : i + 3], "big") for i in range(len(b) - 2)]
+
+
+def _case_variants(tg: int) -> tuple[int, ...]:
+    """All ASCII case variants of a packed (folded) trigram, <= 8.
+    The caseless-grep group: a doc matches a caseless factor only if,
+    for each of the factor's lowercase trigrams, it holds AT LEAST ONE
+    of these variants (the Zoekt trick — the sidecar stays single-case,
+    the query side expands). Sound for ASCII only; callers must fall
+    back to the verify scan when a folded factor has non-ASCII bytes."""
+    opts = []
+    for shift in (16, 8, 0):
+        b = (tg >> shift) & 0xFF
+        if 0x61 <= b <= 0x7A:  # a-z -> {lower, upper}
+            opts.append((b, b - 32))
+        elif 0x41 <= b <= 0x5A:  # A-Z (defensive; input is folded)
+            opts.append((b + 32, b))
+        else:
+            opts.append((b,))
+    return tuple(
+        sorted(
+            (a << 16) | (b << 8) | c
+            for a in opts[0]
+            for b in opts[1]
+            for c in opts[2]
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -628,8 +655,11 @@ def grep_index(
     ``driver_decode_max``) decode + intersect driver-side in numpy and
     broadcast the candidate list — one Spark job end-to-end; hot
     queries keep the distributed decode/intersect. Either way the
-    rlike verify sees candidates only. Falls back to the full content
-    scan when the pattern yields no factors. Returns
+    rlike verify sees candidates only. Caseless patterns expand each
+    folded trigram into its <=8 ASCII case variants (one variant per
+    group must be present — the sidecar stays single-case). Falls back
+    to the full content scan when the pattern yields no factors (or a
+    caseless factor has non-ASCII bytes). Returns
     (doc_id, repo, path, n_matches)."""
     p = _tg_paths(index_dir)
     with open(os.path.join(index_dir, "meta.json")) as fh:
@@ -654,27 +684,49 @@ def grep_index(
         os.path.join(index_dir, "docs")
     )
     dnf, fold = analyze(pattern)
-    if fold:
-        dnf = None  # sidecar stores original case; caseless -> verify scan
+    if fold and dnf is not None and any(
+        not f.isascii() for alt in dnf for f in alt
+    ):
+        # byte-level case expansion is ASCII-only; non-ASCII caseless
+        # folding changes UTF-8 byte widths -> verify scan
+        dnf = None
 
     cand = None
     if dnf is not None and have_sidecar:
-        alt_tgs = [
-            sorted({t for fac in alt for t in trigrams_of(fac)})
+        # Every required trigram becomes a GROUP of sidecar keys: a
+        # singleton when the pattern is case-sensitive, the <=8 ASCII
+        # case variants when it is caseless (analyze() folded the
+        # factors; the sidecar stores original case, so a doc matches
+        # a caseless factor iff it holds >=1 variant per group).
+        alt_groups = [
+            [
+                _case_variants(t) if fold else (t,)
+                for t in sorted({t for fac in alt for t in trigrams_of(fac)})
+            ]
             for alt in dnf
         ]
-        need = sorted({t for alt in alt_tgs for t in alt})
+        need = sorted({v for groups in alt_groups for g in groups for v in g})
         tg_sorted, dfs = _load_dictionary(spark, p, tmeta)
         df_of = _df_lookup(tg_sorted, dfs, need)
         gens = tmeta.get("generations", [])
-        chosen_per_alt = []
-        for tgs in alt_tgs:
-            if any(t not in df_of for t in tgs):
-                # a required trigram occurs in NO document: this
-                # alternative provably matches nothing
+
+        def _gdf(g):
+            # group df = sum over present variants (an upper bound on
+            # docs holding the group; exact for singletons). None = no
+            # variant occurs in any document.
+            present = [v for v in g if v in df_of]
+            return sum(df_of[v] for v in present) if present else None
+
+        chosen_per_alt = []  # list of lists of variant tuples
+        for groups in alt_groups:
+            gdfs = [_gdf(g) for g in groups]
+            if any(d is None for d in gdfs):
+                # a required trigram occurs (in any case) in NO
+                # document: this alternative provably matches nothing
                 continue
+            order = sorted(range(len(groups)), key=lambda i: gdfs[i])
             chosen_per_alt.append(
-                sorted(sorted(tgs, key=lambda t: df_of[t])[:R_TRIGRAMS_PER_ALT])
+                [groups[i] for i in order[:R_TRIGRAMS_PER_ALT]]
             )
         if not chosen_per_alt:
             return (
@@ -682,8 +734,13 @@ def grep_index(
                 .withColumn("n_matches", F.lit(0))
                 .limit(0)
             )
-        chosen = sorted({t for tgs in chosen_per_alt for t in tgs})
-        total_df = sum(df_of[t] for t in chosen)
+        chosen_groups = sorted(
+            {g for groups in chosen_per_alt for g in groups}
+        )
+        chosen = sorted(
+            {v for g in chosen_groups for v in g if v in df_of}
+        )
+        total_df = sum(df_of[v] for v in chosen)
         if total_df <= driver_decode_max:
             # serving shape: the chosen trigrams are by construction the
             # RAREST ones, and the dictionary told us their exact total
@@ -720,12 +777,20 @@ def grep_index(
                     arr = np.sort(np.concatenate(frags))
                     ids_of[t] = arr
                     _posting_cache_put((p["base"], ck, t), arr)
+            def _group_ids(g):
+                arrs = [ids_of[v] for v in g if v in ids_of]
+                if not arrs:
+                    return np.empty(0, dtype=np.int64)
+                if len(arrs) == 1:
+                    return arrs[0]
+                return np.unique(np.concatenate(arrs))
+
             alt_ids = [
                 reduce(
                     lambda a, b: np.intersect1d(a, b, assume_unique=True),
-                    (ids_of.get(t, np.empty(0, np.int64)) for t in tgs),
+                    (_group_ids(g) for g in groups),
                 )
-                for tgs in chosen_per_alt
+                for groups in chosen_per_alt
             ]
             cand_ids = np.unique(np.concatenate(alt_ids))
             if cand_ids.size == 0:
@@ -782,17 +847,48 @@ def grep_index(
             decoded = posts.mapInPandas(
                 _decode, schema="tg long, doc_id long"
             )
-            # (tg, doc_id) pairs are distinct by construction (a doc
-            # lands in exactly one salt fragment per trigram), so a
-            # plain count(*) equals countDistinct(tg) — cheaper agg
-            alts_cand = [
-                decoded.filter(F.col("tg").isin(tgs))
-                .groupBy("doc_id")
-                .agg(F.count("*").alias("n_tg"))
-                .filter(F.col("n_tg") == len(tgs))
-                .select("doc_id")
-                for tgs in chosen_per_alt
-            ]
+            alts_cand = []
+            for groups in chosen_per_alt:
+                vs = sorted({v for g in groups for v in g if v in df_of})
+                if fold:
+                    # map each variant to its group and count DISTINCT
+                    # groups (a doc may hold two variants of one group)
+                    vmap = {
+                        v: gi
+                        for gi, g in enumerate(groups)
+                        for v in g
+                        if v in df_of
+                    }
+                    grp = F.element_at(
+                        F.create_map(
+                            *[
+                                F.lit(x).cast("long")
+                                for kv in vmap.items()
+                                for x in kv
+                            ]
+                        ),
+                        F.col("tg"),
+                    )
+                    alts_cand.append(
+                        decoded.filter(F.col("tg").isin(vs))
+                        .select("doc_id", grp.alias("grp"))
+                        .groupBy("doc_id")
+                        .agg(F.countDistinct("grp").alias("n_tg"))
+                        .filter(F.col("n_tg") == len(groups))
+                        .select("doc_id")
+                    )
+                else:
+                    # singleton groups: (tg, doc_id) pairs are distinct
+                    # by construction (a doc lands in exactly one salt
+                    # fragment per trigram), so plain count(*) equals
+                    # countDistinct — cheaper agg
+                    alts_cand.append(
+                        decoded.filter(F.col("tg").isin(vs))
+                        .groupBy("doc_id")
+                        .agg(F.count("*").alias("n_tg"))
+                        .filter(F.col("n_tg") == len(groups))
+                        .select("doc_id")
+                    )
             # unhinted: a hot-trigram intersection can still be huge —
             # AQE picks broadcast iff it turns out small
             cand = reduce(

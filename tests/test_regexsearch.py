@@ -178,7 +178,8 @@ GREP_PATTERNS = [
     r"def [a-z_]+\(",  # factor 'def ' — hot trigram, salted
     r"return (None|self)",
     r"class \w+:",
-    r"(?i)IMPORT",  # caseless -> sidecar bypass, verify scan
+    r"(?i)IMPORT",  # caseless -> case-variant trigram groups
+    r"(?i)Class [A-Z]\w+",  # caseless two-factor, mixed-case corpus hits
     r"[0-9]+",  # no factors -> brute fallback path inside grep_index
 ]
 
@@ -215,6 +216,40 @@ def test_grep_index_equals_bruteforce(spark, trigram_index, pattern, decode_max)
     )
     assert got == want
     assert len(want) > 0 or pattern == GREP_PATTERNS[-1]
+
+
+def test_case_variants_expansion():
+    """'abc' -> 8 variants; digits/punct bytes stay fixed; folded input
+    invariance (variants of any variant's fold == same group)."""
+    tg = rx.trigrams_of("abc")[0]
+    vs = rx._case_variants(tg)
+    assert len(vs) == 8 and tg in vs
+    assert rx.trigrams_of("ABC")[0] in vs
+    assert rx.trigrams_of("aBc")[0] in vs
+    tg2 = rx.trigrams_of("a_1")[0]
+    vs2 = rx._case_variants(tg2)
+    assert vs2 == tuple(sorted([tg2, rx.trigrams_of("A_1")[0]]))
+
+
+def test_grep_index_caseless_uses_sidecar(spark, trigram_index):
+    """A caseless selective grep must go through the sidecar (candidate
+    IN filter in the plan, not a full content scan) and still equal the
+    brute scan — the case-variant group expansion at work."""
+    index_dir, _ = trigram_index
+    pat = r"(?i)def a_foo"
+    df = rx.grep_index(spark, index_dir, pat)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # a 1-element candidate set compiles to EqualTo instead of INSET
+    assert (
+        "INSET" in plan
+        or "In(doc_id" in plan
+        or "EqualTo(doc_id" in plan
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(tuple, rx.grep_bruteforce(spark, index_dir, pat).collect())
+    )
+    assert got == want and len(want) > 0
 
 
 def test_grep_index_absent_trigram_answers_empty_cheaply(spark, trigram_index):
