@@ -46,6 +46,7 @@ FUZZY_TERM = "strem"
 # classes/quantifiers exercise the no-constraint fallthrough
 REGEX_DOC_PATTERN = r"spark\s+(join|window)"
 GREP_PATTERN = r"def [a-z_]+\("
+GREP_LINES_PATTERN = r"return [a-z_]+\("  # line-at-a-time (grep -n)
 SPLIT_WEIGHTS = {"train": 0.8, "test": 0.1, "val": 0.1}
 DECONTAM_BENCH = [
     (1, "spark stream vector table"),
@@ -309,6 +310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # grep over the materialized raw-content side table — the whole
     # distributed index+sidecar pipeline sits inside the compare.
     q["code_grep_index"] = _code_grep_index
+    # grep -n (line-grained matches with 1-based linenos) — registered
+    # at the tail (see `tail` below): local-full-sweep + pytest
+    # evidence; the doc-grained code_grep_index keeps the sweep slot
+    q["code_grep_lines"] = _code_grep_lines
 
     # --- general relational operators (joins/windows/aggs) --------------------
     q["tpch_pricing_summary"] = lambda s, d: _tpch_pricing(s, d)
@@ -404,6 +409,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             # three swept textstats entries; rolling-
                             # hash arithmetic pytest- and param-smith-
                             # gated, still full-sweep-checked locally
+        "code_grep_lines",  # r6: line-grained twin of the SWEPT
+                            # code_grep_index (same sidecar seek; only
+                            # the render differs) — full-sweep-checked
+                            # locally + grep_lines==per-line-scan
+                            # pytest
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -464,6 +474,21 @@ def _code_search_wand(s: SparkSession, d: str) -> DataFrame:
 
 
 _TRIGRAM_BUILT: set[str] = set()
+
+
+def _code_grep_lines(s: SparkSession, d: str) -> DataFrame:
+    """grep -n over the indexed corpus: sidecar candidate seek, then
+    posexplode ONLY the candidates' content into lines for the
+    per-line rlike — one row per matching line with its 1-based
+    lineno (operators/regexsearch.py::grep_lines)."""
+    _ensure_entry_index(s, d)
+    index_dir = _CODE_INDEX_CACHE[d]
+    if index_dir not in _TRIGRAM_BUILT:
+        regexsearch.build_trigram_index(s, index_dir)
+        _TRIGRAM_BUILT.add(index_dir)
+    return regexsearch.grep_lines(s, index_dir, GREP_LINES_PATTERN).orderBy(
+        "doc_id", "lineno"
+    )
 
 
 def _code_grep_index(s: SparkSession, d: str) -> DataFrame:
@@ -916,4 +941,7 @@ FROM documents
         REGEX_DOC_PATTERN
     )
     o["code_grep_index"] = oracle_tables.grep_oracle_sql(GREP_PATTERN)
+    o["code_grep_lines"] = oracle_tables.grep_lines_oracle_sql(
+        GREP_LINES_PATTERN
+    )
     return o

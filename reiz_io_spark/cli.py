@@ -134,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
     gp.add_argument("--pattern", required=True)
     gp.add_argument("--brute", action="store_true",
                     help="full-scan rlike instead of the trigram seek")
+    gp.add_argument("--lines", action="store_true",
+                    help="grep -n: one row per matching line with its "
+                    "1-based lineno (line-at-a-time semantics)")
     gp.add_argument("--allow-stale", action="store_true",
                     help="search a sidecar built at an older index version")
     gp.add_argument("--limit", type=int, default=100)
@@ -221,21 +224,27 @@ def _dispatch(args, spark) -> int:
         return 0
 
     if args.cmd == "grep":
-        from .operators.regexsearch import grep_bruteforce, grep_index
+        from .operators.regexsearch import (
+            grep_bruteforce,
+            grep_index,
+            grep_lines,
+        )
 
         t0 = time.perf_counter()
-        fn = grep_bruteforce if args.brute else grep_index
+        if args.lines:
+            fn, order = grep_lines, ["doc_id", "lineno"]
+        elif args.brute:
+            fn, order = grep_bruteforce, ["doc_id"]
+        else:
+            fn, order = grep_index, ["doc_id"]
         kw = {} if args.brute else {"allow_stale": args.allow_stale}
         rows = (
             fn(spark, args.index, args.pattern, **kw)
-            .orderBy("doc_id").limit(args.limit).collect()
+            .orderBy(*order).limit(args.limit).collect()
         )
         wall = time.perf_counter() - t0
         for r in rows:
-            print(json.dumps({
-                "doc_id": r["doc_id"], "repo": r["repo"],
-                "path": r["path"], "n_matches": r["n_matches"],
-            }))
+            print(json.dumps(r.asDict()))
         print(f"# {len(rows)} rows in {wall:.3f}s", file=sys.stderr)
         return 0
 

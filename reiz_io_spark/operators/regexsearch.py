@@ -661,6 +661,72 @@ def grep_index(
     to the full content scan when the pattern yields no factors (or a
     caseless factor has non-ASCII bytes). Returns
     (doc_id, repo, path, n_matches)."""
+    cand, docs = _candidate_content(
+        spark, index_dir, pattern, allow_stale, driver_decode_max
+    )
+    if cand is None:
+        return (
+            docs.select("doc_id", "repo", "path")
+            .withColumn("n_matches", F.lit(0))
+            .limit(0)
+        )
+    return _verify_and_render(cand, docs, pattern)
+
+
+def grep_lines(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    allow_stale: bool = False,
+    driver_decode_max: int = DRIVER_DECODE_MAX,
+) -> DataFrame:
+    """``grep -n``: one row per MATCHING LINE with its 1-based line
+    number — the pattern is applied line-at-a-time (it cannot span
+    lines), grep's contract. Shares grep_index's sidecar candidate
+    seek (sound: a matching line lives inside its doc, so the doc
+    holds every required factor), then posexplodes ONLY the surviving
+    candidates' content into lines for the per-line rlike — all JVM.
+    Returns (doc_id, repo, path, lineno, line)."""
+    cand, docs = _candidate_content(
+        spark, index_dir, pattern, allow_stale, driver_decode_max
+    )
+    meta = docs.select("doc_id", "repo", "path")
+    if cand is None:
+        return (
+            meta.withColumn("lineno", F.lit(0).cast("int"))
+            .withColumn("line", F.lit(""))
+            .limit(0)
+        )
+    return (
+        cand.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("content"), "\n")).alias(
+                "pos", "line"
+            ),
+        )
+        .filter(F.col("line").rlike(pattern))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("lineno"),
+            "line",
+        )
+        .join(meta, "doc_id")
+        .select("doc_id", "repo", "path", "lineno", "line")
+    )
+
+
+def _candidate_content(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    allow_stale: bool,
+    driver_decode_max: int,
+):
+    """Sidecar candidate selection shared by grep_index/grep_lines.
+    Returns (content_df, docs_df) where content_df is the content
+    table restricted to candidate docs (the full table when the
+    pattern yields no usable factors or no sidecar exists), or
+    (None, docs_df) when the dictionary PROVES zero matches."""
     p = _tg_paths(index_dir)
     with open(os.path.join(index_dir, "meta.json")) as fh:
         meta = json.load(fh)
@@ -729,11 +795,7 @@ def grep_index(
                 [groups[i] for i in order[:R_TRIGRAMS_PER_ALT]]
             )
         if not chosen_per_alt:
-            return (
-                docs.select("doc_id", "repo", "path")
-                .withColumn("n_matches", F.lit(0))
-                .limit(0)
-            )
+            return None, docs
         chosen_groups = sorted(
             {g for groups in chosen_per_alt for g in groups}
         )
@@ -794,19 +856,14 @@ def grep_index(
             ]
             cand_ids = np.unique(np.concatenate(alt_ids))
             if cand_ids.size == 0:
-                return (
-                    docs.select("doc_id", "repo", "path")
-                    .withColumn("n_matches", F.lit(0))
-                    .limit(0)
-                )
+                return None, docs
             if cand_ids.size <= ISIN_CAND_MAX:
                 # small candidate set: push the ids into the content
                 # scan as an IN filter — ONE stage, no join exchange
                 # (a broadcast semi join measured ~1 s of pure
                 # machinery at this candidate size)
                 ids = [int(i) for i in cand_ids]
-                verified = content.filter(F.col("doc_id").isin(ids))
-                return _verify_and_render(verified, docs, pattern)
+                return content.filter(F.col("doc_id").isin(ids)), docs
             cand = F.broadcast(
                 spark.createDataFrame(
                     [(int(i),) for i in cand_ids], "doc_id long"
@@ -898,7 +955,7 @@ def grep_index(
     verified = content
     if cand is not None:
         verified = content.join(cand, "doc_id", "left_semi")
-    return _verify_and_render(verified, docs, pattern)
+    return verified, docs
 
 
 def _verify_and_render(

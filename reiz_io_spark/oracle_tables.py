@@ -363,3 +363,22 @@ def grep_oracle_sql(pattern: str, base: str = ORACLE_TABLES_DIR) -> str:
         f"WHERE regexp_matches(content, '{p}') "
         f"ORDER BY doc_id"
     )
+
+
+def grep_lines_oracle_sql(pattern: str, base: str = ORACLE_TABLES_DIR) -> str:
+    """DuckDB twin of the line-grained grep entry (``grep -n``): split
+    the raw content into lines (unnest zipped with generate_subscripts
+    for the 1-based line number) and RE2-match each line — same
+    line-at-a-time contract as the Spark posexplode+rlike side."""
+    p = pattern.replace("'", "''")
+    return (
+        f"SELECT doc_id, repo, path, CAST(lineno AS INTEGER) AS lineno, "
+        f"line FROM ("
+        f"  SELECT doc_id, repo, path, "
+        f"    generate_subscripts(string_split(content, chr(10)), 1)"
+        f"      AS lineno, "
+        f"    unnest(string_split(content, chr(10))) AS line "
+        f"  FROM read_parquet('{content_path(base)}')"
+        f") WHERE regexp_matches(line, '{p}') "
+        f"ORDER BY doc_id, lineno"
+    )

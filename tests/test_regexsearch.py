@@ -349,6 +349,61 @@ def test_sidecar_lock_serializes_writers(spark, trigram_index):
         os.remove(lock)
 
 
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        r"def [a-z_]+\(",  # selective, sidecar-seeded
+        r"(?i)return",  # caseless groups
+        r"[0-9]+",  # no factors -> full per-line scan fallback
+    ],
+)
+def test_grep_lines_equals_per_line_scan(spark, trigram_index, pattern):
+    """grep -n: one row per matching line with its 1-based lineno;
+    the sidecar-seeded result equals the defining full per-line scan."""
+    from reiz_io_spark.schema import CONTENT_ON_DISK, DOCS_ON_DISK
+
+    index_dir, _ = trigram_index
+    got = sorted(
+        map(tuple, rx.grep_lines(spark, index_dir, pattern).collect())
+    )
+    content = spark.read.schema(CONTENT_ON_DISK).parquet(
+        os.path.join(index_dir, "content")
+    )
+    docs = spark.read.schema(DOCS_ON_DISK).parquet(
+        os.path.join(index_dir, "docs")
+    )
+    want = sorted(
+        map(
+            tuple,
+            content.select(
+                "doc_id",
+                F.posexplode(F.split(F.col("content"), "\n")).alias(
+                    "pos", "line"
+                ),
+            )
+            .filter(F.col("line").rlike(pattern))
+            .select(
+                "doc_id",
+                (F.col("pos") + 1).cast("int").alias("lineno"),
+                "line",
+            )
+            .join(docs.select("doc_id", "repo", "path"), "doc_id")
+            .select("doc_id", "repo", "path", "lineno", "line")
+            .collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
+def test_grep_lines_absent_trigram_empty_without_content(spark, trigram_index):
+    index_dir, _ = trigram_index
+    df = rx.grep_lines(spark, index_dir, r"zqxjkvbnzzz")
+    assert df.count() == 0
+    assert "content" not in (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 # --------------------------------------------------------------------------
 # generational incremental update
 # --------------------------------------------------------------------------
