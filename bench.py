@@ -250,6 +250,12 @@ def main() -> None:
         grep_pat = r"ident_0042\("  # ~2% of filler files hold any one ident
         timed("code_grep_index", lambda: regexsearch.grep_index(
             spark, index_dir, grep_pat).collect())
+        # grep -n twin: same sidecar seek, render = per-line posexplode
+        timed("code_grep_lines", lambda: regexsearch.grep_lines(
+            spark, index_dir, grep_pat).collect())
+        # caseless seek (case-variant trigram groups, not a full scan)
+        timed("code_grep_caseless", lambda: regexsearch.grep_index(
+            spark, index_dir, r"(?i)IDENT_0042\(").collect())
         # brute baseline lives in extra (not queries): it is the
         # deliberately-slow defining scan, not a suite entry — keeping
         # it out of `total` keeps round-over-round totals comparable
