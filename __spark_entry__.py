@@ -287,6 +287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # metadata join) sits inside the compare. Also gated by the 54
     # rank-identity tests against the pure-Python oracle in tests/.
     q["code_search_wand"] = _code_search_wand
+    # document deletion tier (operators/deletes.py): tombstone one
+    # repo's docs, fold them with compact_deletes (dictionary df/cf
+    # shrink, n_docs/avgdl recompute over survivors, affected terms'
+    # blocks re-encoded), then the SAME WAND query — the twin recomputes
+    # BM25 over the corpus WITHOUT that repo, so delete + compaction +
+    # re-encode all sit inside the hash compare. Runs on a COPY of the
+    # cached entry index (the shared one must stay immutable).
+    q["code_search_after_delete"] = _code_search_after_delete
     # exact structural semantics + match line numbers (reiz/fetch.py
     # parity): a `not` query whose index-level candidates contain false
     # positives that the verify stage must eliminate. Hash-checked
@@ -414,6 +422,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             # the render differs) — full-sweep-checked
                             # locally + grep_lines==per-line-scan
                             # pytest
+        "dedup_embedding_exact",  # r6: yields its slot to the delete
+                            # tier — its exact-hash groupBy shape is
+                            # the swept dedup_exact's; the embedding
+                            # family keeps four swept entries (cosine/
+                            # ivf/pq/hybrid-indexed) and the near-dup
+                            # LSH scale path is pytest-gated; still
+                            # full-sweep-checked locally
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -467,6 +482,43 @@ def _code_search_wand(s: SparkSession, d: str) -> DataFrame:
 
     _ensure_entry_index(s, d)
     reader = IndexReader(s, _CODE_INDEX_CACHE[d])
+    top = wand_topk(reader, lower_query("flagship", "Call(Name('len'))"), k=10)
+    return attach_doc_metadata(reader, top).select(
+        "doc_id", "repo", "path", F.round("score", 6).alias("score")
+    )
+
+
+DELETE_VICTIM_REPO = "synth/repo003"  # 9 docs at the entry corpus size
+_DELETED_INDEX_CACHE: dict[str, str] = {}
+
+
+def _code_search_after_delete(s: SparkSession, d: str) -> DataFrame:
+    """Full delete lifecycle in front of the flagship WAND query:
+    copy of the cached entry index -> delete_docs(repo == victim) ->
+    compact_deletes (tombstones folded, stats over survivors) ->
+    block-max WAND top-10, metadata-joined. The DuckDB twin recomputes
+    BM25 from the terms side table with the victim's docs excluded
+    (wand_oracle_sql(exclude_repo=...)), so the tombstone commit, the
+    affected-terms re-encode, and the survivor stats all sit inside
+    the hash compare."""
+    import shutil
+    import tempfile
+
+    from reiz_io_spark.operators.deletes import compact_deletes, delete_docs
+    from reiz_io_spark.operators.score import IndexReader, attach_doc_metadata
+    from reiz_io_spark.operators.wand import wand_topk
+    from reiz_io_spark.plans.lower import lower_query
+
+    if d not in _DELETED_INDEX_CACHE:
+        _ensure_entry_index(s, d)
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="entry_del_index_"), "ix"
+        )
+        shutil.copytree(_CODE_INDEX_CACHE[d], out)
+        delete_docs(s, out, F.col("repo") == DELETE_VICTIM_REPO)
+        compact_deletes(s, out)
+        _DELETED_INDEX_CACHE[d] = out
+    reader = IndexReader(s, _DELETED_INDEX_CACHE[d])
     top = wand_topk(reader, lower_query("flagship", "Call(Name('len'))"), k=10)
     return attach_doc_metadata(reader, top).select(
         "doc_id", "repo", "path", F.round("score", 6).alias("score")
@@ -931,6 +983,10 @@ FROM documents
     oracle_tables.ensure_oracle_tables()
     o["code_search_wand"] = oracle_tables.wand_oracle_sql(
         "flagship", "Call(Name('len'))", k=10
+    )
+    o["code_search_after_delete"] = oracle_tables.wand_oracle_sql(
+        "flagship", "Call(Name('len'))", k=10,
+        exclude_repo=DELETE_VICTIM_REPO,
     )
     o["code_search_positions"] = oracle_tables.positions_oracle_sql()
     # regex tier: DuckDB's RE2 greps the same text the Spark side does —

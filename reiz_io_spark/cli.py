@@ -70,6 +70,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     sn.add_argument("--index", required=True)
 
+    dl = sub.add_parser(
+        "delete-docs", help="tombstone indexed docs (Lucene-style live "
+        "docs: excluded from every query immediately, survivors' "
+        "scores unchanged until compact-deletes folds the tombstones)"
+    )
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--repo", help="delete every doc of this repo")
+    dl.add_argument("--path-prefix", help="delete docs whose path starts here")
+
+    cd = sub.add_parser(
+        "compact-deletes", help="fold pending tombstones into "
+        "dictionary+blocks (cost proportional to the deleted docs' "
+        "postings; stats recompute over survivors)"
+    )
+    cd.add_argument("--index", required=True)
+
+    ud = sub.add_parser(
+        "undelete-docs", help="drop PENDING tombstones (docs reappear; "
+        "folded tombstones refuse — their postings were compacted away)"
+    )
+    ud.add_argument("--index", required=True)
+    ud.add_argument("--repo", help="undelete every doc of this repo")
+    ud.add_argument("--path-prefix", help="undelete docs whose path starts here")
+
     ab = sub.add_parser(
         "build-ann", help="build the persistent IVF-PQ ANN index over an "
         "embeddings table (codes partitioned by IVF list)"
@@ -308,6 +332,66 @@ def _dispatch(args, spark) -> int:
 
         for snap in snapshots(args.index):
             print(json.dumps(snap))
+        return 0
+
+    if args.cmd == "delete-docs":
+        from pyspark.sql import functions as F
+
+        from .operators.deletes import delete_docs
+
+        preds = []
+        if args.repo:
+            preds.append(F.col("repo") == args.repo)
+        if args.path_prefix:
+            preds.append(F.col("path").startswith(args.path_prefix))
+        if not preds:
+            print("delete-docs: pass --repo and/or --path-prefix")
+            return 2
+        pred = preds[0]
+        for extra_p in preds[1:]:
+            pred = pred & extra_p
+        meta = delete_docs(spark, args.index, pred)
+        print(json.dumps({
+            "version": meta["version"],
+            "n_tombstones": meta["n_tombstones"],
+            "n_tombstones_pending": meta["n_tombstones_pending"],
+        }))
+        return 0
+
+    if args.cmd == "undelete-docs":
+        from pyspark.sql import functions as F
+
+        from .operators.deletes import undelete_docs
+
+        preds = []
+        if args.repo:
+            preds.append(F.col("repo") == args.repo)
+        if args.path_prefix:
+            preds.append(F.col("path").startswith(args.path_prefix))
+        if not preds:
+            print("undelete-docs: pass --repo and/or --path-prefix")
+            return 2
+        pred = preds[0]
+        for extra_p in preds[1:]:
+            pred = pred & extra_p
+        meta = undelete_docs(spark, args.index, pred)
+        print(json.dumps({
+            "version": meta["version"],
+            "n_tombstones": meta.get("n_tombstones", 0),
+            "n_tombstones_pending": meta.get("n_tombstones_pending", 0),
+        }))
+        return 0
+
+    if args.cmd == "compact-deletes":
+        from .operators.deletes import compact_deletes
+
+        meta = compact_deletes(spark, args.index)
+        print(json.dumps({
+            "version": meta["version"],
+            "n_docs": meta.get("n_docs"),
+            "avgdl": meta.get("avgdl"),
+            "n_tombstones_pending": meta.get("n_tombstones_pending", 0),
+        }))
         return 0
 
     if args.cmd == "stats":

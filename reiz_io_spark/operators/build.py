@@ -343,6 +343,20 @@ def merge_and_encode(
     blocks_dir = os.path.join(out_dir, f"blocks_v{version}")
     t1 = time.perf_counter()
     all_runs = spark.read.schema(RUNS_ON_DISK).parquet(p["runs"])
+    # deleted docs (operators/deletes.py): runs is an append-only log
+    # that keeps tombstoned docs' postings forever — a full re-encode
+    # must not resurrect them. Distributed anti-join (never a driver
+    # collect; the ledger can be large after years of deletes), and the
+    # ledger's (n_docs, dl) totals subtract from the lineage stats.
+    from .deletes import deleted_stats as _deleted_stats
+    from .deletes import read_tombstones as _read_tombstones
+
+    tomb = _read_tombstones(spark, out_dir, prev_meta)
+    if tomb is not None:
+        all_runs = all_runs.join(
+            tomb.select("doc_id"), "doc_id", "left_anti"
+        )
+    del_n, del_dl = _deleted_stats(spark, out_dir, prev_meta)
     # Collection stats come from the LINEAGE table (n_batches x n_shards
     # rows), not a docs re-scan: n_docs = sum(n_files - n_parse_failed),
     # total_dl = sum n_terms (failed parses contribute 0 terms). Integer
@@ -357,8 +371,8 @@ def merge_and_encode(
         )
         .collect()
     )
-    n_docs = sum(int(r["n_docs"] or 0) for r in lin_rows)
-    total_dl = sum(int(r["total_dl"] or 0) for r in lin_rows)
+    n_docs = sum(int(r["n_docs"] or 0) for r in lin_rows) - del_n
+    total_dl = sum(int(r["total_dl"] or 0) for r in lin_rows) - del_dl
     avgdl = total_dl / n_docs if n_docs else 0.0
     merged_batches = sorted(r["build_id"] for r in lin_rows)
 
@@ -419,10 +433,27 @@ def merge_and_encode(
     ).parquet(blocks_dir)
     t_blocks = time.perf_counter()
 
+    # the delete ledger survives a full re-encode: runs still carry the
+    # deleted rows, so the pointer carries forward — rewritten with
+    # every row folded=true (the anti-join above excluded them from the
+    # new blocks, so flags and block state must agree; a later
+    # compact_deletes seeing them pending would double-subtract df)
+    _tomb_meta: dict = {}
+    if tomb is not None:
+        from .deletes import _write_folded_ledger
+
+        folded_dir = _write_folded_ledger(spark, out_dir, prev_meta, version)
+        _tomb_meta = {
+            "tombstones_dir": os.path.basename(folded_dir),
+            "n_tombstones": prev_meta.get("n_tombstones", 0),
+            "n_tombstones_pending": 0,
+        }
+
     meta = {
         "version": version,
         "dictionary_dir": os.path.basename(dict_dir),
         "blocks_dir": os.path.basename(blocks_dir),
+        **_tomb_meta,
         "build_id": build_id,
         "n_docs": n_docs,
         "total_dl": total_dl,
@@ -439,8 +470,35 @@ def merge_and_encode(
         "t_blocks_s": round(t_blocks - t_dict, 2),
     }
     _write_meta_atomic(p["meta"], meta)  # the commit point
-    _gc_stale_versions(out_dir, keep=(version, version - 1))
+    # retention by DIR, not version arithmetic: delete commits bump the
+    # snapshot version without minting table dirs, so (version,
+    # version-1) can name suffixes that never existed while the real
+    # previous pair ages out
+    _gc_stale_versions(
+        out_dir,
+        keep=_dir_versions(out_dir, meta) | _dir_versions(out_dir, prev_meta),
+    )
+    if _tomb_meta:
+        from .deletes import _gc_stale_tombstones
+
+        keep_tomb = {_tomb_meta["tombstones_dir"]}
+        if prev_meta.get("tombstones_dir"):
+            keep_tomb.add(prev_meta["tombstones_dir"])
+        _gc_stale_tombstones(out_dir, keep_tomb)
     return meta
+
+
+def _dir_versions(out_dir: str, meta: dict) -> set[int]:
+    """The version suffixes of the dictionary/blocks dirs a meta
+    snapshot actually references (for GC retention)."""
+    import re
+
+    out: set[int] = set()
+    for t in ("dictionary", "blocks"):
+        m = re.search(r"_v(\d+)$", table_dir(out_dir, meta, t))
+        if m:
+            out.add(int(m.group(1)))
+    return out
 
 
 def _hot_map(dictionary: DataFrame, fragment_postings: int) -> DataFrame:
@@ -753,7 +811,14 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
         F.sum(F.col("n_files") - F.col("n_parse_failed")).alias("n_docs"),
         F.sum("n_terms").alias("total_dl"),
     ).collect()[0]
-    n_docs, total_dl = int(stats["n_docs"] or 0), int(stats["total_dl"] or 0)
+    from .deletes import deleted_stats as _deleted_stats
+
+    # folded_only: pending tombstones still sit in the blocks (and in
+    # the dictionary's df), so they keep counting toward n_docs/avgdl
+    # until compact_deletes folds them — the Lucene live-docs contract
+    del_n, del_dl = _deleted_stats(spark, out_dir, meta, folded_only=True)
+    n_docs = int(stats["n_docs"] or 0) - del_n
+    total_dl = int(stats["total_dl"] or 0) - del_dl
     meta.update(
         {
             "version": new_version,
@@ -770,7 +835,15 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
         }
     )
     _write_meta_atomic(p["meta"], meta)  # the commit point
-    _gc_stale_versions(out_dir, keep=(new_version, version))
+    # dir-based retention (see merge_and_encode): cur_*_dir is the pair
+    # this merge replaced, whatever its suffix; a delete commit between
+    # merges makes (new_version, version) name a phantom suffix
+    _gc_stale_versions(
+        out_dir,
+        keep={new_version}
+        | _dir_versions(out_dir, {"dictionary_dir": os.path.basename(cur_dict_dir),
+                                  "blocks_dir": os.path.basename(cur_blocks_dir)}),
+    )
     return meta
 
 

@@ -734,12 +734,24 @@ def _candidate_content(
     if have_sidecar:
         with open(p["meta"]) as fh:
             tmeta = json.load(fh)
-        if tmeta.get("index_version") != meta.get("version") and not allow_stale:
+        # staleness = content batches the sidecar has not folded (the
+        # sidecar indexes CONTENT, so snapshot-version bumps that add
+        # no content — delete/compact commits — do NOT invalidate it;
+        # deleted docs are filtered below like any other read path).
+        # Old format-1 sidecars lack covered_batches: version compare.
+        if "covered_batches" in tmeta:
+            stale = sorted(tmeta["covered_batches"]) != sorted(
+                _content_batches(index_dir)
+            )
+        else:
+            stale = tmeta.get("index_version") != meta.get("version")
+        if stale and not allow_stale:
             raise StaleTrigramIndex(
-                f"trigram sidecar built at index version "
-                f"{tmeta.get('index_version')}, index is at "
-                f"{meta.get('version')} — rebuild with build_trigram_index"
-                f" (or pass allow_stale=True to search the stale snapshot)"
+                f"trigram sidecar covers content batches "
+                f"{tmeta.get('covered_batches', '?')}, index has "
+                f"{_content_batches(index_dir)} — update_trigram_index "
+                f"folds the new batches (or pass allow_stale=True to "
+                f"search the stale snapshot)"
             )
     from ..schema import CONTENT_ON_DISK, DOCS_ON_DISK
 
@@ -749,6 +761,17 @@ def _candidate_content(
     docs = spark.read.schema(DOCS_ON_DISK).parquet(
         os.path.join(index_dir, "docs")
     )
+    # deleted docs (operators/deletes.py): content/docs are append-only
+    # logs that keep tombstoned rows forever — grep must not return
+    # them. FULL ledger, anti-join (the sidecar postings may still
+    # name the docs; candidates just drop out here).
+    from .deletes import read_tombstones
+
+    tomb = read_tombstones(spark, index_dir, meta)
+    if tomb is not None:
+        tomb_ids = tomb.select("doc_id")
+        content = content.join(tomb_ids, "doc_id", "left_anti")
+        docs = docs.join(tomb_ids, "doc_id", "left_anti")
     dnf, fold = analyze(pattern)
     if fold and dnf is not None and any(
         not f.isascii() for alt in dnf for f in alt
@@ -988,6 +1011,13 @@ def grep_bruteforce(spark: SparkSession, index_dir: str, pattern: str) -> DataFr
     docs = spark.read.schema(DOCS_ON_DISK).parquet(
         os.path.join(index_dir, "docs")
     )
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        _meta = json.load(fh)
+    from .deletes import read_tombstones
+
+    tomb = read_tombstones(spark, index_dir, _meta)
+    if tomb is not None:
+        content = content.join(tomb.select("doc_id"), "doc_id", "left_anti")
     text = F.col("content")
     return (
         content.filter(text.rlike(pattern))

@@ -136,6 +136,50 @@ class IndexReader:
         scans never touch corpus text."""
         return self.spark.read.schema(CONTENT_ON_DISK).parquet(self.paths["content"])
 
+    # -- deleted docs (operators/deletes.py) ---------------------------------
+
+    def tombstones(self) -> DataFrame | None:
+        """The FULL cumulative delete ledger of this reader's meta
+        snapshot (folded + pending), or None. Paths that read the
+        append-only runs/docs/content logs anti-join against THIS
+        (those logs keep deleted rows forever); the block path needs
+        only ``pending_tombstone_ids``."""
+        from .deletes import read_tombstones
+
+        return read_tombstones(self.spark, self.index_dir, self.meta)
+
+    def pending_tombstone_ids(self):
+        """Sorted int64 array of PENDING tombstones — docs deleted but
+        not yet compacted out of the blocks — for the scoring kernels'
+        membership test. Folded ids are already absent from blocks.
+        Bounded: pending deletes between compactions are operationally
+        small (the Lucene pragmatics); beyond MAX_PENDING_IDS the
+        query refuses with a clear pointer to compact_deletes rather
+        than shipping a bloated closure to every task."""
+        import numpy as np
+
+        from .deletes import MAX_PENDING_IDS
+
+        cached = getattr(self, "_pending_tomb", None)
+        if cached is not None:
+            return cached
+        n_pending = int(self.meta.get("n_tombstones_pending", 0))
+        if not n_pending:
+            self._pending_tomb = None
+            return None
+        if n_pending > MAX_PENDING_IDS:
+            raise RuntimeError(
+                f"{n_pending} pending deleted docs exceed the read-path "
+                f"bound ({MAX_PENDING_IDS}) — run "
+                f"deletes.compact_deletes({self.index_dir!r}) first"
+            )
+        tomb = self.tombstones()
+        rows = tomb.filter(~F.col("folded")).select("doc_id").collect()
+        self._pending_tomb = np.sort(
+            np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        )
+        return self._pending_tomb
+
     # -- query-term resolution ----------------------------------------------
 
     def dictionary_terms_for(self, namespace: str, regex: str) -> list[str]:
@@ -267,6 +311,12 @@ def naive_bm25_topk(
         "term string, idf double, group_ids array<int>",
     )
     p = reader.runs().filter(F.col("term").isin(all_terms))
+    tomb = reader.tombstones()
+    if tomb is not None:
+        # runs is an append-only log that keeps deleted docs' postings;
+        # exclude the FULL ledger (no broadcast hint: the cumulative
+        # ledger can outgrow the broadcast threshold — let AQE pick)
+        p = p.join(tomb.select("doc_id"), "doc_id", "left_anti")
     j = p.join(F.broadcast(qterms), "term")
     # exact oracle expression order (oracle.py) — do not refactor:
     contrib = (

@@ -65,9 +65,18 @@ def _adaptive_shift(n_docs: int) -> int:
 
 
 class _BucketBlocks:
-    """Column-array view over one bucket's block rows (no iterrows)."""
+    """Column-array view over one bucket's block rows (no iterrows).
 
-    def __init__(self, pdf: pd.DataFrame):
+    ``exclude`` (sorted int64 array or None): PENDING deleted doc_ids
+    (operators/deletes.py) masked out at decode time — a tombstoned doc
+    never becomes a candidate, never enters a heap, and never raises an
+    admission threshold, so the returned top-k is the exact top-k over
+    live docs. Block-max bounds stay sound: removing docs can only
+    lower a block's true max score, so the stored bound remains an
+    upper bound."""
+
+    def __init__(self, pdf: pd.DataFrame, exclude: np.ndarray | None = None):
+        self.exclude = exclude if exclude is not None and exclude.size else None
         self.term_id = pdf["term_id"].to_numpy(np.int64)
         self.first = pdf["first_doc_id"].to_numpy(np.int64)
         self.last = pdf["last_doc_id"].to_numpy(np.int64)
@@ -105,6 +114,12 @@ class _BucketBlocks:
         d = np.concatenate(docs_l)
         t = np.concatenate(tfs_l)
         l = np.concatenate(dls_l)
+        if self.exclude is not None:
+            pos = np.searchsorted(self.exclude, d)
+            pos[pos == self.exclude.size] = 0
+            live = self.exclude[pos] != d
+            if not live.all():
+                d, t, l = d[live], t[live], l[live]
         order = np.argsort(d, kind="stable")
         # fragments may repeat a doc only if encode emitted duplicates
         # (they cannot: salt is a function of doc_id) — no dedup needed.
@@ -364,10 +379,13 @@ def score_bucket_kernel(
     k1: float,
     b: float,
     stats: dict | None = None,
+    exclude: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One doc-range bucket's top-k (importable + unit-tested; the Spark
     path wraps it in applyInPandas). stats (optional) accumulates
-    blocks_skipped / blocks_decoded / admit_stopped_at_term."""
+    blocks_skipped / blocks_decoded / admit_stopped_at_term. exclude
+    (optional, sorted int64): pending deleted doc_ids — masked at
+    decode time (see _BucketBlocks)."""
     if stats is None:
         stats = {"blocks_skipped": 0, "blocks_decoded": 0}
     stats.setdefault("blocks_skipped", 0)
@@ -381,7 +399,7 @@ def score_bucket_kernel(
     if pdf.empty:
         return empty
     qb = int(pdf["qb"].iloc[0])
-    blocks = _BucketBlocks(pdf)
+    blocks = _BucketBlocks(pdf, exclude=exclude)
     docs, scores = _score_with_blocks(
         blocks, qb, group_list, tid_of, idf_by_term, df_by_term,
         shift, k, avgdl, k1, b, stats,
@@ -477,11 +495,12 @@ def wand_scores(
     group_list = [tuple(g) for g in groups]
     shift = bucket_shift
     kk = k if k is not None else 1 << 31  # no pruning, all candidates
+    excl = reader.pending_tombstone_ids()  # None unless deletes pending
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         return score_bucket_kernel(
             pdf, group_list, tid_of, idf_by_term, df_by_term,
-            shift, kk, avgdl, k1, b,
+            shift, kk, avgdl, k1, b, exclude=excl,
         )
 
     return blk.groupBy("qb").applyInPandas(score_bucket, "doc_id long, score double")
@@ -590,6 +609,7 @@ def wand_topk_batch(
         )
     )
     shift, kk = bucket_shift, k
+    excl = reader.pending_tombstone_ids()  # None unless deletes pending
 
     def score_bucket_multi(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -602,7 +622,7 @@ def wand_topk_batch(
         qid = pdf["query_name"].iloc[0]
         qb = int(pdf["qb"].iloc[0])
         group_list, q_idf, q_df = ctx[qid]
-        blocks = _BucketBlocks(pdf)
+        blocks = _BucketBlocks(pdf, exclude=excl)
         stats = {"blocks_skipped": 0, "blocks_decoded": 0}
         docs, scores = _score_with_blocks(
             blocks, qb, group_list, tid_of, q_idf, q_df,

@@ -291,13 +291,17 @@ def ensure_oracle_tables(base: str = ORACLE_TABLES_DIR) -> str:
 
 def wand_oracle_sql(
     query_name: str, query_source: str, k: int = 10,
-    base: str = ORACLE_TABLES_DIR,
+    base: str = ORACLE_TABLES_DIR, exclude_repo: str | None = None,
 ) -> str:
     """DuckDB twin of the index+WAND entry: conjunctive BM25 over the
     materialized terms table — DuckDB does the BM25 arithmetic itself
     (same formula shape as fulltext.bm25_topk_sql), so the compare is a
     genuinely independent scoring path. Requires every lowered group to
-    be a singleton (true for the fixed entry query)."""
+    be a singleton (true for the fixed entry query).
+
+    ``exclude_repo`` is the delete-tier twin: BM25 recomputed over the
+    corpus WITHOUT that repo's docs (df, n_docs, avgdl all shrink) —
+    exactly what delete_docs + compact_deletes must produce."""
     from . import BM25_B, BM25_K1
     from .plans.lower import lower_query
 
@@ -308,16 +312,26 @@ def wand_oracle_sql(
             raise ValueError("wand_oracle_sql: non-singleton group")
         terms.append(g.terms[0])
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    live = ""
+    if exclude_repo is not None:
+        esc = exclude_repo.replace("'", "''")
+        live = (
+            f" AND doc_id NOT IN (SELECT doc_id FROM "
+            f"read_parquet('{docs_path(base)}') WHERE repo = '{esc}')"
+        )
+        live_docs = f" WHERE repo <> '{esc}'"
+    else:
+        live_docs = ""
     return f"""
 WITH p AS (
   SELECT term, doc_id, tf, dl
   FROM read_parquet('{terms_path(base)}')
-  WHERE term IN ({in_list})
+  WHERE term IN ({in_list}){live}
 ),
 s AS (
   SELECT count(*)::DOUBLE AS n_docs,
          sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
-  FROM read_parquet('{docs_path(base)}')
+  FROM read_parquet('{docs_path(base)}'){live_docs}
 ),
 d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
 scored AS (

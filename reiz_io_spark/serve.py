@@ -95,6 +95,16 @@ class QueryService:
             }
         self._content: _LRU = _LRU(max_cached_contents)
         self._miss_lock = threading.Lock()
+        # pending deleted docs (operators/deletes.py): masked out of
+        # every decoded posting list below, so all serving paths
+        # exclude them; folded tombstones are already absent from
+        # blocks. The reader pins one meta snapshot — a delete commits
+        # a NEW snapshot, picked up by the next service/reader (the
+        # same contract as every other mutation).
+        self._excl = reader.pending_tombstone_ids()
+        if self._docmeta is not None and self._excl is not None:
+            for did in self._excl.tolist():
+                self._docmeta.pop(did, None)
 
     # -- term resolution (cached) ---------------------------------------------
 
@@ -168,6 +178,11 @@ class QueryService:
             d = np.concatenate(ds)
             tf = np.concatenate(tfs)
             dl = np.concatenate(dls)
+            if self._excl is not None:
+                pos = np.searchsorted(self._excl, d)
+                pos[pos == self._excl.size] = 0
+                live = self._excl[pos] != d
+                d, tf, dl = d[live], tf[live], dl[live]
             order = np.argsort(d, kind="stable")
             self._postings[t] = (d[order], tf[order], dl[order])
 
