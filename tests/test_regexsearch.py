@@ -300,23 +300,41 @@ def test_grep_index_posting_cache_serves_repeat_queries(spark, trigram_index):
 
 
 def test_grep_index_refuses_stale_sidecar(spark, trigram_index):
+    """Staleness = content batches the sidecar has not folded. A bare
+    snapshot-version bump (what a delete/compact commit does) adds no
+    content and must NOT invalidate the sidecar (r6 deletes tier)."""
     index_dir, _ = trigram_index
     meta_path = os.path.join(index_dir, "meta.json")
+    tg_meta_path = os.path.join(index_dir, "trigrams", "meta.json")
     with open(meta_path) as fh:
         meta = json.load(fh)
+    with open(tg_meta_path) as fh:
+        tmeta = json.load(fh)
+
+    # 1) version drift WITHOUT content drift: still fresh
     bumped = dict(meta, version=str(meta["version"]) + "-newer")
     with open(meta_path, "w") as fh:
         json.dump(bumped, fh)
     try:
+        rx.grep_index(spark, index_dir, r"def main").count()  # no raise
+    finally:
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+
+    # 2) content drift (sidecar covers fewer batches than the index
+    # has on disk): refused; allow_stale searches the stale snapshot
+    lagging = dict(tmeta, covered_batches=[])
+    with open(tg_meta_path, "w") as fh:
+        json.dump(lagging, fh)
+    try:
         with pytest.raises(rx.StaleTrigramIndex):
             rx.grep_index(spark, index_dir, r"def main")
-        # allow_stale searches the stale snapshot instead
         rx.grep_index(
             spark, index_dir, r"def [a-z_]+\(", allow_stale=True
         ).count()
     finally:
-        with open(meta_path, "w") as fh:
-            json.dump(meta, fh)
+        with open(tg_meta_path, "w") as fh:
+            json.dump(tmeta, fh)
 
 
 def test_trigram_fragments_respect_salt_bound(spark, trigram_index):
