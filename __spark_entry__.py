@@ -295,6 +295,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-encode all sit inside the hash compare. Runs on a COPY of the
     # cached entry index (the shared one must stay immutable).
     q["code_search_after_delete"] = _code_search_after_delete
+    # BM25F field-weighted ranking (registry tail: local sweep + the
+    # rank-identity pytest carry the evidence; the unweighted WAND
+    # keeps the driver slot): per-namespace multipliers folded into
+    # idf — identifier hits boosted over bare node-type hits; the twin
+    # applies the same CASE weight inside DuckDB's BM25 arithmetic.
+    q["code_search_bm25f"] = _code_search_bm25f
     # exact structural semantics + match line numbers (reiz/fetch.py
     # parity): a `not` query whose index-level candidates contain false
     # positives that the verify stage must eliminate. Hash-checked
@@ -429,6 +435,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             # ivf/pq/hybrid-indexed) and the near-dup
                             # LSH scale path is pytest-gated; still
                             # full-sweep-checked locally
+        "code_search_bm25f",  # r6: registered at the tail from birth —
+                            # same kernels as the SWEPT unweighted WAND
+                            # (weights fold into idf); local sweep +
+                            # weighted rank-identity pytest
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -490,6 +500,27 @@ def _code_search_wand(s: SparkSession, d: str) -> DataFrame:
 
 DELETE_VICTIM_REPO = "synth/repo003"  # 9 docs at the entry corpus size
 _DELETED_INDEX_CACHE: dict[str, str] = {}
+BM25F_WEIGHTS = {"id": 2.0, "node": 0.5, "in": 1.25}
+
+
+def _code_search_bm25f(s: SparkSession, d: str) -> DataFrame:
+    """Field-weighted (BM25F) flagship query: identifier terms boosted
+    2x, bare node-type terms damped, nested-field terms mildly boosted
+    — the weights fold into idf, so the exact same WAND kernels run
+    (operators/wand.py::field_weight_of)."""
+    from reiz_io_spark.operators.score import IndexReader, attach_doc_metadata
+    from reiz_io_spark.operators.wand import wand_topk
+    from reiz_io_spark.plans.lower import lower_query
+
+    _ensure_entry_index(s, d)
+    reader = IndexReader(s, _CODE_INDEX_CACHE[d])
+    top = wand_topk(
+        reader, lower_query("flagship", "Call(Name('len'))"), k=10,
+        field_weights=BM25F_WEIGHTS,
+    )
+    return attach_doc_metadata(reader, top).select(
+        "doc_id", "repo", "path", F.round("score", 6).alias("score")
+    )
 
 
 def _code_search_after_delete(s: SparkSession, d: str) -> DataFrame:
@@ -987,6 +1018,10 @@ FROM documents
     o["code_search_after_delete"] = oracle_tables.wand_oracle_sql(
         "flagship", "Call(Name('len'))", k=10,
         exclude_repo=DELETE_VICTIM_REPO,
+    )
+    o["code_search_bm25f"] = oracle_tables.wand_oracle_sql(
+        "flagship", "Call(Name('len'))", k=10,
+        field_weights=BM25F_WEIGHTS,
     )
     o["code_search_positions"] = oracle_tables.positions_oracle_sql()
     # regex tier: DuckDB's RE2 greps the same text the Spark side does —

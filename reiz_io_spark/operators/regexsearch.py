@@ -488,19 +488,38 @@ def _build_generation(
     posts = content.select("doc_id", "content").mapInPandas(
         _doc_trigrams, schema="doc_id long, tg long"
     )
+    # The dictionary write and the fragment encode both consume posts,
+    # so the numpy extraction runs twice — deliberately UNCACHED: a
+    # persist of the exploded (doc_id, tg) rows (~1.5k rows/doc) was
+    # measured 2.5x SLOWER than recomputing (JVM-row cache round-trip
+    # of 10^8 tiny rows costs more than the vectorized re-extraction,
+    # r6 scaling cells). The extraction is embarrassingly parallel;
+    # the real per-task fixed cost was the full-dictionary broadcast
+    # below, now hot-only.
     df_per_tg = posts.groupBy("tg").agg(F.count("*").alias("df"))
-    salted = (
-        posts.join(F.broadcast(df_per_tg), "tg")
-        .withColumn(
-            "n_salts",
-            F.greatest(
-                F.lit(1), F.ceil(F.col("df") / F.lit(TG_FRAGMENT))
-            ).cast("int"),
+    df_per_tg.write.mode("overwrite").parquet(
+        _gen_dictionary(p["base"], gen)
+    )
+    # hot-map broadcast, the main build's _hot_map shape: only trigrams
+    # needing >1 fragment (the Zipf head — 'def ', whitespace runs; a
+    # few thousand keys) ship to the executors, instead of the FULL
+    # per-generation dictionary (up to 16.7M rows, a per-task
+    # deserialization bill that grew with cores in the r6 cells).
+    hot = (
+        spark.read.schema("tg long, df long")
+        .parquet(_gen_dictionary(p["base"], gen))
+        .filter(F.col("df") > TG_FRAGMENT)
+        .select(
+            "tg",
+            F.ceil(F.col("df") / F.lit(TG_FRAGMENT))
+            .cast("int").alias("n_salts"),
         )
-        .withColumn(
-            "salt",
-            F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
-        )
+    )
+    salted = posts.join(F.broadcast(hot), "tg", "left").withColumn(
+        "salt",
+        F.when(F.col("n_salts").isNull(), F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("doc_id"), F.col("n_salts")))
+        .cast("int"),
     )
     frags = salted.groupBy("tg", "salt").agg(
         F.sort_array(F.collect_list("doc_id")).alias("doc_ids")
@@ -538,9 +557,6 @@ def _build_generation(
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(_gen_postings(p["base"], gen))
-    )
-    df_per_tg.write.mode("overwrite").parquet(
-        _gen_dictionary(p["base"], gen)
     )
     # explicit schema: an empty input writes a part-file-less dir whose
     # schema can't be inferred (the ANN append lesson, ann_index.py)

@@ -284,13 +284,17 @@ class IndexReader:
 
 
 def naive_bm25_topk(
-    reader: IndexReader, query: LoweredQuery, k: int = 10
+    reader: IndexReader, query: LoweredQuery, k: int = 10,
+    field_weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Term-conjunction BM25 over the runs table, exact scores.
 
     Plan shape: pruned scan of runs (term IN ...) -> broadcast join with
     the per-term metadata (a handful of rows) -> one hash aggregate per
     doc -> TakeOrderedAndProject(k). One shuffle total.
+
+    field_weights (BM25F): per-namespace multipliers folded into idf —
+    the independent twin of wand's weighted path (rank-identity-gated).
     """
     spark = reader.spark
     groups = reader.resolve_groups(query)
@@ -302,9 +306,14 @@ def naive_bm25_topk(
     tmeta = reader.term_meta(all_terms)
     n_groups = len(groups)
 
+    from .wand import field_weight_of
+
+    def _w(t: str) -> float:
+        return field_weight_of(t, field_weights) if field_weights else 1.0
+
     qterms = spark.createDataFrame(
         [
-            (t, float(tmeta[t]["idf"]) if t in tmeta else 0.0,
+            (t, (float(tmeta[t]["idf"]) if t in tmeta else 0.0) * _w(t),
              [i for i, g in enumerate(groups) if t in g])
             for t in all_terms
         ],

@@ -438,11 +438,23 @@ def _score_with_blocks(
     )
 
 
+def field_weight_of(term: str, field_weights: dict[str, float]) -> float:
+    """BM25F weight of a term: its namespace prefix ('id:x' -> 'id')
+    looked up in field_weights, default 1.0. A per-term weight folds
+    EXACTLY into idf (the BM25 contribution is idf * tf_norm), so
+    weighted queries reuse the unmodified kernels: block upper bounds
+    scale with the same factor (still sound) and the exact rescore
+    uses the same scaled dict (still exact)."""
+    ns = term.split(":", 1)[0] if ":" in term else ""
+    return float(field_weights.get(ns, 1.0))
+
+
 def wand_scores(
     reader: IndexReader,
     query: LoweredQuery,
     k: int | None = 10,
     bucket_shift: int | None = None,
+    field_weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Unordered (doc_id, score) of the query's candidates. With k, each
     bucket returns only its local top-k (MaxScore pruning active); with
@@ -491,6 +503,11 @@ def wand_scores(
     )
 
     idf_by_term = {t: float(m["idf"]) for t, m in tmeta.items()}
+    if field_weights:
+        idf_by_term = {
+            t: v * field_weight_of(t, field_weights)
+            for t, v in idf_by_term.items()
+        }
     df_by_term = {t: int(m["df"]) for t, m in tmeta.items()}
     group_list = [tuple(g) for g in groups]
     shift = bucket_shift
@@ -512,9 +529,16 @@ def wand_topk(
     k: int = 10,
     offset: int = 0,
     bucket_shift: int | None = None,
+    field_weights: dict[str, float] | None = None,
 ) -> DataFrame:
-    """Global top-k with LIMIT/OFFSET paging (reiz/fetch.py:10,71-81)."""
-    out = wand_scores(reader, query, k=k + offset, bucket_shift=bucket_shift)
+    """Global top-k with LIMIT/OFFSET paging (reiz/fetch.py:10,71-81).
+    field_weights (BM25F): per-namespace score multipliers, e.g.
+    {'id': 2.0, 'node': 0.5} boosts identifier hits over bare
+    node-type hits — folded into idf, exact (see field_weight_of)."""
+    out = wand_scores(
+        reader, query, k=k + offset, bucket_shift=bucket_shift,
+        field_weights=field_weights,
+    )
     ranked = out.orderBy(F.desc("score"), F.asc("doc_id"))
     if offset:
         ranked = ranked.offset(offset)

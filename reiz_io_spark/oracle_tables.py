@@ -292,6 +292,7 @@ def ensure_oracle_tables(base: str = ORACLE_TABLES_DIR) -> str:
 def wand_oracle_sql(
     query_name: str, query_source: str, k: int = 10,
     base: str = ORACLE_TABLES_DIR, exclude_repo: str | None = None,
+    field_weights: dict[str, float] | None = None,
 ) -> str:
     """DuckDB twin of the index+WAND entry: conjunctive BM25 over the
     materialized terms table — DuckDB does the BM25 arithmetic itself
@@ -322,6 +323,14 @@ def wand_oracle_sql(
         live_docs = f" WHERE repo <> '{esc}'"
     else:
         live_docs = ""
+    if field_weights:
+        cases = " ".join(
+            f"WHEN '{ns}' THEN {float(w)!r}"
+            for ns, w in sorted(field_weights.items())
+        )
+        w_expr = f"(CASE split_part(p.term, ':', 1) {cases} ELSE 1.0 END)"
+    else:
+        w_expr = "1.0"
     return f"""
 WITH p AS (
   SELECT term, doc_id, tf, dl
@@ -338,6 +347,7 @@ scored AS (
   SELECT p.doc_id,
          sum(
            ln(1.0 + ((SELECT n_docs FROM s) - d.df + 0.5) / (d.df + 0.5))
+           * {w_expr}
            * (p.tf * {1.0 + BM25_K1!r})
            / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r}
               * (p.dl / (SELECT avgdl FROM s))))
