@@ -189,7 +189,8 @@ class QueryService:
     # -- scoring (exact, oracle accumulation order) ------------------------------
 
     def _score_driver(
-        self, groups: list[tuple[str, ...]], tmeta: dict, k: int
+        self, groups: list[tuple[str, ...]], tmeta: dict, k: int,
+        field_weights: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         # LRU guard: between the fetch and here another thread's fill
         # could (in principle) have evicted one of this query's terms —
@@ -225,18 +226,27 @@ class QueryService:
             hit = d[pos] == candidates
             if not hit.any():
                 continue
+            idf = float(tmeta[term]["idf"])
+            if field_weights:
+                from .operators.wand import field_weight_of
+
+                idf *= field_weight_of(term, field_weights)
             scores[hit] += codec.bm25_contrib(
-                tf[pos[hit]], dl[pos[hit]], float(tmeta[term]["idf"]),
+                tf[pos[hit]], dl[pos[hit]], idf,
                 self.avgdl, self.k1, self.b,
             )
         order = np.lexsort((candidates, -scores))[:k]
         return [(int(candidates[i]), float(scores[i])) for i in order]
 
     def query_topk(
-        self, query: LoweredQuery, k: int = 10, offset: int = 0
+        self, query: LoweredQuery, k: int = 10, offset: int = 0,
+        field_weights: dict[str, float] | None = None,
     ) -> list[dict]:
         """Ranked results as dicts. Warm path: zero Spark jobs once the
-        query's terms are cached. Fallback: distributed wand_topk."""
+        query's terms are cached. Fallback: distributed wand_topk.
+        field_weights (BM25F): per-namespace multipliers applied at
+        score time — the postings cache stays weight-independent, so
+        one warm cache serves every weighting."""
         groups = self.resolve_groups(query)
         if not groups or any(len(g) == 0 for g in groups):
             return []
@@ -247,11 +257,16 @@ class QueryService:
                 return []
         total_df = sum(m["df"] for m in tmeta.values())
         if total_df > self.max_driver_postings:
-            top = wand_mod.wand_topk(self.reader, query, k=k, offset=offset).collect()
+            top = wand_mod.wand_topk(
+                self.reader, query, k=k, offset=offset,
+                field_weights=field_weights,
+            ).collect()
             ranked = [(r["doc_id"], r["score"]) for r in top]
         else:
             self._fetch_postings(list(tmeta))
-            ranked = self._score_driver(groups, tmeta, k + offset)[offset:]
+            ranked = self._score_driver(
+                groups, tmeta, k + offset, field_weights=field_weights
+            )[offset:]
         from .functions.links import github_link, username_of
 
         out = []

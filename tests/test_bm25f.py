@@ -96,6 +96,26 @@ def test_weighted_scores_match_python_recompute(spark, built_index):
         assert math.isclose(acc, score, rel_tol=0, abs_tol=1e-12)
 
 
+def test_serving_tier_weighted_matches_wand(spark, built_index):
+    """QueryService scores from its weight-independent postings cache;
+    the weight applies at score time — results must equal the
+    distributed weighted WAND, and the SAME warm cache must serve a
+    different weighting correctly."""
+    from reiz_io_spark.serve import QueryService
+
+    out, _ = built_index
+    reader = IndexReader(spark, out)
+    svc = QueryService(reader)
+    for weights in ({"id": 2.0, "node": 0.5}, {"id": 0.25}, None):
+        served = [
+            (r["doc_id"], r["score"])
+            for r in svc.query_topk(Q, k=10, field_weights=weights)
+        ]
+        assert served == _rows(
+            wand_topk(reader, Q, k=10, field_weights=weights)
+        )
+
+
 def test_boost_changes_ranking_directionally(spark, built_index):
     """Damping node-type terms to ~0 must rank purely by the
     identifier term — docs ordered by their id:len contribution."""
