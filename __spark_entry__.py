@@ -295,6 +295,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-encode all sit inside the hash compare. Runs on a COPY of the
     # cached entry index (the shared one must stay immutable).
     q["code_search_after_delete"] = _code_search_after_delete
+    # document UPDATE tier (operators/updates.py — Lucene
+    # updateDocument: old version tombstoned + new version ingested
+    # under a version-qualified doc_id, ONE commit): update one repo's
+    # docs with a deterministic content change, compact, then the SAME
+    # WAND query — the twin recomputes BM25 over side tables built
+    # from the UPDATED corpus (victim docs re-tokenized in pure Python
+    # under the same xxhash64(repo,path,sha) identity), so the staged
+    # ingest, the sidecar tombstones, the one-flip merge commit, and
+    # the compaction all sit inside the hash compare. Runs on a COPY
+    # of the cached entry index.
+    q["code_search_after_update"] = _code_search_after_update
     # BM25F field-weighted ranking (registry tail: local sweep + the
     # rank-identity pytest carry the evidence; the unweighted WAND
     # keeps the driver slot): per-namespace multipliers folded into
@@ -439,6 +450,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             # same kernels as the SWEPT unweighted WAND
                             # (weights fold into idf); local sweep +
                             # weighted rank-identity pytest
+        "mm_frame_sample",  # r6: yields its slot to the update tier —
+                            # the multimodal plumbing (binary columns,
+                            # Arrow UDF batch shapes) stays swept via
+                            # mm_media_features; frame-index arithmetic
+                            # is pytest-gated, still full-sweep-checked
+                            # locally
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -550,6 +567,50 @@ def _code_search_after_delete(s: SparkSession, d: str) -> DataFrame:
         compact_deletes(s, out)
         _DELETED_INDEX_CACHE[d] = out
     reader = IndexReader(s, _DELETED_INDEX_CACHE[d])
+    top = wand_topk(reader, lower_query("flagship", "Call(Name('len'))"), k=10)
+    return attach_doc_metadata(reader, top).select(
+        "doc_id", "repo", "path", F.round("score", 6).alias("score")
+    )
+
+
+_UPDATED_INDEX_CACHE: dict[str, str] = {}
+
+
+def _code_search_after_update(s: SparkSession, d: str) -> DataFrame:
+    """Full update lifecycle in front of the flagship WAND query: copy
+    of the cached entry index -> update_docs over the victim repo's
+    docs with UPDATE_SUFFIX appended (old versions tombstoned + new
+    version-qualified docs ingested, one merge commit) ->
+    compact_deletes -> block-max WAND top-10, metadata-joined. The
+    DuckDB twin recomputes BM25 from side tables materialized over the
+    UPDATED corpus in pure Python (oracle_tables.terms_upd_path) — the
+    victim docs re-tokenized with the same suffix under the same
+    xxhash64(repo, path, sha256) identity — so the whole delete-then-
+    add commit and the compaction sit inside the hash compare."""
+    import shutil
+    import tempfile
+
+    from reiz_io_spark.oracle_tables import UPDATE_SUFFIX, UPDATE_VICTIM_REPO
+    from reiz_io_spark.operators.deletes import compact_deletes
+    from reiz_io_spark.operators.score import IndexReader, attach_doc_metadata
+    from reiz_io_spark.operators.updates import update_docs
+    from reiz_io_spark.operators.wand import wand_topk
+    from reiz_io_spark.plans.lower import lower_query
+    from reiz_io_spark.sources.corpus import synth_corpus
+
+    if d not in _UPDATED_INDEX_CACHE:
+        _ensure_entry_index(s, d)
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="entry_upd_index_"), "ix"
+        )
+        shutil.copytree(_CODE_INDEX_CACHE[d], out)
+        batch = synth_corpus(s, n_filler=150, seed=42).filter(
+            F.col("repo") == UPDATE_VICTIM_REPO
+        ).withColumn("content", F.concat(F.col("content"), F.lit(UPDATE_SUFFIX)))
+        update_docs(s, out, batch)
+        compact_deletes(s, out)
+        _UPDATED_INDEX_CACHE[d] = out
+    reader = IndexReader(s, _UPDATED_INDEX_CACHE[d])
     top = wand_topk(reader, lower_query("flagship", "Call(Name('len'))"), k=10)
     return attach_doc_metadata(reader, top).select(
         "doc_id", "repo", "path", F.round("score", 6).alias("score")
@@ -1018,6 +1079,11 @@ FROM documents
     o["code_search_after_delete"] = oracle_tables.wand_oracle_sql(
         "flagship", "Call(Name('len'))", k=10,
         exclude_repo=DELETE_VICTIM_REPO,
+    )
+    o["code_search_after_update"] = oracle_tables.wand_oracle_sql(
+        "flagship", "Call(Name('len'))", k=10,
+        terms_file=oracle_tables.terms_upd_path(),
+        docs_file=oracle_tables.docs_upd_path(),
     )
     o["code_search_bm25f"] = oracle_tables.wand_oracle_sql(
         "flagship", "Call(Name('len'))", k=10,

@@ -94,6 +94,20 @@ def main(argv: list[str] | None = None) -> int:
     ud.add_argument("--repo", help="undelete every doc of this repo")
     ud.add_argument("--path-prefix", help="undelete docs whose path starts here")
 
+    up = sub.add_parser(
+        "update-docs", help="apply a corpus batch as document updates "
+        "(Lucene updateDocument: old version tombstoned + new version "
+        "ingested, both published by ONE commit; unchanged content "
+        "skipped; reverts to a pending-deleted version reappear "
+        "bit-identically at zero re-encode cost)"
+    )
+    up.add_argument("--index", required=True)
+    up.add_argument(
+        "--corpus", required=True,
+        help="parquet path or table:<name> of (repo, path, commit, "
+        "content, lang) rows carrying the NEW content",
+    )
+
     ab = sub.add_parser(
         "build-ann", help="build the persistent IVF-PQ ANN index over an "
         "embeddings table (codes partitioned by IVF list)"
@@ -355,6 +369,19 @@ def _dispatch(args, spark) -> int:
             "version": meta["version"],
             "n_tombstones": meta["n_tombstones"],
             "n_tombstones_pending": meta["n_tombstones_pending"],
+        }))
+        return 0
+
+    if args.cmd == "update-docs":
+        from .operators.updates import update_docs
+        from .sources.corpus import read_corpus
+
+        meta = update_docs(spark, args.index, read_corpus(spark, args.corpus))
+        print(json.dumps({
+            "version": meta["version"],
+            "n_docs": meta.get("n_docs"),
+            "n_tombstones": meta.get("n_tombstones", 0),
+            "n_tombstones_pending": meta.get("n_tombstones_pending", 0),
         }))
         return 0
 

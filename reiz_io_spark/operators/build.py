@@ -135,7 +135,10 @@ def prepare_docs(corpus: DataFrame, n_shards: int) -> DataFrame:
     the tokenizer still runs exactly once per document.
     """
     df = corpus.filter(F.col("lang") == "python")
-    df = df.withColumn("doc_id", F.xxhash64("repo", "path"))
+    if "doc_id" not in df.columns:
+        # default identity; the update tier (operators/updates.py)
+        # pre-assigns version-qualified ids and they pass through
+        df = df.withColumn("doc_id", F.xxhash64("repo", "path"))
     df = df.withColumn("shard", F.pmod(F.xxhash64("repo"), F.lit(n_shards)).cast("int"))
     df = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
     return df.repartition(n_shards, "shard")
@@ -696,8 +699,29 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
 
     Collection stats (n_docs, avgdl) come from the lineage table over
     ALL batches; block metadata is avgdl-free (codec.block_bound), so
-    older blocks stay valid as avgdl drifts."""
+    older blocks stay valid as avgdl drifts.
+
+    Update batches (operators/updates.py) carry a tombstone/revert
+    sidecar; it folds into the ledger inside the SAME meta flip, so a
+    document update is delete-then-add with ONE commit point. The merge
+    runs under the deletes lock: it rewrites the ledger and flips meta,
+    and a concurrent delete/compact commit would otherwise be lost."""
+    from .deletes import _acquire_lock, _gc_stale_tombstones, apply_update_sidecars
+
     p = _paths(out_dir)
+    lock = _acquire_lock(out_dir)
+    try:
+        return _merge_incremental_locked(
+            spark, out_dir, p, apply_update_sidecars, _gc_stale_tombstones
+        )
+    finally:
+        os.remove(lock)
+
+
+def _merge_incremental_locked(
+    spark: SparkSession, out_dir: str, p: dict, apply_update_sidecars,
+    _gc_stale_tombstones,
+) -> dict:
     with open(p["meta"]) as fh:
         meta = json.load(fh)
     version = int(meta.get("version", 1))
@@ -807,6 +831,14 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
     new_blocks_dir = os.path.join(out_dir, f"blocks_v{new_version}")
     _assemble_version(cur_blocks_dir, blocks_staging, new_blocks_dir, affected_buckets)
     _assemble_version(cur_dict_dir, dict_staging, new_dict_dir, affected_buckets)
+    # update-batch sidecars: stage the rewritten tombstone ledger and
+    # point meta at it — published by the same flip below, so the new
+    # version's postings and the old versions' tombstones appear
+    # together (the Lucene updateDocument contract)
+    prev_tomb = meta.get("tombstones_dir")
+    sidecars_applied = apply_update_sidecars(
+        spark, out_dir, meta, new_batches, new_version
+    )
     stats = lin.agg(
         F.sum(F.col("n_files") - F.col("n_parse_failed")).alias("n_docs"),
         F.sum("n_terms").alias("total_dl"),
@@ -844,6 +876,14 @@ def merge_incremental(spark: SparkSession, out_dir: str) -> dict:
         | _dir_versions(out_dir, {"dictionary_dir": os.path.basename(cur_dict_dir),
                                   "blocks_dir": os.path.basename(cur_blocks_dir)}),
     )
+    if sidecars_applied:
+        from .updates import _consume_sidecars
+
+        keep_tomb = {meta["tombstones_dir"]}
+        if prev_tomb:
+            keep_tomb.add(prev_tomb)
+        _gc_stale_tombstones(out_dir, keep_tomb)
+        _consume_sidecars(out_dir, new_batches)
     return meta
 
 

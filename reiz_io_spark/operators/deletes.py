@@ -485,6 +485,88 @@ def _commit_folded(
     return meta
 
 
+def apply_update_sidecars(
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict,
+    batch_ids: list[str],
+    new_version: int,
+) -> bool:
+    """Fold the update tier's per-batch sidecars (operators/updates.py:
+    ``update_ledger/batch=<id>/`` rows of (doc_id, doclen, parse_ok,
+    action)) into the tombstone ledger: ``tombstone`` rows join the
+    ledger as pending, ``untombstone`` rows (content reverts) drop
+    their PENDING ledger rows — a folded target refuses, its postings
+    are physically gone. Stages ``tombstones_v{new_version}`` and
+    mutates ``meta``'s tombstone fields IN PLACE; the caller's single
+    atomic meta flip publishes the ledger together with whatever else
+    it commits (merge_incremental: the new blocks/dictionary). Returns
+    False when no sidecar row applies.
+
+    The caller MUST hold the deletes lock: classification happened at
+    update_docs time, and a delete/compact interleaving between then
+    and this application is what the lock excludes."""
+    from .updates import UPDATE_LEDGER_SCHEMA, update_ledger_dir
+
+    root = update_ledger_dir(index_dir)
+    dirs = [
+        os.path.join(root, f"batch={b}")
+        for b in batch_ids
+        if os.path.isdir(os.path.join(root, f"batch={b}"))
+    ]
+    if not dirs:
+        return False
+    side = spark.read.schema(UPDATE_LEDGER_SCHEMA).parquet(*dirs)
+    adds = (
+        side.filter(F.col("action") == "tombstone")
+        .select("doc_id", "doclen", "parse_ok")
+        .dropDuplicates(["doc_id"])
+        .withColumn("folded", F.lit(False))
+    )
+    removes = (
+        side.filter(F.col("action") == "untombstone")
+        .select("doc_id")
+        .dropDuplicates()
+    )
+    old = read_tombstones(spark, index_dir, meta)
+    if old is not None:
+        n_folded = old.join(
+            F.broadcast(removes), "doc_id", "left_semi"
+        ).filter(F.col("folded")).count()
+        if n_folded:
+            raise RuntimeError(
+                f"update sidecar reverts {n_folded} FOLDED tombstones — "
+                f"their postings were compacted away after the update "
+                f"was staged; re-run update_docs (it will refuse and "
+                f"explain), or re-ingest the content under a new path"
+            )
+        ledger = (
+            old.join(F.broadcast(removes), "doc_id", "left_anti")
+            .unionByName(
+                adds.join(
+                    F.broadcast(old.select("doc_id")), "doc_id", "left_anti"
+                )
+            )
+        )
+    else:
+        ledger = adds
+    new_dir = os.path.join(index_dir, f"tombstones_v{new_version}")
+    staging = os.path.join(index_dir, "tombstones_staging")
+    ledger.coalesce(1).write.mode("overwrite").parquet(staging)
+    if os.path.isdir(new_dir):
+        shutil.rmtree(new_dir)
+    os.replace(staging, new_dir)
+    staged = spark.read.schema(TOMBSTONES_SCHEMA).parquet(new_dir)
+    counts = staged.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(~F.col("folded"), 1).otherwise(0)).alias("pending"),
+    ).collect()[0]
+    meta["tombstones_dir"] = os.path.basename(new_dir)
+    meta["n_tombstones"] = int(counts["total"] or 0)
+    meta["n_tombstones_pending"] = int(counts["pending"] or 0)
+    return True
+
+
 def _gc_stale_versions_by_dir(
     index_dir: str, meta: dict, prev_dict_dir: str, prev_blocks_dir: str
 ) -> None:

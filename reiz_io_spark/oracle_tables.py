@@ -81,8 +81,9 @@ def _params() -> dict:
         "seed": ENTRY_SEED,
         "positions_query": list(POSITIONS_QUERY),
         "positions_k": POSITIONS_K,
-        "v": 4,  # v4: + code_content.parquet (regex-grep oracle; ALL
-        # admitted docs incl. parse-failed, self-contained columns)
+        "v": 5,  # v5: + code_terms_updated/code_docs_updated (the
+        # update-tier twin: victim repo's docs re-tokenized over
+        # content + UPDATE_SUFFIX under version-qualified doc_ids)
     }
 
 
@@ -100,6 +101,35 @@ def positions_path(base: str = ORACLE_TABLES_DIR) -> str:
 
 def content_path(base: str = ORACLE_TABLES_DIR) -> str:
     return os.path.join(base, "code_content.parquet")
+
+
+def terms_upd_path(base: str = ORACLE_TABLES_DIR) -> str:
+    return os.path.join(base, "code_terms_updated.parquet")
+
+
+def docs_upd_path(base: str = ORACLE_TABLES_DIR) -> str:
+    return os.path.join(base, "code_docs_updated.parquet")
+
+
+# the update-tier entry's deterministic change set: every doc of this
+# repo gets the suffix appended (valid Python adding one more len()
+# call site, so the flagship query sees the change). Shared by the
+# Spark entry (__spark_entry__._code_search_after_update) and the
+# side-table generation below — ONE definition.
+UPDATE_VICTIM_REPO = "synth/repo004"
+UPDATE_SUFFIX = "\n\ndef updated_probe(seq):\n    return len(seq)\n"
+
+
+def _updated_doc_id(repo: str, path: str, content: str) -> int:
+    """operators/updates.py identity for an updated version:
+    xxhash64(repo, path, sha2(content, 256)) — pure-Python bit-parity
+    (sha2 emits lowercase hex, hashlib.hexdigest likewise)."""
+    import hashlib
+
+    from .functions.hashing import spark_xxhash64
+
+    sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+    return spark_xxhash64(repo, path, sha)
 
 
 def _indexed_docs() -> list[tuple[int, str, str, str, str, dict]]:
@@ -181,6 +211,7 @@ def ensure_oracle_tables(base: str = ORACLE_TABLES_DIR) -> str:
                 for p in (
                     terms_path(base), docs_path(base),
                     positions_path(base), content_path(base),
+                    terms_upd_path(base), docs_upd_path(base),
                 )
             ):
                 return base
@@ -240,6 +271,52 @@ def ensure_oracle_tables(base: str = ORACLE_TABLES_DIR) -> str:
             }
         ),
     )
+    # updated-corpus variant (the update-tier twin): the victim repo's
+    # docs re-tokenized over content + UPDATE_SUFFIX, identity
+    # version-qualified exactly as operators/updates.py assigns it
+    ut_term, ut_doc, ut_tf, ut_dl = [], [], [], []
+    ud_doc, ud_repo, ud_path, ud_commit, ud_dl = [], [], [], [], []
+    for doc_id, repo, path, commit, content, bag in docs:
+        if repo == UPDATE_VICTIM_REPO:
+            content = content + UPDATE_SUFFIX
+            bag, ok = tokenize_source(content)
+            assert ok, "UPDATE_SUFFIX must keep the victim parseable"
+            doc_id = _updated_doc_id(repo, path, content)
+        dl = int(sum(bag.values()))
+        ud_doc.append(doc_id)
+        ud_repo.append(repo)
+        ud_path.append(path)
+        ud_commit.append(commit)
+        ud_dl.append(dl)
+        for term, tf in bag.items():
+            ut_term.append(term)
+            ut_doc.append(doc_id)
+            ut_tf.append(int(tf))
+            ut_dl.append(dl)
+    _write(
+        terms_upd_path(base),
+        pa.table(
+            {
+                "term": pa.array(ut_term, pa.string()),
+                "doc_id": pa.array(ut_doc, pa.int64()),
+                "tf": pa.array(ut_tf, pa.int64()),
+                "dl": pa.array(ut_dl, pa.int64()),
+            }
+        ),
+    )
+    _write(
+        docs_upd_path(base),
+        pa.table(
+            {
+                "doc_id": pa.array(ud_doc, pa.int64()),
+                "repo": pa.array(ud_repo, pa.string()),
+                "path": pa.array(ud_path, pa.string()),
+                "commit": pa.array(ud_commit, pa.string()),
+                "dl": pa.array(ud_dl, pa.int64()),
+            }
+        ),
+    )
+
     # content covers ALL admitted docs (lang == python), NOT just the
     # tokenizer-parseable subset above: the index stores parse-failed
     # sources too (build.prepare_docs keeps them with parse_ok=False,
@@ -293,6 +370,7 @@ def wand_oracle_sql(
     query_name: str, query_source: str, k: int = 10,
     base: str = ORACLE_TABLES_DIR, exclude_repo: str | None = None,
     field_weights: dict[str, float] | None = None,
+    terms_file: str | None = None, docs_file: str | None = None,
 ) -> str:
     """DuckDB twin of the index+WAND entry: conjunctive BM25 over the
     materialized terms table — DuckDB does the BM25 arithmetic itself
@@ -313,12 +391,14 @@ def wand_oracle_sql(
             raise ValueError("wand_oracle_sql: non-singleton group")
         terms.append(g.terms[0])
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tf_file = terms_file or terms_path(base)
+    df_file = docs_file or docs_path(base)
     live = ""
     if exclude_repo is not None:
         esc = exclude_repo.replace("'", "''")
         live = (
             f" AND doc_id NOT IN (SELECT doc_id FROM "
-            f"read_parquet('{docs_path(base)}') WHERE repo = '{esc}')"
+            f"read_parquet('{df_file}') WHERE repo = '{esc}')"
         )
         live_docs = f" WHERE repo <> '{esc}'"
     else:
@@ -334,13 +414,13 @@ def wand_oracle_sql(
     return f"""
 WITH p AS (
   SELECT term, doc_id, tf, dl
-  FROM read_parquet('{terms_path(base)}')
+  FROM read_parquet('{tf_file}')
   WHERE term IN ({in_list}){live}
 ),
 s AS (
   SELECT count(*)::DOUBLE AS n_docs,
          sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
-  FROM read_parquet('{docs_path(base)}'){live_docs}
+  FROM read_parquet('{df_file}'){live_docs}
 ),
 d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
 scored AS (
@@ -358,7 +438,7 @@ scored AS (
 )
 SELECT m.doc_id, m.repo, m.path, round(sc.score, 6) AS score
 FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}) sc
-JOIN read_parquet('{docs_path(base)}') m USING (doc_id)
+JOIN read_parquet('{df_file}') m USING (doc_id)
 """
 
 
