@@ -312,6 +312,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # idf — identifier hits boosted over bare node-type hits; the twin
     # applies the same CASE weight inside DuckDB's BM25 arithmetic.
     q["code_search_bm25f"] = _code_search_bm25f
+    # federated sharded search (registry tail: bit-identity to the
+    # SWEPT code_search_wand is pytest-gated, so the single-index twin
+    # carries the hash evidence; the federation machinery — dictionary
+    # union, global-stats injection, shard merge — is what this entry
+    # exercises end to end in the local sweep).
+    q["code_search_federated"] = _code_search_federated
     # exact structural semantics + match line numbers (reiz/fetch.py
     # parity): a `not` query whose index-level candidates contain false
     # positives that the verify stage must eliminate. Hash-checked
@@ -456,6 +462,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             # mm_media_features; frame-index arithmetic
                             # is pytest-gated, still full-sweep-checked
                             # locally
+        "code_search_federated",  # r6: tail from birth — bit-identical
+                            # to the SWEPT code_search_wand by the
+                            # dfs-stats discipline (pytest-gated), so
+                            # the single-index slot carries the driver
+                            # evidence; full-sweep-checked locally
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -569,6 +580,49 @@ def _code_search_after_delete(s: SparkSession, d: str) -> DataFrame:
     reader = IndexReader(s, _DELETED_INDEX_CACHE[d])
     top = wand_topk(reader, lower_query("flagship", "Call(Name('len'))"), k=10)
     return attach_doc_metadata(reader, top).select(
+        "doc_id", "repo", "path", F.round("score", 6).alias("score")
+    )
+
+
+_FED_SHARD_CACHE: dict[str, list[str]] = {}
+FED_N_SHARDS = 3
+
+
+def _code_search_federated(s: SparkSession, d: str) -> DataFrame:
+    """Sharded-index federation (operators/federation.py): the entry
+    corpus split into 3 shard indexes by pmod(xxhash64(repo), 3), the
+    flagship query answered with the dfs_query_then_fetch discipline —
+    per-shard dictionary expansion unioned, df/n_docs/total_dl summed,
+    global idf/avgdl injected into each shard's unmodified WAND
+    kernels, per-shard candidates unioned into a global top-k. Result
+    is bit-identical to one index over the whole corpus (pytest-gated),
+    so the twin is the SAME single-index DuckDB BM25 recompute as
+    code_search_wand."""
+    import tempfile
+
+    from reiz_io_spark.operators.build import build_index
+    from reiz_io_spark.operators.federation import (
+        federated_doc_metadata, federated_topk, shard_corpus,
+    )
+    from reiz_io_spark.operators.score import IndexReader
+    from reiz_io_spark.plans.lower import lower_query
+    from reiz_io_spark.sources.corpus import synth_corpus
+
+    if d not in _FED_SHARD_CACHE:
+        root = tempfile.mkdtemp(prefix="entry_fed_index_")
+        corpus = synth_corpus(s, n_filler=150, seed=42)
+        dirs = []
+        for i, part in enumerate(shard_corpus(corpus, FED_N_SHARDS)):
+            out = os.path.join(root, f"shard{i}")
+            build_index(s, part, out, build_id="entry", n_shards=2)
+            dirs.append(out)
+        _FED_SHARD_CACHE[d] = dirs
+    readers = [IndexReader(s, p) for p in _FED_SHARD_CACHE[d]]
+    top = federated_topk(
+        s, None, lower_query("flagship", "Call(Name('len'))"), k=10,
+        readers=readers,
+    )
+    return federated_doc_metadata(readers, top).select(
         "doc_id", "repo", "path", F.round("score", 6).alias("score")
     )
 
@@ -1079,6 +1133,11 @@ FROM documents
     o["code_search_after_delete"] = oracle_tables.wand_oracle_sql(
         "flagship", "Call(Name('len'))", k=10,
         exclude_repo=DELETE_VICTIM_REPO,
+    )
+    # federation is bit-identical to the single index (the dfs-stats
+    # discipline; pytest-gated) -> same twin as code_search_wand
+    o["code_search_federated"] = oracle_tables.wand_oracle_sql(
+        "flagship", "Call(Name('len'))", k=10
     )
     o["code_search_after_update"] = oracle_tables.wand_oracle_sql(
         "flagship", "Call(Name('len'))", k=10,

@@ -270,6 +270,39 @@ def main() -> None:
             extra["grep_index_speedup"] = round(
                 extra["code_grep_brute"] / queries["code_grep_index"], 2
             )
+
+        # update tier (LAST: it mutates the bench index and its new
+        # content batch staleness-invalidates the grep sidecar above).
+        # One update commit over ~1% of files (delete-then-add folded
+        # into one merge flip) + the compaction folding the replaced
+        # versions — single cold passes: each is a real state mutation
+        # (a second pass would be an unchanged-content no-op), so the
+        # numbers carry co-tenant noise like any cold entry; cost is
+        # proportional to the changed fraction, not the corpus.
+        from pyspark.sql import functions as SF
+
+        from reiz_io_spark.operators.deletes import compact_deletes
+        from reiz_io_spark.operators.updates import update_docs
+
+        upd_repo = (
+            corpus.select("repo").distinct().orderBy("repo").limit(1)
+            .collect()[0]["repo"]
+        )
+        upd_batch = corpus.filter(SF.col("repo") == upd_repo).withColumn(
+            "content",
+            SF.concat(
+                SF.col("content"),
+                SF.lit("\n\ndef bench_update_probe(x):\n    return len(x)\n"),
+            ),
+        )
+        n_upd = upd_batch.count()
+        t1 = time.perf_counter()
+        update_docs(spark, index_dir, upd_batch)
+        queries["code_update_commit"] = round(time.perf_counter() - t1, 3)
+        t1 = time.perf_counter()
+        compact_deletes(spark, index_dir)
+        queries["code_update_compact"] = round(time.perf_counter() - t1, 3)
+        extra["n_updated_docs"] = n_upd
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 

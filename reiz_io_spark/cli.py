@@ -42,6 +42,18 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--explain", action="store_true",
                    help="print lowered terms + Spark physical plan")
 
+    qf = sub.add_parser(
+        "query-federated", help="run a ReizQL pattern across SHARD "
+        "indexes with globally-correct BM25 stats (dfs_query_then_fetch "
+        "— bit-identical to one index over the union corpus)"
+    )
+    qf.add_argument(
+        "--indexes", required=True,
+        help="comma-separated shard index dirs",
+    )
+    qf.add_argument("--pattern", required=True)
+    qf.add_argument("-k", type=int, default=10)
+
     s = sub.add_parser("synth", help="write a deterministic synthetic corpus")
     s.add_argument("--out", required=True)
     s.add_argument("--files", type=int, default=10_000)
@@ -227,6 +239,30 @@ def _dispatch(args, spark) -> int:
                 "score": round(r["score"], 6),
             }))
         print(f"# {len(rows)} rows in {wall:.3f}s", file=sys.stderr)
+        return 0
+
+    if args.cmd == "query-federated":
+        from .operators.federation import federated_doc_metadata, federated_topk
+        from .operators.score import IndexReader
+        from .plans.lower import lower_query
+
+        dirs = [p for p in args.indexes.split(",") if p]
+        readers = [IndexReader(spark, p) for p in dirs]
+        q = lower_query("cli", args.pattern)
+        t0 = time.perf_counter()
+        top = federated_topk(spark, None, q, k=args.k, readers=readers)
+        rows = federated_doc_metadata(readers, top).collect()
+        wall = time.perf_counter() - t0
+        for i, r in enumerate(rows):
+            print(json.dumps({
+                "rank": i + 1, "doc_id": r["doc_id"],
+                "repo": r["repo"], "path": r["path"],
+                "score": round(r["score"], 6),
+            }))
+        print(
+            f"# {len(rows)} rows over {len(dirs)} shards in {wall:.3f}s",
+            file=sys.stderr,
+        )
         return 0
 
     if args.cmd == "synth":

@@ -1,0 +1,173 @@
+"""Federated search over a SHARDED index: N independent index dirs,
+one globally-correct ranked answer.
+
+At 10^12 documents a single index directory is operationally wrong —
+builds, compactions, and deletes want to touch a bounded slice, and
+serving wants shard-level parallelism and isolation. The standard
+architecture (Elasticsearch/Solr shards, Lucene per-segment search)
+splits the corpus by a stable hash — here ``pmod(xxhash64(repo),
+n_shards)``, the engine's existing shard function — into independent
+indexes, each built/merged/compacted with the machinery this repo
+already has. The ONLY thing federation must add is statistics
+discipline: BM25's idf and length normalization depend on df, n_docs
+and avgdl over the WHOLE corpus, so scoring each shard with its local
+stats skews scores wherever term frequencies differ across shards
+(Elasticsearch's default local-stats mode has exactly this artifact;
+its fix, ``dfs_query_then_fetch``, is the two-phase protocol
+implemented here):
+
+1. **stats phase** (driver-side, cheap): resolve the query's term
+   groups against EVERY shard's dictionary (union — a LIKE expansion
+   must see all shards' vocabularies), sum each term's df and the
+   shards' (n_docs, total_dl) integer totals, derive global idf/avgdl
+   with the exact single-index numpy expression.
+2. **query phase** (one Spark job per shard, or one union job): run
+   the unmodified block-max WAND kernels on each shard with the
+   global stats injected (wand_scores(stats_override=...)), union the
+   per-shard candidate frames, and take the global top-k.
+
+Because df/n_docs/total_dl are INTEGER sums over disjoint doc sets,
+the derived floats are bit-identical to what one index over the whole
+corpus computes — federated results equal single-index results
+exactly (pytest-gated, rank AND score), which is also why the driver
+entry can share the single-index DuckDB twin.
+
+Scale shape: the stats phase reads only the query terms' dictionary
+buckets per shard (partition-pruned, driver-collected, memoized by
+each reader); the query phase is the already-audited per-shard WAND
+plan; the merge is a union of n_shards × (per-bucket top-k) rows —
+constant-bounded, never corpus-sized. Shards can live on different
+storage roots; nothing here assumes co-location.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.lower import LoweredQuery
+from .score import IndexReader
+from .wand import wand_scores
+
+
+def shard_of(n_shards: int):
+    """The corpus->shard routing column: pmod(xxhash64(repo), n) —
+    the same stable hash the per-index build shards by, so routing is
+    deterministic, repo-colocated (a repo's docs share a shard), and
+    computable by any writer without coordination."""
+    return F.pmod(F.xxhash64("repo"), F.lit(n_shards)).cast("int")
+
+
+def shard_corpus(corpus: DataFrame, n_shards: int) -> list[DataFrame]:
+    """Split a corpus into n_shards disjoint frames by shard_of —
+    each is the input of an independent build_index."""
+    withs = corpus.withColumn("_fed_shard", shard_of(n_shards))
+    return [
+        withs.filter(F.col("_fed_shard") == i).drop("_fed_shard")
+        for i in range(n_shards)
+    ]
+
+
+def federated_stats(
+    readers: list[IndexReader], query: LoweredQuery
+) -> tuple[list[tuple[str, ...]], dict, float]:
+    """The dfs phase: (global term groups, stats_override, k1) —
+    groups are the positional union of every shard's dictionary
+    expansion; idf derives from summed df over summed n_docs with the
+    exact single-index expression (score.py::_term_meta_uncached)."""
+    if not readers:
+        raise ValueError("federated_stats: no shards")
+    k1s = {float(r.meta["k1"]) for r in readers}
+    bs = {float(r.meta["b"]) for r in readers}
+    if len(k1s) != 1 or len(bs) != 1:
+        raise ValueError(
+            f"shards disagree on BM25 params (k1={sorted(k1s)}, "
+            f"b={sorted(bs)}) — scores would be incomparable; rebuild "
+            f"the outlier shard with matching k1/b"
+        )
+    per_shard_groups = [r.resolve_groups(query) for r in readers]
+    n_groups = {len(g) for g in per_shard_groups}
+    if len(n_groups) != 1:
+        raise ValueError("shards resolved different group arity")
+    groups = [
+        tuple(sorted({t for sg in per_shard_groups for t in sg[i]}))
+        for i in range(n_groups.pop())
+    ]
+    all_terms = sorted({t for g in groups for t in g})
+
+    n_docs = sum(int(r.meta["n_docs"]) for r in readers)
+    total_dl = sum(int(r.meta["total_dl"]) for r in readers)
+    avgdl = total_dl / n_docs if n_docs else 0.0
+    df: dict[str, int] = {}
+    for r in readers:
+        for t, m in r.term_meta(all_terms).items():
+            df[t] = df.get(t, 0) + int(m["df"])
+    n = float(n_docs)
+    idf = {
+        t: float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+        for t, d in df.items()
+    }
+    return groups, {"avgdl": avgdl, "idf_by_term": idf, "df_by_term": df}, k1s.pop()
+
+
+def federated_scores(
+    spark: SparkSession,
+    readers: list[IndexReader],
+    query: LoweredQuery,
+    k: int | None = 10,
+    field_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Union of every shard's wand_scores under global stats —
+    unordered (doc_id, score) candidates, per-bucket-top-k bounded."""
+    groups, stats, _ = federated_stats(readers, query)
+    if not groups or any(len(g) == 0 for g in groups):
+        from .wand import _empty_results
+
+        return _empty_results(spark)
+    out = None
+    for r in readers:
+        part = wand_scores(
+            r, query, k=k, field_weights=field_weights,
+            groups_override=groups, stats_override=stats,
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def federated_topk(
+    spark: SparkSession,
+    index_dirs: list[str] | None,
+    query: LoweredQuery,
+    k: int = 10,
+    offset: int = 0,
+    field_weights: dict[str, float] | None = None,
+    readers: list[IndexReader] | None = None,
+) -> DataFrame:
+    """Global top-k over the shard set — rank- and score-identical to
+    wand_topk over one index holding the union corpus (pytest-gated)."""
+    if readers is None:
+        readers = [IndexReader(spark, d) for d in index_dirs]
+    out = federated_scores(
+        spark, readers, query, k=k + offset, field_weights=field_weights
+    )
+    ranked = out.orderBy(F.desc("score"), F.asc("doc_id"))
+    if offset:
+        ranked = ranked.offset(offset)
+    return ranked.limit(k)
+
+
+def federated_doc_metadata(
+    readers: list[IndexReader], top: DataFrame
+) -> DataFrame:
+    """attach_doc_metadata across shards: each doc_id lives in exactly
+    one shard (disjoint corpora), so the union of per-shard
+    (broadcast top-k ⋈ docs) inner joins is exactly one row per hit."""
+    out = None
+    for r in readers:
+        docs = r.docs().select(
+            "doc_id", "repo", "path", "commit", "content_sha256"
+        )
+        part = F.broadcast(top).join(docs, "doc_id")
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))

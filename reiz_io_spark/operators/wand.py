@@ -455,11 +455,23 @@ def wand_scores(
     k: int | None = 10,
     bucket_shift: int | None = None,
     field_weights: dict[str, float] | None = None,
+    groups_override: list[tuple[str, ...]] | None = None,
+    stats_override: dict | None = None,
 ) -> DataFrame:
     """Unordered (doc_id, score) of the query's candidates. With k, each
     bucket returns only its local top-k (MaxScore pruning active); with
     k=None every conjunction-satisfying doc is returned with its exact
-    score — the input of the structural post-verification stage."""
+    score — the input of the structural post-verification stage.
+
+    groups_override / stats_override are the federation hooks
+    (operators/federation.py): a shard of a sharded index scores its
+    local postings under GLOBAL collection stats — pre-resolved term
+    groups (union of every shard's dictionary expansion) and
+    {"avgdl": float, "idf_by_term": {...}, "df_by_term": {...}}
+    computed over summed df / n_docs / total_dl. With the override the
+    shard pays ZERO dictionary jobs here; a term the shard lacks
+    simply matches no local postings (correct: shards partition the
+    docs)."""
     spark = reader.spark
     # each calling thread gets its own FAIR scheduler pool (pool names
     # are created on demand): concurrent clients' jobs share executor
@@ -469,18 +481,27 @@ def wand_scores(
     spark.sparkContext.setLocalProperty(
         "spark.scheduler.pool", f"query-{_threading.get_ident()}"
     )
-    groups = reader.resolve_groups(query)
+    groups = (
+        groups_override
+        if groups_override is not None
+        else reader.resolve_groups(query)
+    )
     if not groups or any(len(g) == 0 for g in groups):
         return _empty_results(spark)
     meta = reader.meta
     if bucket_shift is None:
         bucket_shift = _adaptive_shift(int(meta.get("n_docs", 0)))
-    k1, b, avgdl = float(meta["k1"]), float(meta["b"]), float(meta["avgdl"])
+    k1, b = float(meta["k1"]), float(meta["b"])
     all_terms = sorted({t for g in groups for t in g})
-    tmeta = reader.term_meta(all_terms)
+    if stats_override is not None:
+        avgdl = float(stats_override["avgdl"])
+        tmeta_present = stats_override["idf_by_term"]  # GLOBAL presence
+    else:
+        avgdl = float(meta["avgdl"])
+        tmeta_present = reader.term_meta(all_terms)
     # terms absent from the dictionary: singleton group -> empty result
     for g in groups:
-        if all(t not in tmeta for t in g):
+        if all(t not in tmeta_present for t in g):
             return _empty_results(spark)
 
     from ..functions.hashing import spark_xxhash64
@@ -502,13 +523,17 @@ def wand_scores(
         )
     )
 
-    idf_by_term = {t: float(m["idf"]) for t, m in tmeta.items()}
+    if stats_override is not None:
+        idf_by_term = dict(stats_override["idf_by_term"])
+        df_by_term = dict(stats_override["df_by_term"])
+    else:
+        idf_by_term = {t: float(m["idf"]) for t, m in tmeta_present.items()}
+        df_by_term = {t: int(m["df"]) for t, m in tmeta_present.items()}
     if field_weights:
         idf_by_term = {
             t: v * field_weight_of(t, field_weights)
             for t, v in idf_by_term.items()
         }
-    df_by_term = {t: int(m["df"]) for t, m in tmeta.items()}
     group_list = [tuple(g) for g in groups]
     shift = bucket_shift
     kk = k if k is not None else 1 << 31  # no pruning, all candidates

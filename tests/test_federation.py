@@ -1,0 +1,176 @@
+"""Federated search over a sharded index (operators/federation.py).
+
+Contract under test (the dfs_query_then_fetch discipline): searching N
+independent shard indexes built over a repo-hash-partitioned corpus
+returns EXACTLY what one index over the whole corpus returns — same
+doc_ids, bit-identical scores — because df / n_docs / total_dl are
+integer sums over disjoint doc sets and the global idf/avgdl floats
+derive from the same expressions. Also: dictionary expansion (LIKE)
+unions across shard vocabularies, pending deletes inside a shard stay
+excluded, k1/b disagreement refuses, and offset paging matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reiz_io_spark.operators.build import build_index
+from reiz_io_spark.operators.deletes import delete_docs
+from reiz_io_spark.operators.federation import (
+    federated_doc_metadata,
+    federated_stats,
+    federated_topk,
+    shard_corpus,
+)
+from reiz_io_spark.operators.score import IndexReader, attach_doc_metadata
+from reiz_io_spark.operators.wand import wand_topk
+from reiz_io_spark.plans.lower import lower_query
+from reiz_io_spark.plans.queries import REFERENCE_QUERIES
+from reiz_io_spark.sources.corpus import synth_corpus
+
+Q = lower_query("flagship", "Call(Name('len'))")
+Q_LIKE = lower_query("fmt", REFERENCE_QUERIES["simple/simple_formatted_name_match"])
+N_SHARDS = 3
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def fed(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("fed")
+    corpus = synth_corpus(spark, n_filler=60, seed=42).cache()
+    single = str(base / "single")
+    build_index(spark, corpus, single, build_id="b0", n_shards=2,
+                fragment_postings=64)
+    shard_dirs = []
+    parts = shard_corpus(corpus, N_SHARDS)
+    sizes = [p.count() for p in parts]
+    assert sum(sizes) == corpus.count() and all(s > 0 for s in sizes)
+    for i, part in enumerate(parts):
+        d = str(base / f"shard{i}")
+        build_index(spark, part, d, build_id="b0", n_shards=2,
+                    fragment_postings=64)
+        shard_dirs.append(d)
+    return {
+        "corpus": corpus,
+        "single": single,
+        "shards": shard_dirs,
+        "readers": [IndexReader(spark, d) for d in shard_dirs],
+    }
+
+
+def test_federated_equals_single_index_bitwise(spark, fed):
+    for q in (Q, Q_LIKE):
+        want = _rows(wand_topk(IndexReader(spark, fed["single"]), q, k=25))
+        got = _rows(federated_topk(spark, None, q, k=25, readers=fed["readers"]))
+        assert got == want, q.name
+
+
+def test_global_stats_match_single_index(spark, fed):
+    single = IndexReader(spark, fed["single"])
+    groups, stats, k1 = federated_stats(fed["readers"], Q)
+    assert [set(g) for g in groups] == [
+        set(g) for g in single.resolve_groups(Q)
+    ]
+    assert stats["avgdl"] == float(single.meta["avgdl"])
+    tmeta = single.term_meta(sorted({t for g in groups for t in g}))
+    for t, m in tmeta.items():
+        assert stats["df_by_term"][t] == int(m["df"])
+        assert stats["idf_by_term"][t] == float(m["idf"])
+
+
+def test_local_stats_would_diverge(spark, fed):
+    """The discipline matters: at least one shard's local df/avgdl
+    differs from the global one for the flagship terms — scoring
+    locally would skew (the artifact the dfs phase removes)."""
+    _, stats, _ = federated_stats(fed["readers"], Q)
+    diverges = False
+    for r in fed["readers"]:
+        if float(r.meta["avgdl"]) != stats["avgdl"]:
+            diverges = True
+        for t, m in r.term_meta(list(stats["df_by_term"])).items():
+            if int(m["df"]) != stats["df_by_term"][t]:
+                diverges = True
+    assert diverges
+
+
+def test_field_weights_and_offset(spark, fed):
+    w = {"id": 2.0, "node": 0.5}
+    single = IndexReader(spark, fed["single"])
+    assert _rows(
+        federated_topk(spark, None, Q, k=10, offset=5, field_weights=w,
+                       readers=fed["readers"])
+    ) == _rows(wand_topk(single, Q, k=10, offset=5, field_weights=w))
+
+
+def test_metadata_join_across_shards(spark, fed):
+    single = IndexReader(spark, fed["single"])
+    top_single = wand_topk(single, Q, k=10)
+    want = [
+        (r["repo"], r["path"], r["score"])
+        for r in attach_doc_metadata(single, top_single).collect()
+    ]
+    top_fed = federated_topk(spark, None, Q, k=10, readers=fed["readers"])
+    got = [
+        (r["repo"], r["path"], r["score"])
+        for r in federated_doc_metadata(fed["readers"], top_fed).collect()
+    ]
+    assert got == want
+
+
+def test_pending_delete_in_one_shard(spark, fed, tmp_path_factory):
+    """Tombstone a repo inside its shard AND in the single index: both
+    sides exclude it immediately and stay bit-identical (pending
+    tombstones keep counting toward stats on both sides — the Lucene
+    contract holds shard-locally)."""
+    import shutil
+
+    base = tmp_path_factory.mktemp("fed_del")
+    single2 = str(base / "single")
+    shutil.copytree(fed["single"], single2)
+    victim = "synth/repo004"
+    sdirs = []
+    for d in fed["shards"]:
+        d2 = str(base / ("s_" + d.rsplit("/", 1)[-1]))
+        shutil.copytree(d, d2)
+        sdirs.append(d2)
+    delete_docs(spark, single2, F.col("repo") == victim)
+    hit = 0
+    for d in sdirs:
+        r = IndexReader(spark, d)
+        if r.docs().filter(F.col("repo") == victim).take(1):
+            delete_docs(spark, d, F.col("repo") == victim)
+            hit += 1
+    assert hit == 1, "repo-hash routing must place one repo in one shard"
+    readers = [IndexReader(spark, d) for d in sdirs]
+    want = _rows(wand_topk(IndexReader(spark, single2), Q, k=25))
+    got = _rows(federated_topk(spark, None, Q, k=25, readers=readers))
+    assert got == want
+    assert victim not in {
+        r["repo"]
+        for r in federated_doc_metadata(
+            readers, federated_topk(spark, None, Q, k=25, readers=readers)
+        ).collect()
+    }
+
+
+def test_k1_mismatch_refuses(spark, fed, tmp_path_factory):
+    import json
+    import os
+    import shutil
+
+    base = tmp_path_factory.mktemp("fed_k1")
+    bad = str(base / "bad_shard")
+    shutil.copytree(fed["shards"][0], bad)
+    mp = os.path.join(bad, "meta.json")
+    with open(mp) as fh:
+        meta = json.load(fh)
+    meta["k1"] = 9.9
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    readers = [IndexReader(spark, bad)] + fed["readers"][1:]
+    with pytest.raises(ValueError, match="k1"):
+        federated_stats(readers, Q)
