@@ -130,10 +130,15 @@ def update_docs(
         j = j.filter(
             F.col("live_sha").isNull() | (F.col("live_sha") != F.col("new_sha"))
         )
+        # persisted through the WHOLE update (classification is consumed
+        # by the refusal checks, the digest, the sidecar write, AND the
+        # staged ingest below — without the cache each action re-scans
+        # the docs table, which is the index-sized cost at 10^12 docs)
         changed = j.persist()
         try:
             n_changed = changed.count()
             if not n_changed:
+                changed.unpersist()
                 return meta
 
             # a (repo, path) with NO live version but tombstoned ones is
@@ -250,16 +255,22 @@ def update_docs(
                 F.xxhash64("repo", "path", "new_sha").alias("doc_id"),
             )
             has_adds = bool(ingest.take(1))
-        finally:
+        except BaseException:
             changed.unpersist()
+            raise
     finally:
         os.remove(lock)
 
-    if has_adds:
-        stage1_ingest(
-            spark, ingest, index_dir, build_id=batch_id, n_shards=n_shards
-        )
-    else:
+    try:
+        if has_adds:
+            stage1_ingest(
+                spark, ingest, index_dir, build_id=batch_id,
+                n_shards=n_shards,
+            )
+    finally:
+        changed.unpersist()
+
+    if not has_adds:
         # revert-only batch: nothing to stage, but the sidecar must
         # still commit — stage an EMPTY lineage-visible batch by
         # letting merge consume orphan sidecars? No: merge applies
