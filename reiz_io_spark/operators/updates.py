@@ -115,6 +115,22 @@ def update_docs(
             "repo", "path", "commit", "content", "lang",
             F.col("content_sha256").alias("new_sha"),
         )
+        # one content version per (repo, path) per batch — two versions
+        # at once would BOTH classify as changed and both go live,
+        # breaking the one-live-version invariant. Callers with
+        # multi-version batches pick a winner first (the streaming
+        # upsert front-end orders by its order column).
+        dup = (
+            new.groupBy("repo", "path").count().filter(F.col("count") > 1)
+        )
+        n_dup = dup.count()
+        if n_dup:
+            raise ValueError(
+                f"update_docs: {n_dup} (repo, path) pairs appear more "
+                f"than once in this batch — apply one content version "
+                f"per path per commit (dedupe upstream, e.g. keep the "
+                f"latest by your ordering column)"
+            )
         live, ledger = _live_docs(spark, index_dir, meta)
 
         j = new.join(

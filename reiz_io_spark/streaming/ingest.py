@@ -15,9 +15,10 @@ anti-join makes the pipeline idempotent under micro-batch replay, and
 a cross-batch doc_id anti-join (stage1_ingest) makes RE-DELIVERY of an
 already-ingested (repo, path) in a later batch a no-op (exactly-once
 effect on the index from at-least-once delivery — shard rows are only
-recorded after their data lands). The contract is append-only-new-
-files, like the reference's ingest cache; in-place file updates need a
-delete+reingest cycle, which the reference cannot do either.
+recorded after their data lands). This front-end's contract is
+append-only-new-files, like the reference's ingest cache; for
+in-place file updates use ``stream_upserts_into_index`` below (CDC
+upserts via the update tier — something the reference cannot do).
 ``finalize_index`` is a full merge the first time and an INCREMENTAL
 merge afterwards (only new batches' runs are read; only affected
 terms' blocks are re-encoded) — the result is content-identical to the
@@ -98,3 +99,73 @@ def finalize_index(
         spark, out_dir, build_id=build_id, block_size=block_size,
         k1=k1, b=b, fragment_postings=fragment_postings,
     )
+
+
+def stream_upserts_into_index(
+    spark: SparkSession,
+    corpus_stream_dir: str,
+    index_dir: str,
+    order_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 16,
+):
+    """CDC-style index maintenance: each micro-batch of (repo, path,
+    commit, content, lang) rows is applied as ONE ``update_docs``
+    commit (operators/updates.py) against an EXISTING index —
+    new paths add, changed content replaces its live version
+    (delete-then-add published by one meta flip), unchanged
+    re-delivery no-ops, and a byte-identical revert restores the
+    pending-deleted version at zero re-encode cost. This closes the
+    append-only limitation documented above: in-place file updates no
+    longer need a manual delete+reingest cycle.
+
+    Exactly-once effect from at-least-once delivery, with NO reliance
+    on the sink remembering batch_id: ``update_docs`` is idempotent by
+    construction — a replayed batch re-classifies as all-unchanged
+    (live sha == new sha) and commits nothing, and a crashed half-
+    applied batch resumes under its deterministic content-derived
+    batch id. Restarting the stream with a fresh checkpoint (full
+    redelivery) leaves the index version untouched (pytest-gated).
+
+    Multi-version micro-batches: a batch may carry several versions of
+    one (repo, path) (bursty writers between triggers). With
+    ``order_col`` (e.g. a commit timestamp) the LATEST version per
+    path wins deterministically; without it, update_docs refuses
+    multi-version batches (one-live-version invariant).
+
+    Scale shape: per-trigger cost = one batch-vs-live classification
+    (column-pruned docs scan) + incremental ingest/merge of the
+    changed files only. Size triggers in minutes of changes, not
+    single files — the classification scan amortizes over the batch.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.updates import update_docs
+
+    stream = (
+        spark.readStream.schema(CORPUS)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(corpus_stream_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df
+        if order_col is not None:
+            w = Window.partitionBy("repo", "path").orderBy(
+                F.col(order_col).desc(), F.col("content").desc()
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        update_docs(df.sparkSession, index_dir, df)
+
+    writer = stream.writeStream.foreachBatch(process_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
