@@ -794,17 +794,80 @@ def _merge_incremental_locked(
     if collisions:
         raise RuntimeError(f"xxhash64 term_id collision on {collisions} ids")
 
-    # --- blocks: re-encode ONLY the affected terms --------------------------
+    # --- blocks: re-encode ONLY the affected FRAGMENTS ----------------------
+    # Fragment membership is salt = pmod(xxhash64(doc_id), n_frag) — a
+    # pure function of doc_id — so a block's fragment is derivable from
+    # any member doc: pmod(xxhash64(first_doc_id), n_frag). For an
+    # affected term whose fragment count is UNCHANGED by this merge's
+    # df delta, only the fragments actually receiving new postings are
+    # decoded and re-encoded; the rest keep their block rows
+    # byte-for-byte. Without this, one new posting in a corpus-wide
+    # hot term (node:Call at 10^12 docs) would re-encode the ENTIRE
+    # posting list — the difference between update cost ∝ changed data
+    # and update cost ∝ corpus. Terms that are new, or whose n_frag
+    # steps (df crosses a fragment boundary), fall back to full
+    # re-encode (fragment membership reshuffles).
     old_blocks = spark.read.schema(BLOCKS_ON_DISK).parquet(cur_blocks_dir).filter(
         F.col("term_bucket").isin(affected_buckets)
-    )
-    keep_blocks = old_blocks.join(affected_ids, "term_id", "left_anti")
-    old_postings = _decode_blocks_to_postings(
-        old_blocks.join(affected_ids, "term_id", "left_semi")
     )
     new_postings = new_runs.withColumn("term_id", F.xxhash64("term")).select(
         "term_id", "doc_id", "tf", "dl"
     )
+    fp = F.lit(float(fragment_postings))
+    frag_plan = (
+        new_stats.select("term_id", "df_new")
+        .join(
+            old_dict.select("term_id", F.col("df").alias("df_old")),
+            "term_id", "left",
+        )
+        .select(
+            "term_id",
+            F.greatest(
+                F.lit(1), F.ceil(F.coalesce("df_old", F.lit(0)) / fp)
+            ).cast("int").alias("nf_old"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    (F.coalesce("df_old", F.lit(0)) + F.col("df_new")) / fp
+                ),
+            ).cast("int").alias("nf_new"),
+            F.col("df_old").isNotNull().alias("existed"),
+        )
+    )
+    partial = frag_plan.filter(
+        F.col("existed") & (F.col("nf_old") == F.col("nf_new"))
+    ).select("term_id", F.col("nf_new").alias("n_frag"))
+    full_ids = frag_plan.filter(
+        ~(F.col("existed") & (F.col("nf_old") == F.col("nf_new")))
+    ).select("term_id")
+    touched = (
+        new_postings.join(partial, "term_id")
+        .select(
+            "term_id",
+            F.pmod(F.xxhash64("doc_id"), F.col("n_frag")).cast("int").alias("salt"),
+        )
+        .distinct()
+    )
+    partial_blocks = old_blocks.join(partial, "term_id").withColumn(
+        "salt",
+        F.pmod(F.xxhash64("first_doc_id"), F.col("n_frag")).cast("int"),
+    )
+    blk_cols = [f.name for f in BLOCKS_WITH_BUCKET.fields]
+    keep_blocks = (
+        old_blocks.join(affected_ids, "term_id", "left_anti")
+        .unionByName(
+            partial_blocks.join(touched, ["term_id", "salt"], "left_anti")
+            .select(*blk_cols)
+        )
+    )
+    decode_blocks = (
+        old_blocks.join(full_ids, "term_id", "left_semi")
+        .unionByName(
+            partial_blocks.join(touched, ["term_id", "salt"], "left_semi")
+            .select(*blk_cols)
+        )
+    )
+    old_postings = _decode_blocks_to_postings(decode_blocks)
     postings = old_postings.unionByName(new_postings).distinct()
     hot = _hot_map(
         staged_dict.filter(

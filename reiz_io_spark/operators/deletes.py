@@ -366,14 +366,73 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
             .parquet(dict_staging)
         )
 
-        # --- blocks: re-encode ONLY the affected terms -------------------
+        # --- blocks: re-encode ONLY the affected FRAGMENTS ----------------
+        # same fragment-grained discipline as merge_incremental: a
+        # block's fragment is pmod(xxhash64(first_doc_id), n_frag);
+        # terms whose fragment count is unchanged by the df shrink
+        # decode only the fragments that actually LOST postings — one
+        # deleted doc in a corpus-wide hot term folds at fragment
+        # cost, not posting-list cost. n_frag stepping down (or the
+        # term vanishing) falls back to full re-encode.
+        fp = F.lit(float(fragment_postings))
+        frag_plan = (
+            del_stats.select("term_id", "df_del")
+            .join(
+                old_dict.select("term_id", F.col("df").alias("df_old")),
+                "term_id",
+            )
+            .select(
+                "term_id",
+                F.greatest(F.lit(1), F.ceil(F.col("df_old") / fp))
+                .cast("int").alias("nf_old"),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil((F.col("df_old") - F.col("df_del")) / fp),
+                ).cast("int").alias("nf_new"),
+                (F.col("df_old") > F.col("df_del")).alias("survives"),
+            )
+        )
+        partial = frag_plan.filter(
+            F.col("survives") & (F.col("nf_old") == F.col("nf_new"))
+        ).select("term_id", F.col("nf_new").alias("n_frag"))
+        full_ids = frag_plan.filter(
+            ~(F.col("survives") & (F.col("nf_old") == F.col("nf_new")))
+        ).select("term_id")
         old_blocks = spark.read.schema(BLOCKS_WITH_BUCKET).parquet(
             cur_blocks_dir
         ).filter(F.col("term_bucket").isin(affected_buckets))
-        keep_blocks = old_blocks.join(affected_ids, "term_id", "left_anti")
-        surviving = _decode_blocks_to_postings(
-            old_blocks.join(affected_ids, "term_id", "left_semi")
-        ).join(F.broadcast(pending), "doc_id", "left_anti")
+        touched = (
+            deleted_runs.withColumn("term_id", F.xxhash64("term"))
+            .join(partial, "term_id")
+            .select(
+                "term_id",
+                F.pmod(F.xxhash64("doc_id"), F.col("n_frag"))
+                .cast("int").alias("salt"),
+            )
+            .distinct()
+        )
+        partial_blocks = old_blocks.join(partial, "term_id").withColumn(
+            "salt",
+            F.pmod(F.xxhash64("first_doc_id"), F.col("n_frag")).cast("int"),
+        )
+        blk_cols = [f.name for f in BLOCKS_WITH_BUCKET.fields]
+        keep_blocks = (
+            old_blocks.join(affected_ids, "term_id", "left_anti")
+            .unionByName(
+                partial_blocks.join(touched, ["term_id", "salt"], "left_anti")
+                .select(*blk_cols)
+            )
+        )
+        decode_blocks = (
+            old_blocks.join(full_ids, "term_id", "left_semi")
+            .unionByName(
+                partial_blocks.join(touched, ["term_id", "salt"], "left_semi")
+                .select(*blk_cols)
+            )
+        )
+        surviving = _decode_blocks_to_postings(decode_blocks).join(
+            F.broadcast(pending), "doc_id", "left_anti"
+        )
         staged_dict = spark.read.schema(DICTIONARY_ON_DISK).parquet(
             dict_staging
         )
