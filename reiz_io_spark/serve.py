@@ -75,9 +75,29 @@ class QueryService:
         max_driver_docmeta: int = 5_000_000,
         max_cached_terms: int = 65_536,
         max_cached_contents: int = 16_384,
+        auto_refresh_s: float | None = None,
     ):
-        self.reader = reader
         self.max_driver_postings = max_driver_postings
+        self._max_driver_docmeta = max_driver_docmeta
+        self._max_cached_terms = max_cached_terms
+        self._max_cached_contents = max_cached_contents
+        # auto_refresh_s: with a live-maintained index (update/delete/
+        # merge commits), re-stat meta.json at most this often from
+        # query_topk and reopen on a newer snapshot. None (default) =
+        # pinned snapshot, the classic contract.
+        self.auto_refresh_s = auto_refresh_s
+        self._next_refresh_check = 0.0
+        self._miss_lock = threading.Lock()
+        self._bind(reader)
+
+    def _bind(self, reader: IndexReader) -> None:
+        """Point the service at one committed snapshot: fresh caches,
+        fresh stats. In-flight warm readers keep the PREVIOUS snapshot's
+        immutable cache objects — per-request consistency holds."""
+        max_driver_docmeta = self._max_driver_docmeta
+        max_cached_terms = self._max_cached_terms
+        max_cached_contents = self._max_cached_contents
+        self.reader = reader
         self.meta = reader.meta
         self.k1 = float(self.meta["k1"])
         self.b = float(self.meta["b"])
@@ -94,7 +114,6 @@ class QueryService:
                 r["doc_id"]: (r["repo"], r["path"], r["commit"]) for r in rows
             }
         self._content: _LRU = _LRU(max_cached_contents)
-        self._miss_lock = threading.Lock()
         # pending deleted docs (operators/deletes.py): masked out of
         # every decoded posting list below, so all serving paths
         # exclude them; folded tombstones are already absent from
@@ -105,6 +124,43 @@ class QueryService:
         if self._docmeta is not None and self._excl is not None:
             for did in self._excl.tolist():
                 self._docmeta.pop(did, None)
+
+    def refresh_if_stale(self) -> bool:
+        """Reopen on a newer committed index snapshot (an update/
+        delete/merge flipped meta.json since this service bound its
+        reader). One meta.json read; True iff the service re-bound.
+        All caches reset and refill lazily — the same warm-up cost as
+        a new service, paid only when a commit actually happened.
+        Concurrent warm queries during the swap serve the OLD snapshot
+        to completion (their cache references stay valid); queries
+        arriving after the swap see the new one."""
+        import json as _json
+        import os as _os
+
+        mp = _os.path.join(self.reader.index_dir, "meta.json")
+        try:
+            with open(mp) as fh:
+                v = int(_json.load(fh).get("version", 0))
+        except (OSError, ValueError):
+            return False
+        if v == int(self.meta.get("version", 0)):
+            return False
+        with self._miss_lock:
+            if v == int(self.meta.get("version", 0)):  # double-checked
+                return False
+            self._bind(IndexReader(self.reader.spark, self.reader.index_dir))
+        return True
+
+    def _maybe_auto_refresh(self) -> None:
+        if self.auto_refresh_s is None:
+            return
+        import time as _time
+
+        now = _time.monotonic()
+        if now < self._next_refresh_check:
+            return
+        self._next_refresh_check = now + float(self.auto_refresh_s)
+        self.refresh_if_stale()
 
     # -- term resolution (cached) ---------------------------------------------
 
@@ -247,6 +303,7 @@ class QueryService:
         field_weights (BM25F): per-namespace multipliers applied at
         score time — the postings cache stays weight-independent, so
         one warm cache serves every weighting."""
+        self._maybe_auto_refresh()
         groups = self.resolve_groups(query)
         if not groups or any(len(g) == 0 for g in groups):
             return []
@@ -291,6 +348,7 @@ class QueryService:
         driver-side matcher over cached content)."""
         from .plans.matcher import match_spans
 
+        self._maybe_auto_refresh()
         groups = self.resolve_groups(query)
         if not groups or any(len(g) == 0 for g in groups):
             return []

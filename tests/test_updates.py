@@ -271,3 +271,38 @@ def test_staged_update_is_invisible_until_merge(spark, tmp_path_factory):
     assert not (post_ids & set(old_ids))
     assert int(r.meta["n_tombstones_pending"]) == len(old_ids)
     assert not os.path.isdir(bdir), "applied sidecar not consumed"
+
+
+def test_serving_tier_refresh_picks_up_update(spark, tmp_path_factory):
+    """QueryService pins its snapshot; refresh_if_stale rebinds after
+    an update commit; auto_refresh_s=0 does it transparently per query."""
+    from reiz_io_spark.serve import QueryService
+
+    out = str(tmp_path_factory.mktemp("serve_upd"))
+    corpus = synth_corpus(spark, n_filler=20, seed=9).cache()
+    build_index(spark, corpus, out, build_id="b0", n_shards=2,
+                fragment_postings=64)
+    victim = corpus.select("repo").distinct().orderBy("repo").collect()[0]["repo"]
+
+    pinned = QueryService(IndexReader(spark, out))
+    auto = QueryService(IndexReader(spark, out), auto_refresh_s=0.0)
+    before = [(r["doc_id"], r["score"]) for r in pinned.query_topk(Q, k=10)]
+    assert [(r["doc_id"], r["score"]) for r in auto.query_topk(Q, k=10)] == before
+    assert pinned.refresh_if_stale() is False  # no commit yet
+
+    update_docs(
+        spark, out,
+        corpus.filter(F.col("repo") == victim).withColumn(
+            "content", F.concat(F.col("content"), F.lit(UPDATED_SUFFIX))
+        ),
+    )
+    want = _topk(IndexReader(spark, out))
+
+    # pinned: still the old snapshot until an explicit refresh
+    assert [(r["doc_id"], r["score"]) for r in pinned.query_topk(Q, k=10)] == before
+    assert pinned.refresh_if_stale() is True
+    assert [(r["doc_id"], r["score"]) for r in pinned.query_topk(Q, k=10)] == want
+    assert pinned.refresh_if_stale() is False  # idempotent
+
+    # auto: next query transparently serves the new snapshot
+    assert [(r["doc_id"], r["score"]) for r in auto.query_topk(Q, k=10)] == want
