@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--index", required=True)
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8099)
+    sv.add_argument(
+        "--auto-refresh-s", type=float, default=None,
+        help="re-stat meta.json at most this often and rebind to newer "
+        "committed snapshots (live-maintained index); default: pinned",
+    )
 
     mg = sub.add_parser(
         "merge", help="incremental merge of newly ingested batches "
@@ -279,7 +284,7 @@ def _dispatch(args, spark) -> int:
         from .web import serve as http_serve
 
         reader = IndexReader(spark, args.index).warm()
-        service = QueryService(reader)
+        service = QueryService(reader, auto_refresh_s=args.auto_refresh_s)
         print(json.dumps({"serving": f"http://{args.host}:{args.port}"}),
               file=sys.stderr)
         http_serve(service, host=args.host, port=args.port)
