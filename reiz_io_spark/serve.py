@@ -247,6 +247,7 @@ class QueryService:
     def _score_driver(
         self, groups: list[tuple[str, ...]], tmeta: dict, k: int,
         field_weights: dict[str, float] | None = None,
+        avgdl: float | None = None,
     ) -> list[tuple[int, float]]:
         # LRU guard: between the fetch and here another thread's fill
         # could (in principle) have evicted one of this query's terms —
@@ -289,7 +290,7 @@ class QueryService:
                 idf *= field_weight_of(term, field_weights)
             scores[hit] += codec.bm25_contrib(
                 tf[pos[hit]], dl[pos[hit]], idf,
-                self.avgdl, self.k1, self.b,
+                self.avgdl if avgdl is None else avgdl, self.k1, self.b,
             )
         order = np.lexsort((candidates, -scores))[:k]
         return [(int(candidates[i]), float(scores[i])) for i in order]
@@ -519,3 +520,121 @@ class QueryService:
                     for d in missing:
                         self._content[d] = got.get(d)
         return {d: self._content.get(d) for d in doc_ids}
+
+
+class FederatedQueryService:
+    """Warm serving over a SHARDED index (operators/federation.py's
+    dfs_query_then_fetch, lifted to the latency tier): one QueryService
+    per shard, global BM25 statistics assembled per query FROM THE
+    SHARD SERVICES' OWN memos (Like expansions, term df, n_docs /
+    total_dl), per-shard driver scoring under the global idf/avgdl,
+    and a driver-side merge of the per-shard top-k. Once the shard
+    caches are warm a federated query runs ZERO Spark jobs — the same
+    steady-state contract as the single-index service — and the
+    results are bit-identical to one index over the union corpus
+    (integer-sum statistics; pytest-gated). Queries whose global df
+    exceeds the driver budget fall back to the distributed federated
+    WAND path."""
+
+    def __init__(self, services: list[QueryService]):
+        if not services:
+            raise ValueError("FederatedQueryService: no shards")
+        k1s = {s.k1 for s in services}
+        bs = {s.b for s in services}
+        if len(k1s) != 1 or len(bs) != 1:
+            raise ValueError(
+                f"shards disagree on BM25 params (k1={sorted(k1s)}, "
+                f"b={sorted(bs)}) — rebuild the outlier shard"
+            )
+        self.services = services
+        self.k1 = services[0].k1
+        self.b = services[0].b
+
+    def _global_stats(self, query: LoweredQuery):
+        per_groups = [s.resolve_groups(query) for s in self.services]
+        arity = {len(g) for g in per_groups}
+        if len(arity) != 1:
+            raise ValueError("shards resolved different group arity")
+        groups = [
+            tuple(sorted({t for pg in per_groups for t in pg[i]}))
+            for i in range(arity.pop())
+        ]
+        all_terms = sorted({t for g in groups for t in g})
+        df: dict[str, int] = {}
+        for s in self.services:
+            for t, m in s.term_meta(all_terms).items():
+                df[t] = df.get(t, 0) + int(m["df"])
+        n_docs = sum(s.n_docs for s in self.services)
+        total_dl = sum(int(s.meta["total_dl"]) for s in self.services)
+        avgdl = total_dl / n_docs if n_docs else 0.0
+        n = float(n_docs)
+        gmeta = {
+            t: {
+                "term": t,
+                "df": d,
+                "idf": float(np.log(1.0 + (n - d + 0.5) / (d + 0.5))),
+            }
+            for t, d in df.items()
+        }
+        return groups, gmeta, avgdl
+
+    def query_topk(
+        self, query: LoweredQuery, k: int = 10, offset: int = 0,
+        field_weights: dict[str, float] | None = None,
+    ) -> list[dict]:
+        for s in self.services:
+            s._maybe_auto_refresh()
+        groups, gmeta, avgdl = self._global_stats(query)
+        if not groups or any(len(g) == 0 for g in groups):
+            return []
+        for g in groups:
+            if all(t not in gmeta for t in g):
+                return []
+        budget = min(s.max_driver_postings for s in self.services)
+        if sum(m["df"] for m in gmeta.values()) > budget:
+            from .operators.federation import federated_topk
+
+            top = federated_topk(
+                self.services[0].reader.spark, None, query,
+                k=k, offset=offset, field_weights=field_weights,
+                readers=[s.reader for s in self.services],
+            ).collect()
+            ranked = [(r["doc_id"], r["score"]) for r in top]
+        else:
+            merged: list[tuple[int, float]] = []
+            for s in self.services:
+                s._fetch_postings(list(gmeta))
+                merged.extend(
+                    s._score_driver(
+                        groups, gmeta, k + offset,
+                        field_weights=field_weights, avgdl=avgdl,
+                    )
+                )
+            merged.sort(key=lambda t: (-t[1], t[0]))
+            ranked = merged[offset:k + offset]
+
+        from .functions.links import github_link, username_of
+
+        out = []
+        for rank, (doc_id, score) in enumerate(ranked, start=offset + 1):
+            repo, path, commit = self._doc_meta_any(doc_id)
+            out.append(
+                {"doc_id": doc_id, "repo": repo, "path": path,
+                 "score": score, "rank": rank,
+                 "github_link": github_link(repo, commit, path),
+                 "username": username_of(repo)}
+            )
+        return out
+
+    def _doc_meta_any(self, doc_id: int) -> tuple:
+        """Each doc_id lives in exactly one shard (disjoint corpora):
+        check the warm docmeta maps first, then fall back shard by
+        shard."""
+        for s in self.services:
+            if s._docmeta is not None and doc_id in s._docmeta:
+                return s._docmeta[doc_id]
+        for s in self.services:
+            got = s._doc_meta(doc_id)
+            if got[0] is not None:
+                return got
+        return (None, None, None)

@@ -174,3 +174,51 @@ def test_k1_mismatch_refuses(spark, fed, tmp_path_factory):
     readers = [IndexReader(spark, bad)] + fed["readers"][1:]
     with pytest.raises(ValueError, match="k1"):
         federated_stats(readers, Q)
+
+
+def test_federated_serving_tier(spark, fed):
+    """FederatedQueryService: global stats assembled from shard-service
+    memos, per-shard driver scoring, merged top-k — equal to both the
+    single-index warm service and the distributed federated path; the
+    warm repeat touches no new Spark jobs' worth of postings fetches."""
+    from reiz_io_spark.serve import FederatedQueryService, QueryService
+
+    single_svc = QueryService(IndexReader(spark, fed["single"]))
+    fed_svc = FederatedQueryService(
+        [QueryService(r) for r in fed["readers"]]
+    )
+    for q in (Q, Q_LIKE):
+        for w in (None, {"id": 2.0, "node": 0.5}):
+            want = [
+                (r["doc_id"], r["score"])
+                for r in single_svc.query_topk(q, k=15, field_weights=w)
+            ]
+            got = [
+                (r["doc_id"], r["score"])
+                for r in fed_svc.query_topk(q, k=15, field_weights=w)
+            ]
+            assert got == want, (q.name, w)
+    # offset paging parity against the distributed federated path
+    want = _rows(federated_topk(spark, None, Q, k=10, offset=5,
+                                readers=fed["readers"]))
+    got = [
+        (r["doc_id"], r["score"])
+        for r in fed_svc.query_topk(Q, k=10, offset=5)
+    ]
+    assert got == want
+    # metadata rendering resolves across shards
+    rows = fed_svc.query_topk(Q, k=5)
+    assert all(r["repo"] and r["path"] and r["github_link"] for r in rows)
+
+
+def test_federated_serving_distributed_fallback(spark, fed):
+    """A tiny driver budget routes the federated service through the
+    distributed federated WAND path — results unchanged."""
+    from reiz_io_spark.serve import FederatedQueryService, QueryService
+
+    fed_svc = FederatedQueryService([
+        QueryService(r, max_driver_postings=1) for r in fed["readers"]
+    ])
+    want = _rows(federated_topk(spark, None, Q, k=10, readers=fed["readers"]))
+    got = [(r["doc_id"], r["score"]) for r in fed_svc.query_topk(Q, k=10)]
+    assert got == want
