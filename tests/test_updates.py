@@ -29,6 +29,7 @@ from reiz_io_spark.operators.build import build_index, merge_incremental
 from reiz_io_spark.operators.deletes import compact_deletes, delete_docs
 from reiz_io_spark.operators.score import IndexReader, attach_doc_metadata
 from reiz_io_spark.operators.updates import update_docs
+from reiz_io_spark.functions.hashing import spark_xxhash64
 from reiz_io_spark.operators.wand import wand_topk
 from reiz_io_spark.plans.lower import lower_query
 from reiz_io_spark.sources.corpus import synth_corpus
@@ -306,3 +307,50 @@ def test_serving_tier_refresh_picks_up_update(spark, tmp_path_factory):
 
     # auto: next query transparently serves the new snapshot
     assert [(r["doc_id"], r["score"]) for r in auto.query_topk(Q, k=10)] == want
+
+
+def test_grep_sidecar_follows_update(spark, tmp_path_factory):
+    """Update tier x regex tier: an update commit adds a content batch,
+    so the trigram sidecar refuses as stale; update_trigram_index folds
+    ONLY the new batch; grep then finds the new content and never
+    returns the replaced version (ledger-filtered candidates)."""
+    from reiz_io_spark.operators.regexsearch import (
+        StaleTrigramIndex,
+        build_trigram_index,
+        grep_index,
+        update_trigram_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("upd_grep"))
+    corpus = synth_corpus(spark, n_filler=20, seed=21).cache()
+    build_index(spark, corpus, out, build_id="b0", n_shards=2,
+                fragment_postings=64)
+    build_trigram_index(spark, out)
+    probe = "zz_updated_grep_probe"
+    assert grep_index(spark, out, probe).count() == 0
+
+    victim = corpus.select("repo").distinct().orderBy("repo").collect()[0]["repo"]
+    update_docs(
+        spark, out,
+        corpus.filter(F.col("repo") == victim).withColumn(
+            "content",
+            F.concat(
+                F.col("content"),
+                F.lit(f"\n\ndef {probe}(x):\n    return len(x)\n"),
+            ),
+        ),
+    )
+    with pytest.raises(StaleTrigramIndex):
+        grep_index(spark, out, probe).collect()
+    update_trigram_index(spark, out)
+    hits = grep_index(spark, out, probe)
+    n_victim = corpus.filter(F.col("repo") == victim).count()
+    assert hits.count() == n_victim
+    assert {r["repo"] for r in hits.select("repo").collect()} == {victim}
+    # the replaced versions' doc_ids never surface
+    old_ids = {
+        spark_xxhash64(r["repo"], r["path"])
+        for r in corpus.filter(F.col("repo") == victim)
+        .select("repo", "path").collect()
+    }
+    assert not ({r["doc_id"] for r in hits.collect()} & old_ids)
