@@ -171,3 +171,63 @@ def federated_doc_metadata(
         part = F.broadcast(top).join(docs, "doc_id")
         out = part if out is None else out.unionByName(part)
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def federated_update_docs(
+    spark: SparkSession, index_dirs: list[str], corpus: DataFrame
+) -> list[dict]:
+    """Route an update batch to its owning shards (the same
+    pmod(xxhash64(repo), N) hash that placed the docs) and apply one
+    update_docs commit per TOUCHED shard. Returns the committed metas
+    in shard order (untouched shards return their current meta
+    unchanged). Shards commit independently — a mixed batch is N
+    atomic per-shard commits, not one global transaction; readers of
+    any single shard always see a consistent snapshot, and a crash
+    mid-sequence leaves the untouched shards' snapshots intact with
+    the failed shard resumable (update_docs' idempotent replay)."""
+    from .updates import update_docs
+
+    n = len(index_dirs)
+    routed = corpus.withColumn("_fed_shard", shard_of(n))
+    metas = []
+    for i, d in enumerate(index_dirs):
+        part = routed.filter(F.col("_fed_shard") == i).drop("_fed_shard")
+        metas.append(update_docs(spark, d, part))
+    return metas
+
+
+def federated_delete_docs(
+    spark: SparkSession, index_dirs: list[str], predicate
+) -> list[dict]:
+    """Apply a delete predicate shard by shard, committing ONLY on
+    shards that actually match (a cheap matched-probe per shard keeps
+    non-matching shards' snapshot versions untouched). For the common
+    delete-one-repo case prefer federated_delete_repo — the routing
+    hash names the single owning shard with zero probes."""
+    from ..schema import DOCS_ON_DISK
+    from .build import _paths
+    from .deletes import delete_docs
+
+    metas = []
+    for d in index_dirs:
+        docs = spark.read.schema(DOCS_ON_DISK).parquet(_paths(d)["docs"])
+        if docs.filter(predicate).take(1):
+            metas.append(delete_docs(spark, d, predicate))
+        else:
+            import json as _json
+
+            with open(_paths(d)["meta"]) as fh:
+                metas.append(_json.load(fh))
+    return metas
+
+
+def federated_delete_repo(
+    spark: SparkSession, index_dirs: list[str], repo: str
+) -> dict:
+    """Delete one repo: ONE shard owns it (repo-colocated routing), so
+    exactly one tombstone commit happens — the others are untouched."""
+    from ..functions.hashing import spark_xxhash64
+    from .deletes import delete_docs
+
+    i = spark_xxhash64(repo) % len(index_dirs)
+    return delete_docs(spark, index_dirs[i], F.col("repo") == repo)

@@ -222,3 +222,80 @@ def test_federated_serving_distributed_fallback(spark, fed):
     want = _rows(federated_topk(spark, None, Q, k=10, readers=fed["readers"]))
     got = [(r["doc_id"], r["score"]) for r in fed_svc.query_topk(Q, k=10)]
     assert got == want
+
+
+def test_federated_writes_route_to_owning_shard(spark, fed, tmp_path_factory):
+    """Update/delete routing: an update batch touches only the shards
+    owning its repos (others' versions unmoved); federated_delete_repo
+    commits on exactly the owning shard; post-update federated results
+    equal a single union index over the updated corpus."""
+    import shutil
+
+    from reiz_io_spark.operators.federation import (
+        federated_delete_repo,
+        federated_update_docs,
+    )
+
+    base = tmp_path_factory.mktemp("fed_wr")
+    sdirs = []
+    for d in fed["shards"]:
+        d2 = str(base / ("w_" + d.rsplit("/", 1)[-1]))
+        shutil.copytree(d, d2)
+        sdirs.append(d2)
+    victim = "synth/repo002"
+    suffix = "\n\ndef fed_upd_probe(x):\n    return len(x)\n"
+    batch = fed["corpus"].filter(F.col("repo") == victim).withColumn(
+        "content", F.concat(F.col("content"), F.lit(suffix))
+    )
+    before = [int(IndexReader(spark, d).meta["version"]) for d in sdirs]
+    federated_update_docs(spark, sdirs, batch)
+    after = [int(IndexReader(spark, d).meta["version"]) for d in sdirs]
+    assert sum(1 for b, a in zip(before, after) if a > b) == 1, (
+        "exactly one shard owns the repo"
+    )
+
+    # fold the replaced versions: pending tombstones count toward
+    # stats until compaction (the Lucene contract), so fresh-build
+    # parity needs the owning shard compacted first
+    from reiz_io_spark.operators.deletes import compact_deletes
+
+    for d in sdirs:
+        compact_deletes(spark, d)
+
+    single2 = str(base / "single")
+    updated_corpus = fed["corpus"].withColumn(
+        "content",
+        F.when(F.col("repo") == victim,
+               F.concat(F.col("content"), F.lit(suffix)))
+        .otherwise(F.col("content")),
+    )
+    build_index(spark, updated_corpus, single2, build_id="b0", n_shards=2,
+                fragment_postings=64)
+    readers = [IndexReader(spark, d) for d in sdirs]
+    want = {
+        (r["repo"], r["path"], round(r["score"], 9))
+        for r in attach_doc_metadata(
+            IndexReader(spark, single2),
+            wand_topk(IndexReader(spark, single2), Q, k=25),
+        ).collect()
+    }
+    got = {
+        (r["repo"], r["path"], round(r["score"], 9))
+        for r in federated_doc_metadata(
+            readers, federated_topk(spark, None, Q, k=25, readers=readers)
+        ).collect()
+    }
+    assert got == want
+
+    # delete-one-repo: exactly the owning shard commits
+    before = [int(IndexReader(spark, d).meta["version"]) for d in sdirs]
+    federated_delete_repo(spark, sdirs, victim)
+    after = [int(IndexReader(spark, d).meta["version"]) for d in sdirs]
+    assert sum(1 for b, a in zip(before, after) if a > b) == 1
+    readers = [IndexReader(spark, d) for d in sdirs]
+    assert victim not in {
+        r["repo"]
+        for r in federated_doc_metadata(
+            readers, federated_topk(spark, None, Q, k=25, readers=readers)
+        ).collect()
+    }
