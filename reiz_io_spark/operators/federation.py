@@ -231,3 +231,153 @@ def federated_delete_repo(
 
     i = spark_xxhash64(repo) % len(index_dirs)
     return delete_docs(spark, index_dirs[i], F.col("repo") == repo)
+
+
+def reshard_index(
+    spark: SparkSession,
+    old_dirs: list[str],
+    new_n: int,
+    out_root: str,
+    n_shards_inner: int | None = None,
+) -> list[str]:
+    """Re-split a shard set to ``new_n`` shards WITHOUT re-tokenizing.
+
+    The tokenizer (an ast.parse per document) dominates build cost; its
+    output already lives in the docs/runs/content logs. Resharding is
+    therefore pure data movement + encode: ONE pass per table unions
+    the old shards' logs, drops tombstoned docs (folded deletes must
+    not resurrect; version-qualified update identities ride along
+    unchanged), routes rows by the new hash, and writes a staging tree
+    partitioned by (new shard, batch, inner shard); directory renames
+    then place each new shard's partitions, a fresh lineage aggregates
+    per inner shard, and merge_and_encode builds dictionary+blocks —
+    the only compute is the block encode. Refuses shards with PENDING
+    tombstones (compact first: pending semantics — "still counted in
+    stats" — cannot carry across a reshard whose stats come from the
+    rewritten lineage).
+
+    Returns the new shard dirs. Queries over them are bit-identical to
+    the old federation (same doc_ids, same global stats — pytest-gated)."""
+    import json
+    import os
+    import shutil
+    import time
+
+    from ..schema import CONTENT_ON_DISK, DOCS_ON_DISK, RUNS_ON_DISK
+    from .build import _paths, _write_meta_atomic, merge_and_encode
+    from .deletes import read_tombstones
+
+    metas = []
+    for d in old_dirs:
+        with open(_paths(d)["meta"]) as fh:
+            metas.append(json.load(fh))
+        if int(metas[-1].get("n_tombstones_pending", 0)):
+            raise RuntimeError(
+                f"reshard_index: {d} has pending tombstones — run "
+                f"compact_deletes first (pending stats semantics cannot "
+                f"carry across a reshard)"
+            )
+    for key in ("k1", "b", "block_size", "fragment_postings"):
+        vals = {m.get(key) for m in metas}
+        if len(vals) != 1:
+            raise ValueError(f"old shards disagree on {key}: {sorted(vals)}")
+    inner = n_shards_inner or int(metas[0].get("n_shards", 8))
+    batch_id = "reshard-0"
+
+    def _union(table: str, schema):
+        out = None
+        for d, m in zip(old_dirs, metas):
+            df = spark.read.schema(schema).parquet(_paths(d)[table])
+            tomb = read_tombstones(spark, d, m)
+            if tomb is not None:
+                df = df.join(tomb.select("doc_id"), "doc_id", "left_anti")
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    staging = os.path.join(out_root, "_reshard_staging")
+    new_dirs = [os.path.join(out_root, f"shard{j}") for j in range(new_n)]
+    for j, nd in enumerate(new_dirs):
+        os.makedirs(nd, exist_ok=True)
+
+    # docs carries repo -> route directly; runs/content route through a
+    # broadcast-light doc_id->fed_shard map derived from docs (runs has
+    # no repo column); everything lands in ONE staged write per table
+    docs_all = (
+        _union("docs", DOCS_ON_DISK)
+        .withColumn("fed_shard", shard_of(new_n))
+        .withColumn("batch", F.lit(batch_id))
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("repo"), F.lit(inner)).cast("int")
+        )
+    )
+    route = docs_all.select("doc_id", "fed_shard", "shard")
+    for table, schema in (("docs", DOCS_ON_DISK), ("content", CONTENT_ON_DISK),
+                          ("runs", RUNS_ON_DISK)):
+        stage_dir = os.path.join(staging, table)
+        if table == "docs":
+            df = docs_all
+        else:
+            df = (
+                _union(table, schema)
+                .drop("batch", "shard")
+                .join(route, "doc_id")
+                .withColumn("batch", F.lit(batch_id))
+            )
+        cols = [f.name for f in schema.fields]
+        (
+            df.select("fed_shard", *cols)
+            .repartition("fed_shard", "shard")
+            .write.mode("overwrite")
+            .partitionBy("fed_shard", "batch", "shard")
+            .parquet(stage_dir)
+        )
+        for j, nd in enumerate(new_dirs):
+            src = os.path.join(stage_dir, f"fed_shard={j}", f"batch={batch_id}")
+            dst_root = os.path.join(nd, table)
+            if not os.path.isdir(src):
+                raise RuntimeError(
+                    f"reshard_index: new shard {j} received no {table} "
+                    f"rows — new_n={new_n} leaves an empty shard for "
+                    f"this corpus; pick a smaller new_n"
+                )
+            os.makedirs(dst_root, exist_ok=True)
+            os.replace(src, os.path.join(dst_root, f"batch={batch_id}"))
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # lineage + encode per new shard (the stage1 aggregation, verbatim)
+    for j, nd in enumerate(new_dirs):
+        p = _paths(nd)
+        t0 = time.perf_counter()
+        docs_j = spark.read.schema(DOCS_ON_DISK).parquet(p["docs"])
+        lineage_rows = (
+            docs_j.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_files"),
+                F.sum(
+                    F.when(~F.col("parse_ok"), 1).otherwise(0)
+                ).alias("n_parse_failed"),
+                F.sum("doclen").alias("n_terms"),
+                F.format_string(
+                    "%016x", F.expr("bit_xor(xxhash64(content_sha256))")
+                ).alias("content_sha_xor"),
+            )
+            .select(
+                F.lit(batch_id).alias("build_id"),
+                "shard",
+                F.lit("done").alias("status"),
+                "n_files", "n_parse_failed", "n_terms", "content_sha_xor",
+                F.lit(0).cast("long").alias("wall_ms"),
+            )
+        )
+        lineage_rows.write.mode("overwrite").parquet(p["lineage"])
+        meta = merge_and_encode(
+            spark, nd, build_id=batch_id,
+            block_size=int(metas[0]["block_size"]),
+            k1=float(metas[0]["k1"]), b=float(metas[0]["b"]),
+            fragment_postings=int(metas[0]["fragment_postings"]),
+        )
+        meta["n_shards"] = inner
+        meta["resharded_from"] = len(old_dirs)
+        meta["reshard_wall_ms"] = int((time.perf_counter() - t0) * 1000)
+        _write_meta_atomic(p["meta"], meta)
+    return new_dirs

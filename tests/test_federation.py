@@ -299,3 +299,71 @@ def test_federated_writes_route_to_owning_shard(spark, fed, tmp_path_factory):
             readers, federated_topk(spark, None, Q, k=25, readers=readers)
         ).collect()
     }
+
+
+def test_reshard_without_retokenize(spark, fed, tmp_path_factory):
+    """3 shards -> 2 shards rebuilt purely from the logs (no tokenizer
+    pass): federated results bit-identical across the reshard,
+    version-qualified update identities ride along, folded deletes stay
+    gone, pending tombstones refuse."""
+    import shutil
+
+    from reiz_io_spark.operators.deletes import compact_deletes, delete_docs
+    from reiz_io_spark.operators.federation import reshard_index
+    from reiz_io_spark.operators.updates import update_docs
+
+    base = tmp_path_factory.mktemp("reshard")
+    sdirs = []
+    for d in fed["shards"]:
+        d2 = str(base / ("r_" + d.rsplit("/", 1)[-1]))
+        shutil.copytree(d, d2)
+        sdirs.append(d2)
+
+    # mutate before resharding: one repo updated (+compacted), one deleted
+    upd_repo, del_repo = "synth/repo002", "synth/repo005"
+    for d in sdirs:
+        r = IndexReader(spark, d)
+        if r.docs().filter(F.col("repo") == upd_repo).take(1):
+            update_docs(
+                spark, d,
+                fed["corpus"].filter(F.col("repo") == upd_repo).withColumn(
+                    "content",
+                    F.concat(F.col("content"),
+                             F.lit("\n\ndef reshard_probe(x):\n    return len(x)\n")),
+                ),
+            )
+            compact_deletes(spark, d)
+        if IndexReader(spark, d).docs().filter(
+            F.col("repo") == del_repo
+        ).take(1):
+            delete_docs(spark, d, F.col("repo") == del_repo)
+            compact_deletes(spark, d)
+
+    old_readers = [IndexReader(spark, d) for d in sdirs]
+    want = _rows(federated_topk(spark, None, Q, k=30, readers=old_readers))
+
+    new_dirs = reshard_index(spark, sdirs, 2, str(base / "new"))
+    assert len(new_dirs) == 2
+    new_readers = [IndexReader(spark, d) for d in new_dirs]
+    got = _rows(federated_topk(spark, None, Q, k=30, readers=new_readers))
+    assert got == want, "reshard must be invisible to queries"
+    # deleted repo stays gone; updated repo serves the new content ids
+    repos = {
+        r["repo"]
+        for r in federated_doc_metadata(
+            new_readers,
+            federated_topk(spark, None, Q, k=30, readers=new_readers),
+        ).collect()
+    }
+    assert del_repo not in repos
+
+    # pending tombstones refuse
+    pend = str(base / "pend")
+    shutil.copytree(new_dirs[0], pend)
+    victim = (
+        IndexReader(spark, pend).docs().select("repo")
+        .distinct().orderBy("repo").collect()[0]["repo"]
+    )
+    delete_docs(spark, pend, F.col("repo") == victim)
+    with pytest.raises(RuntimeError, match="pending"):
+        reshard_index(spark, [pend, new_dirs[1]], 2, str(base / "new2"))
