@@ -54,6 +54,16 @@ def main(argv: list[str] | None = None) -> int:
     qf.add_argument("--pattern", required=True)
     qf.add_argument("-k", type=int, default=10)
 
+    rs = sub.add_parser(
+        "reshard", help="re-split a shard set to a different shard "
+        "count WITHOUT re-tokenizing (logs -> staged routed copy -> "
+        "per-shard encode; queries bit-identical across the reshard)"
+    )
+    rs.add_argument("--indexes", required=True,
+                    help="comma-separated OLD shard index dirs")
+    rs.add_argument("--new-n", type=int, required=True)
+    rs.add_argument("--out", required=True, help="root dir for the new shards")
+
     s = sub.add_parser("synth", help="write a deterministic synthetic corpus")
     s.add_argument("--out", required=True)
     s.add_argument("--files", type=int, default=10_000)
@@ -268,6 +278,14 @@ def _dispatch(args, spark) -> int:
             f"# {len(rows)} rows over {len(dirs)} shards in {wall:.3f}s",
             file=sys.stderr,
         )
+        return 0
+
+    if args.cmd == "reshard":
+        from .operators.federation import reshard_index
+
+        dirs = [p for p in args.indexes.split(",") if p]
+        new_dirs = reshard_index(spark, dirs, args.new_n, args.out)
+        print(json.dumps({"shards": new_dirs}))
         return 0
 
     if args.cmd == "synth":
