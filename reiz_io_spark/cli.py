@@ -165,6 +165,28 @@ def main(argv: list[str] | None = None) -> int:
                     "this are deleted (an in-flight append's staging "
                     "dir is young, so this is safe to run any time)")
 
+    dv = sub.add_parser(
+        "delete-vectors", help="tombstone vectors in a persistent ANN "
+        "index (excluded from every search immediately; "
+        "compact-ann-deletes folds them physically)"
+    )
+    dv.add_argument("--index", required=True)
+    dv.add_argument("--vec-ids", required=True, help="comma-separated")
+
+    uv = sub.add_parser(
+        "undelete-vectors", help="drop pending ANN tombstones (vectors "
+        "reappear; after a fold, re-append the embeddings instead)"
+    )
+    uv.add_argument("--index", required=True)
+    uv.add_argument("--vec-ids", required=True, help="comma-separated")
+
+    cad = sub.add_parser(
+        "compact-ann-deletes", help="physically fold pending vector "
+        "deletes (one merged segment minus tombstoned rows; ledger "
+        "cleared so deleted ids may be re-appended)"
+    )
+    cad.add_argument("--index", required=True)
+
     aq = sub.add_parser(
         "search-ann", help="top-k cosine neighbors from a persistent ANN index"
     )
@@ -371,6 +393,35 @@ def _dispatch(args, spark) -> int:
             args.index, max_age_seconds=args.max_age_seconds
         )
         print(json.dumps({"deleted": deleted}))
+        return 0
+
+    if args.cmd == "delete-vectors":
+        from .operators.ann_index import delete_vectors
+
+        meta = delete_vectors(
+            args.index, [int(x) for x in args.vec_ids.split(",") if x]
+        )
+        print(json.dumps({"version": meta.get("version"),
+                          "n_deleted_pending": meta.get("n_deleted_pending", 0)}))
+        return 0
+
+    if args.cmd == "undelete-vectors":
+        from .operators.ann_index import undelete_vectors
+
+        meta = undelete_vectors(
+            args.index, [int(x) for x in args.vec_ids.split(",") if x]
+        )
+        print(json.dumps({"version": meta.get("version"),
+                          "n_deleted_pending": meta.get("n_deleted_pending", 0)}))
+        return 0
+
+    if args.cmd == "compact-ann-deletes":
+        from .operators.ann_index import compact_ann_deletes
+
+        meta = compact_ann_deletes(spark, args.index)
+        print(json.dumps({"version": meta.get("version"),
+                          "n_vectors": meta.get("n_vectors"),
+                          "segments": meta.get("segments")}))
         return 0
 
     if args.cmd == "search-ann":

@@ -291,6 +291,10 @@ def ann_index_search(
 
     n_cand = k * refine_factor
     pruned = probed_codes_scan(spark, index_dir, all_probed)
+    # pending vector deletes (delete_vectors): masked inside the ADC
+    # scan, so tombstoned vectors never become candidates and the exact
+    # refine (downstream of the candidates) is delete-free too
+    excl = pending_vector_ids(index_dir, meta)
 
     def scan(batches):
         import pandas as pd
@@ -299,11 +303,18 @@ def ann_index_search(
             code_mat = np.array(list(pdf["codes"]), dtype="int64")
             vec_ids = pdf["vec_id"].to_numpy()
             list_ids = pdf["list_id"].to_numpy()
+            live = None
+            if excl is not None and excl.size:
+                pos = np.searchsorted(excl, vec_ids)
+                pos[pos == excl.size] = 0
+                live = excl[pos] != vec_ids
             outs = []
             for qid, lut in luts.items():
                 keep = np.isin(list_ids, sorted(probe_lists[qid])) & (
                     vec_ids != qid
                 )
+                if live is not None:
+                    keep &= live
                 if not keep.any():
                     continue
                 approx = lut[np.arange(m)[:, None], code_mat[keep].T].sum(axis=0)
@@ -473,3 +484,200 @@ def _newest_mtime(path: str) -> float:
             except OSError:
                 pass
     return newest
+
+
+# -- vector deletion: tombstones + compaction (the fulltext tier's ----------
+# -- live-docs discipline, adapted to the segment layout) -------------------
+
+ANN_MAX_PENDING = 4_000_000  # same closure-size pragmatics as deletes.py
+
+
+def _ann_tombstones_path(index_dir: str, meta: dict) -> str | None:
+    name = meta.get("ann_tombstones")
+    return os.path.join(index_dir, name) if name else None
+
+
+def pending_vector_ids(index_dir: str, meta: dict | None = None) -> np.ndarray | None:
+    """Sorted int64 array of tombstoned vec_ids for the scan-time mask,
+    or None. Unlike the fulltext ledger there is no folded tier: ANN
+    compaction physically removes the code rows AND the ledger (codes
+    are self-contained — nothing append-only can resurrect them), so a
+    deleted vec_id can later be legitimately re-appended."""
+    if meta is None:
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            meta = json.load(fh)
+    p = _ann_tombstones_path(index_dir, meta)
+    if p is None:
+        return None
+    arr = np.load(p)
+    if arr.size > ANN_MAX_PENDING:
+        raise RuntimeError(
+            f"{arr.size} pending vector deletes exceed the scan-closure "
+            f"budget ({ANN_MAX_PENDING}) — run compact_ann_deletes"
+        )
+    return arr
+
+
+def delete_vectors(index_dir: str, vec_ids: list[int]) -> dict:
+    """Tombstone vectors: committed as a sorted .npy ledger + atomic
+    meta flip under the append lock (serializes with append/compact).
+    Deleted vectors vanish from every search immediately; surviving
+    scores are unchanged (the ADC scan just skips them; the exact
+    refine only sees surviving candidates). Idempotent: re-deleting
+    already-pending ids changes nothing."""
+    lock = os.path.join(index_dir, "append.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise ConcurrentAppendError(
+            f"append/compaction in progress on {index_dir}"
+        ) from None
+    try:
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            meta = json.load(fh)
+        old = pending_vector_ids(index_dir, meta)
+        ids = np.array(sorted(set(int(v) for v in vec_ids)), dtype=np.int64)
+        merged = (
+            np.union1d(old, ids) if old is not None else ids
+        )
+        if old is not None and merged.size == old.size:
+            return meta  # nothing new — no version churn
+        version = int(meta.get("version", 1)) + 1
+        name = f"ann_tombstones_v{version}.npy"
+        _save_sidecar_atomic(os.path.join(index_dir, name), merged)
+        prev = meta.get("ann_tombstones")
+        meta["ann_tombstones"] = name
+        meta["n_deleted_pending"] = int(merged.size)
+        meta["version"] = version
+        _write_meta_atomic(index_dir=index_dir, meta=meta)
+        _gc_ann_tombstones(index_dir, keep={name} | ({prev} if prev else set()))
+        return meta
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def undelete_vectors(index_dir: str, vec_ids: list[int]) -> dict:
+    """Drop PENDING tombstones — the vectors reappear immediately
+    (their codes were never touched). After compact_ann_deletes the
+    rows are physically gone; restoring then means re-appending the
+    embeddings (append_to_ann_index), which works because the ledger
+    is cleared at compaction."""
+    lock = os.path.join(index_dir, "append.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise ConcurrentAppendError(
+            f"append/compaction in progress on {index_dir}"
+        ) from None
+    try:
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            meta = json.load(fh)
+        old = pending_vector_ids(index_dir, meta)
+        if old is None:
+            return meta
+        drop = np.array(sorted(set(int(v) for v in vec_ids)), dtype=np.int64)
+        merged = np.setdiff1d(old, drop)
+        if merged.size == old.size:
+            return meta
+        version = int(meta.get("version", 1)) + 1
+        prev = meta.get("ann_tombstones")
+        if merged.size:
+            name = f"ann_tombstones_v{version}.npy"
+            _save_sidecar_atomic(os.path.join(index_dir, name), merged)
+            meta["ann_tombstones"] = name
+        else:
+            name = None
+            meta.pop("ann_tombstones", None)
+        meta["n_deleted_pending"] = int(merged.size)
+        meta["version"] = version
+        _write_meta_atomic(index_dir=index_dir, meta=meta)
+        keep = {prev} if prev else set()
+        if name:
+            keep.add(name)
+        _gc_ann_tombstones(index_dir, keep=keep)
+        return meta
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def _gc_ann_tombstones(index_dir: str, keep: set) -> None:
+    import re
+
+    pat = re.compile(r"^ann_tombstones_v\d+\.npy$")
+    for nm in os.listdir(index_dir):
+        if pat.match(nm) and nm not in keep:
+            try:
+                os.remove(os.path.join(index_dir, nm))
+            except OSError:
+                pass
+
+
+def compact_ann_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """Physically fold pending vector deletes: all committed segments
+    rewritten as ONE segment minus the tombstoned rows, ledger cleared,
+    n_vectors recounted — after this the index is content-identical to
+    one built without the deleted vectors (pytest-gated), and deleted
+    vec_ids may be re-appended. Same commit discipline as
+    compact_ann_index (new unreferenced segment, one meta flip,
+    one-cycle deferred GC of superseded segments)."""
+    lock = os.path.join(index_dir, "append.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise ConcurrentAppendError(
+            f"append/compaction in progress on {index_dir}"
+        ) from None
+    try:
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            meta = json.load(fh)
+        pending = pending_vector_ids(index_dir, meta)
+        if pending is None or pending.size == 0:
+            return meta
+        merged = None
+        for seg_dir in _segment_dirs(index_dir, meta):
+            df = spark.read.schema(
+                "vec_id long, codes array<int>, list_id int"
+            ).parquet(seg_dir)
+            merged = df if merged is None else merged.unionByName(df)
+        dead = spark.createDataFrame(
+            [(int(v),) for v in pending.tolist()], "vec_id long"
+        )
+        survivors = merged.join(F.broadcast(dead), "vec_id", "left_anti")
+        segs = meta.get("segments", [])
+        nums = [int(s.split("-")[1]) for s in segs if s.startswith("seg-")]
+        new_seg = f"seg-{(max(nums) + 1 if nums else 0):05d}"
+        new_dir = os.path.join(index_dir, "codes", new_seg)
+        (
+            survivors.withColumn("list_id", F.col("list_id").cast("int"))
+            .write.mode("overwrite").partitionBy("list_id").parquet(new_dir)
+        )
+        n_live = (
+            spark.read.schema("vec_id long, codes array<int>, list_id int")
+            .parquet(new_dir).count()
+        )
+        prev_ledger = meta.get("ann_tombstones")
+        meta["segments"] = [new_seg]
+        meta["n_vectors"] = int(n_live)
+        meta.pop("ann_tombstones", None)
+        meta["n_deleted_pending"] = 0
+        meta["version"] = int(meta.get("version", 1)) + 1
+        _write_meta_atomic(index_dir=index_dir, meta=meta)
+        if prev_ledger:
+            # ledger GC: keep nothing (cleared); superseded segments get
+            # the usual one-cycle grace via the next gc/compact
+            _gc_ann_tombstones(index_dir, keep=set())
+        return meta
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
