@@ -354,3 +354,56 @@ def test_grep_sidecar_follows_update(spark, tmp_path_factory):
         .select("repo", "path").collect()
     }
     assert not ({r["doc_id"] for r in hits.collect()} & old_ids)
+
+
+def test_update_crash_at_commit_point_then_replay(spark, tmp_path_factory, monkeypatch):
+    """Kill the update's ONE commit (the merge's meta flip): nothing is
+    visible — ranked results, version, and ledger all unchanged — and a
+    replayed update_docs resumes under the same deterministic batch id
+    and completes to exactly the state a clean run produces."""
+    import reiz_io_spark.operators.build as B
+
+    out = str(tmp_path_factory.mktemp("upd_crash"))
+    corpus = synth_corpus(spark, n_filler=20, seed=17).cache()
+    build_index(spark, corpus, out, build_id="b0", n_shards=2,
+                fragment_postings=64)
+    r0 = IndexReader(spark, out)
+    pre = _topk(r0, k=30)
+    pre_version = int(r0.meta["version"])
+    victim = corpus.select("repo").distinct().orderBy("repo").collect()[0]["repo"]
+    batch = corpus.filter(F.col("repo") == victim).withColumn(
+        "content", F.concat(F.col("content"), F.lit(UPDATED_SUFFIX))
+    )
+
+    real = B._write_meta_atomic
+
+    def boom(path, meta):
+        raise RuntimeError("simulated crash at the commit point")
+
+    monkeypatch.setattr(B, "_write_meta_atomic", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        update_docs(spark, out, batch)
+    monkeypatch.setattr(B, "_write_meta_atomic", real)
+
+    r1 = IndexReader(spark, out)
+    assert int(r1.meta["version"]) == pre_version
+    assert int(r1.meta.get("n_tombstones_pending", 0)) == 0
+    assert _topk(r1, k=30) == pre, "crashed update leaked state"
+
+    # replay completes (lineage resume + sidecar overwrite + merge)
+    meta = update_docs(spark, out, batch)
+    assert int(meta["version"]) == pre_version + 1
+    r2 = IndexReader(spark, out)
+    old_ids = {
+        r["doc_id"]
+        for r in r2.docs().filter(
+            (F.col("repo") == victim) & F.col("doc_id").isin(
+                [spark_xxhash64(victim, row["path"])
+                 for row in corpus.filter(F.col("repo") == victim)
+                 .select("path").collect()]
+            )
+        ).select("doc_id").collect()
+    }
+    post_ids = {d for d, _ in _topk(r2, k=30)}
+    assert not (post_ids & old_ids)
+    assert int(meta["n_tombstones_pending"]) == len(old_ids)
