@@ -69,6 +69,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--files", type=int, default=10_000)
     s.add_argument("--seed", type=int, default=42)
 
+    fk = sub.add_parser(
+        "fsck", help="index integrity check: metadata invariants "
+        "(default) or full block/ledger/fingerprint verification "
+        "(--deep); exit 1 on any failure"
+    )
+    fk.add_argument("--index", required=True)
+    fk.add_argument("--deep", action="store_true")
+
     st = sub.add_parser("stats", help="index stats (the reference's /stats)")
     st.add_argument("--index", required=True)
 
@@ -530,6 +538,13 @@ def _dispatch(args, spark) -> int:
             "n_tombstones_pending": meta.get("n_tombstones_pending", 0),
         }))
         return 0
+
+    if args.cmd == "fsck":
+        from .operators.fsck import fsck_index
+
+        report = fsck_index(spark, args.index, deep=args.deep)
+        print(json.dumps(report, indent=2))
+        return 0 if all(v["ok"] for v in report.values()) else 1
 
     if args.cmd == "stats":
         from pyspark.sql import functions as F

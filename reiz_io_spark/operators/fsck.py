@@ -1,0 +1,206 @@
+"""Index integrity checker (``cli fsck``): the pytest-proven invariants
+as a first-class operational tool.
+
+An index that takes updates, deletes, compactions, merges, and
+resharding needs a way to ANSWER "is this directory healthy?" without
+running the test suite. Two tiers:
+
+- **light** (default): metadata-level — committed dirs resolve, the
+  dictionary is collision-free with positive df, collection stats
+  equal the lineage totals minus the folded ledger (the exact
+  arithmetic every commit path maintains), the tombstone ledger counts
+  match meta, and the snapshot log parses.
+- **deep** (``--deep``): data-level — blocks decode and every term's
+  posting count equals its dictionary df; no tombstoned doc_id
+  survives in the blocks (pending are masked at read, folded must be
+  physically gone); per-(batch, shard) content_sha_xor recomputed from
+  the docs table equals the lineage fingerprint (bit-rot check on the
+  forward index). Deep reads every block once — cost of one full
+  compaction scan, partition-parallel.
+
+Returns {check: {"ok": bool, "detail": str}}; the CLI exits non-zero
+if any check fails. Designed to run against a LIVE index: it reads one
+meta snapshot and never takes locks (pure reader).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import DICTIONARY_ON_DISK, DOCS_ON_DISK, LINEAGE
+from .build import _decode_blocks_to_postings, _paths, snapshots, table_dir
+
+
+def fsck_index(
+    spark: SparkSession, index_dir: str, deep: bool = False
+) -> dict[str, dict]:
+    report: dict[str, dict] = {}
+
+    def ok(name: str, cond: bool, detail: str = "") -> None:
+        report[name] = {"ok": bool(cond), "detail": detail}
+
+    p = _paths(index_dir)
+    try:
+        with open(p["meta"]) as fh:
+            meta = json.load(fh)
+    except (OSError, json.JSONDecodeError) as exc:
+        ok("meta_readable", False, str(exc))
+        return report
+    ok("meta_readable", True, f"version {meta.get('version')}")
+
+    # --- referenced structures resolve --------------------------------------
+    missing = [
+        t for t in ("dictionary", "blocks")
+        if not os.path.isdir(table_dir(index_dir, meta, t))
+    ] + [
+        t for t in ("docs", "runs", "content", "lineage")
+        if not os.path.isdir(p[t])
+    ]
+    ok("dirs_resolve", not missing, f"missing: {missing}" if missing else "")
+    if missing:
+        return report
+
+    ledger = None
+    if meta.get("tombstones_dir"):
+        tdir = os.path.join(index_dir, meta["tombstones_dir"])
+        if not os.path.isdir(tdir):
+            ok("ledger_resolves", False, f"{meta['tombstones_dir']} missing")
+        else:
+            from .deletes import TOMBSTONES_SCHEMA
+
+            ledger = spark.read.schema(TOMBSTONES_SCHEMA).parquet(tdir)
+            row = ledger.agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(~F.col("folded"), 1).otherwise(0)).alias("p"),
+            ).collect()[0]
+            ok(
+                "ledger_counts_match_meta",
+                int(row["n"]) == int(meta.get("n_tombstones", -1))
+                and int(row["p"] or 0)
+                == int(meta.get("n_tombstones_pending", -1)),
+                f"ledger {row['n']}/{row['p'] or 0} vs meta "
+                f"{meta.get('n_tombstones')}/{meta.get('n_tombstones_pending')}",
+            )
+
+    # --- dictionary: one row per term, no id collisions, df > 0 -------------
+    dictionary = spark.read.schema(DICTIONARY_ON_DISK).parquet(
+        table_dir(index_dir, meta, "dictionary")
+    )
+    inv = dictionary.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("term_id").alias("ids"),
+        F.countDistinct("term").alias("terms"),
+        F.sum(F.when(F.col("df") <= 0, 1).otherwise(0)).alias("bad_df"),
+    ).collect()[0]
+    ok(
+        "dictionary_invariants",
+        int(inv["n"]) == int(inv["ids"]) == int(inv["terms"])
+        and int(inv["bad_df"] or 0) == 0,
+        f"{inv['n']} terms, {inv['ids']} ids, {inv['bad_df'] or 0} df<=0",
+    )
+
+    # --- collection stats == lineage totals - folded ledger ------------------
+    lin = spark.read.schema(LINEAGE).parquet(p["lineage"]).filter(
+        F.col("status") == "done"
+    )
+    stats = lin.agg(
+        F.sum(F.col("n_files") - F.col("n_parse_failed")).alias("n"),
+        F.sum("n_terms").alias("dl"),
+    ).collect()[0]
+    del_n = del_dl = 0
+    if ledger is not None:
+        drow = ledger.filter(F.col("folded") & F.col("parse_ok")).agg(
+            F.count("*").alias("n"), F.sum("doclen").alias("dl")
+        ).collect()[0]
+        del_n, del_dl = int(drow["n"] or 0), int(drow["dl"] or 0)
+    want_n = int(stats["n"] or 0) - del_n
+    want_dl = int(stats["dl"] or 0) - del_dl
+    want_avgdl = want_dl / want_n if want_n else 0.0
+    ok(
+        "stats_match_lineage",
+        int(meta.get("n_docs", -1)) == want_n
+        and int(meta.get("total_dl", -1)) == want_dl
+        and float(meta.get("avgdl", -1.0)) == want_avgdl,
+        f"meta ({meta.get('n_docs')}, {meta.get('total_dl')}) vs "
+        f"lineage-ledger ({want_n}, {want_dl})",
+    )
+
+    # --- snapshot log parses --------------------------------------------------
+    try:
+        snaps = snapshots(index_dir)
+        ok(
+            "snapshot_log",
+            any(s["version"] == int(meta.get("version", -1)) for s in snaps)
+            or not snaps,
+            f"{len(snaps)} snapshots",
+        )
+    except Exception as exc:  # noqa: BLE001 - report, never crash fsck
+        ok("snapshot_log", False, str(exc))
+
+    if not deep:
+        return report
+
+    # --- deep: blocks decode; per-term counts == df ---------------------------
+    from ..schema import BLOCKS_ON_DISK
+
+    blocks = spark.read.schema(BLOCKS_ON_DISK).parquet(
+        table_dir(index_dir, meta, "blocks")
+    )
+    postings = _decode_blocks_to_postings(blocks)
+    per_term = postings.groupBy("term_id").agg(F.count("*").alias("n"))
+    mism = (
+        dictionary.select("term_id", "df")
+        .join(per_term, "term_id", "full_outer")
+        .filter(
+            F.coalesce("df", F.lit(0)) != F.coalesce("n", F.lit(0))
+        )
+        .count()
+    )
+    ok("blocks_match_dictionary_df", mism == 0, f"{mism} terms mismatch")
+
+    # --- deep: folded tombstones physically absent ----------------------------
+    if ledger is not None:
+        resurrected = postings.join(
+            F.broadcast(
+                ledger.filter(F.col("folded")).select("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        ).count()
+        ok(
+            "folded_docs_absent_from_blocks",
+            resurrected == 0,
+            f"{resurrected} folded postings present",
+        )
+
+    # --- deep: lineage content fingerprints hold ------------------------------
+    docs = spark.read.schema(DOCS_ON_DISK).parquet(p["docs"])
+    got = (
+        docs.groupBy("batch", "shard")
+        .agg(
+            F.format_string(
+                "%016x", F.expr("bit_xor(xxhash64(content_sha256))")
+            ).alias("x"),
+            F.count("*").alias("n_files"),
+        )
+    )
+    bad = (
+        lin.select(
+            F.col("build_id").alias("batch"), "shard",
+            F.col("content_sha_xor").alias("want"),
+            F.col("n_files").alias("want_files"),
+        )
+        .join(got, ["batch", "shard"], "full_outer")
+        .filter(
+            (F.col("want") != F.col("x"))
+            | (F.col("want_files") != F.col("n_files"))
+            | F.col("want").isNull() | F.col("x").isNull()
+        )
+        .count()
+    )
+    ok("lineage_fingerprints", bad == 0, f"{bad} (batch, shard) mismatch")
+    return report
