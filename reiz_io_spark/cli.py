@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
     fk.add_argument("--index", required=True)
     fk.add_argument("--deep", action="store_true")
 
+    fka = sub.add_parser(
+        "fsck-ann", help="ANN index integrity check (sidecar shapes, "
+        "segment counts vs meta, ledger; --deep: no duplicate vec_ids)"
+    )
+    fka.add_argument("--index", required=True)
+    fka.add_argument("--deep", action="store_true")
+
     st = sub.add_parser("stats", help="index stats (the reference's /stats)")
     st.add_argument("--index", required=True)
 
@@ -543,6 +550,13 @@ def _dispatch(args, spark) -> int:
         from .operators.fsck import fsck_index
 
         report = fsck_index(spark, args.index, deep=args.deep)
+        print(json.dumps(report, indent=2))
+        return 0 if all(v["ok"] for v in report.values()) else 1
+
+    if args.cmd == "fsck-ann":
+        from .operators.fsck import fsck_ann_index
+
+        report = fsck_ann_index(spark, args.index, deep=args.deep)
         print(json.dumps(report, indent=2))
         return 0 if all(v["ok"] for v in report.values()) else 1
 

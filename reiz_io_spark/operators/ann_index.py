@@ -200,6 +200,27 @@ def append_to_ann_index(
         # between our _load and the lock acquisition
         with open(os.path.join(index_dir, "meta.json")) as fh:
             meta = json.load(fh)
+        # a vec_id with a PENDING tombstone must not be re-appended: the
+        # scan masks the id, so the new codes would be silently
+        # invisible (and after a later compaction BOTH rows would be
+        # dropped). Re-embedding a vector = delete_vectors ->
+        # compact_ann_deletes -> append; the error says so.
+        pending = pending_vector_ids(index_dir, meta)
+        if pending is not None and pending.size:
+            dead = embeddings_batch.select("vec_id").join(
+                embeddings_batch.sparkSession.createDataFrame(
+                    [(int(v),) for v in pending.tolist()], "vec_id long"
+                ),
+                "vec_id", "left_semi",
+            ).take(1)
+            if dead:
+                raise RuntimeError(
+                    f"append_to_ann_index: batch contains vec_ids with "
+                    f"PENDING tombstones (e.g. {dead[0]['vec_id']}) — "
+                    f"their new codes would be masked by the ledger; "
+                    f"run compact_ann_deletes first (clears the ledger), "
+                    f"or undelete_vectors if the delete was a mistake"
+                )
         segs = meta.get("segments", [])
         nums = [int(s.split("-")[1]) for s in segs if s.startswith("seg-")]
         seg = f"seg-{(max(nums) + 1 if nums else len(segs)):05d}"

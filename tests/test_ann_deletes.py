@@ -134,3 +134,47 @@ def test_pending_cap_refuses(spark, del_ix, monkeypatch):
         ann_index.pending_vector_ids(del_ix["dir"])
     monkeypatch.undo()
     ann_index.undelete_vectors(del_ix["dir"], [111, 222])
+
+
+def test_append_refuses_pending_deleted_id(spark, emb, tmp_path_factory):
+    """Re-appending a PENDING-deleted vec_id would be silently masked —
+    the append refuses with guidance (compact first, or undelete)."""
+    d = str(tmp_path_factory.mktemp("ann_guard"))
+    ann_index.build_ann_index(
+        emb.filter(F.col("vec_id") < 400), d, m=4, n_codes=16, n_lists=8,
+        seed=7,
+    )
+    ann_index.delete_vectors(d, [5])
+    with pytest.raises(RuntimeError, match="PENDING"):
+        ann_index.append_to_ann_index(emb.filter(F.col("vec_id") == 5), d)
+    # fresh ids still append fine under the same ledger
+    meta = ann_index.append_to_ann_index(
+        emb.filter(F.col("vec_id") == 450), d
+    )
+    assert int(meta["n_vectors"]) == 401
+
+
+def test_fsck_ann_green_and_detects_tamper(spark, emb, tmp_path_factory):
+    import json as _json
+    import os as _os
+    import shutil
+
+    from reiz_io_spark.operators.fsck import fsck_ann_index
+
+    d = str(tmp_path_factory.mktemp("ann_fsck"))
+    ann_index.build_ann_index(emb, d, m=4, n_codes=16, n_lists=8, seed=7)
+    ann_index.delete_vectors(d, [1, 2])
+    report = fsck_ann_index(spark, d, deep=True)
+    bad = {k: v for k, v in report.items() if not v["ok"]}
+    assert not bad, bad
+    # tamper: meta claims one more vector than the segments hold
+    bad_dir = str(tmp_path_factory.mktemp("ann_fsck_bad")) + "/ix"
+    shutil.copytree(d, bad_dir)
+    mp = _os.path.join(bad_dir, "meta.json")
+    with open(mp) as fh:
+        meta = _json.load(fh)
+    meta["n_vectors"] = int(meta["n_vectors"]) + 1
+    with open(mp, "w") as fh:
+        _json.dump(meta, fh)
+    report = fsck_ann_index(spark, bad_dir)
+    assert not report["n_vectors_matches_segments"]["ok"]
