@@ -48,6 +48,7 @@ REGEX_DOC_PATTERN = r"spark\s+(join|window)"
 GREP_PATTERN = r"def [a-z_]+\("
 GREP_LINES_PATTERN = r"return [a-z_]+\("  # line-at-a-time (grep -n)
 SPLIT_WEIGHTS = {"train": 0.8, "test": 0.1, "val": 0.1}
+CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
 DECONTAM_BENCH = [
     (1, "spark stream vector table"),
     (2, "batch hash join"),
@@ -260,6 +261,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_langid"] = lambda s, d: textstats.language_id(_docs(s, d))
     q["text_quality"] = lambda s, d: textstats.quality_score(_docs(s, d))
     q["text_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d))
+    # sliding context-window chunking (training-data prep: fixed
+    # token-budget model inputs with overlap) — registry tail: local
+    # sweep + boundary pytest carry the evidence
+    q["text_chunk_windows"] = lambda s, d: textstats.chunk_documents(
+        _docs(s, d), window=CHUNK_WINDOW, stride=CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_id")
     q["text_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d))
 
     # --- multimodal plumbing --------------------------------------------------
@@ -467,6 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             # dfs-stats discipline (pytest-gated), so
                             # the single-index slot carries the driver
                             # evidence; full-sweep-checked locally
+        "text_chunk_windows",  # r6: tail from birth — map-only
+                            # built-ins on the swept textstats family's
+                            # shape; boundary pytest + local sweep
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -1034,6 +1044,9 @@ FROM documents GROUP BY sha256(text)
     o["text_langid"] = textstats.language_id_sql()
     o["text_quality"] = textstats.quality_score_sql()
     o["text_token_counts"] = textstats.token_counts_sql()
+    o["text_chunk_windows"] = textstats.chunk_documents_sql(
+        window=CHUNK_WINDOW, stride=CHUNK_STRIDE
+    )
     o["text_fingerprint"] = textstats.fingerprint_sql()
     o["mm_media_features"] = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS payload_sha256

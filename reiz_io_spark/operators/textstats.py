@@ -209,3 +209,65 @@ SELECT doc_id,
                    (acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD}) AS fingerprint
 FROM tok_hashes
 """
+
+
+def chunk_documents(
+    documents: DataFrame, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sliding context-window chunking — the training-data prep step
+    that turns documents into fixed-budget model inputs (stride <
+    window gives overlapping windows so no boundary context is lost).
+
+    Whitespace tokens (the token_counts convention, case preserved);
+    chunk i covers tokens [i*stride, i*stride + window); starts run
+    while start < n_tokens, so the tail emits one final (possibly
+    short) window. All JVM built-ins: one split, one sequence-explode,
+    one slice — map-only, no shuffle, scale-free."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("chunk_documents: window and stride must be >= 1")
+    toks = F.filter(F.split("text", "\\s+"), lambda x: x != "")
+    with_toks = documents.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("toks") - 1, F.lit(stride)
+    )
+    return (
+        with_toks.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / F.lit(stride)).cast("long").alias("chunk_id"),
+            F.slice("toks", F.col("start") + 1, window).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            F.array_join("w", " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(window: int = 64, stride: int = 48) -> str:
+    """DuckDB twin: same whitespace split, generate_series starts,
+    1-based inclusive list slice."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  -- range(0, n, k) is a scalar list function (generate_series can't
+  -- take lateral column bounds); excludes n, so starts match Spark's
+  -- sequence(0, n-1, k) exactly
+  SELECT doc_id, toks, unnest(range(0, len(toks), {stride})) AS start
+  FROM t
+  WHERE len(toks) > 0
+)
+SELECT doc_id,
+       (start // {stride})::BIGINT AS chunk_id,
+       len(toks[start + 1 : start + {window}])::BIGINT AS n_tokens,
+       array_to_string(toks[start + 1 : start + {window}], ' ') AS chunk_text
+FROM s
+"""

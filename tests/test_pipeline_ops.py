@@ -559,3 +559,36 @@ def test_chunk_dedup_planted_boilerplate(spark):
     from reiz_io_spark.operators.dedup import exact_dedup
 
     assert exact_dedup(df).filter("n_copies > 1").count() == 0
+
+
+def test_chunk_documents_boundaries(spark):
+    """Sliding-window chunking: stride-spaced starts, full windows in
+    the body, one short tail window, overlap = window - stride, and
+    the chunks reconstruct the document."""
+    from reiz_io_spark.operators.textstats import chunk_documents
+
+    text = " ".join(f"t{i:03d}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, window=4, stride=3).collect()
+    )
+    by_doc = {}
+    for d, c, n, t in rows:
+        by_doc.setdefault(d, []).append((c, n, t))
+    assert 3 not in by_doc  # empty doc -> no chunks
+    assert by_doc[2] == [(0, 1, "solo")]
+    # doc 1: starts 0,3,6,9 -> windows of 4,4,4,1
+    assert [c for c, _, _ in by_doc[1]] == [0, 1, 2, 3]
+    assert [n for _, n, _ in by_doc[1]] == [4, 4, 4, 1]
+    assert by_doc[1][0][2] == "t000 t001 t002 t003"
+    assert by_doc[1][1][2] == "t003 t004 t005 t006"  # 1-token overlap
+    assert by_doc[1][3][2] == "t009"
+    # non-overlapping reconstruction: first `stride` tokens per chunk
+    rebuilt = " ".join(
+        " ".join(t.split()[:3]) for _, _, t in by_doc[1]
+    ).split()
+    assert rebuilt == text.split()
