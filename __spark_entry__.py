@@ -49,6 +49,7 @@ GREP_PATTERN = r"def [a-z_]+\("
 GREP_LINES_PATTERN = r"return [a-z_]+\("  # line-at-a-time (grep -n)
 SPLIT_WEIGHTS = {"train": 0.8, "test": 0.1, "val": 0.1}
 CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
+PACK_SEQ_LEN = 256
 DECONTAM_BENCH = [
     (1, "spark stream vector table"),
     (2, "batch hash join"),
@@ -267,6 +268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_chunk_windows"] = lambda s, d: textstats.chunk_documents(
         _docs(s, d), window=CHUNK_WINDOW, stride=CHUNK_STRIDE
     ).orderBy("doc_id", "chunk_id")
+    # concat-and-split sequence packing as metadata (one doc-level
+    # ordered window cumsum — never token-level rows) — registry tail
+    q["text_pack_offsets"] = lambda s, d: textstats.pack_offsets(
+        _docs(s, d), seq_len=PACK_SEQ_LEN
+    ).orderBy("doc_id")
     q["text_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d))
 
     # --- multimodal plumbing --------------------------------------------------
@@ -477,6 +483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_windows",  # r6: tail from birth — map-only
                             # built-ins on the swept textstats family's
                             # shape; boundary pytest + local sweep
+        "text_pack_offsets",  # r6: tail from birth — one ordered
+                            # window cumsum; invariant pytest + local
+                            # sweep
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -1044,6 +1053,9 @@ FROM documents GROUP BY sha256(text)
     o["text_langid"] = textstats.language_id_sql()
     o["text_quality"] = textstats.quality_score_sql()
     o["text_token_counts"] = textstats.token_counts_sql()
+    o["text_pack_offsets"] = textstats.pack_offsets_sql(
+        seq_len=PACK_SEQ_LEN
+    )
     o["text_chunk_windows"] = textstats.chunk_documents_sql(
         window=CHUNK_WINDOW, stride=CHUNK_STRIDE
     )

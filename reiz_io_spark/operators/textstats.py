@@ -271,3 +271,65 @@ SELECT doc_id,
        array_to_string(toks[start + 1 : start + {window}], ' ') AS chunk_text
 FROM s
 """
+
+
+def pack_offsets(documents: DataFrame, seq_len: int = 2048) -> DataFrame:
+    """Concat-and-split sequence packing, as METADATA: the standard LLM
+    pretraining packing (documents concatenated in a deterministic
+    order, the stream split every ``seq_len`` tokens) reduced to one
+    window cumsum — for each doc: its global token offset, the first
+    and last training sequence it lands in, and its offset inside the
+    first one. A data loader materializes sequences from this without
+    the engine ever shuffling token-level rows (the token stream is
+    10^12 rows at scale; this plan is one doc-level ordered window).
+
+    Deterministic order = doc_id ascending (ties impossible: ids are
+    unique). Empty docs occupy zero tokens and are dropped."""
+    if seq_len <= 0:
+        raise ValueError("pack_offsets: seq_len must be >= 1")
+    from pyspark.sql.window import Window
+
+    n_toks = F.size(F.filter(F.split("text", "\\s+"), lambda x: x != ""))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sized = documents.select(
+        "doc_id", n_toks.cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return sized.select(
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_offset"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "tok_offset",
+        (F.col("tok_offset") / F.lit(seq_len)).cast("long").alias("seq_first"),
+        (
+            (F.col("tok_offset") + F.col("n_tokens") - 1) / F.lit(seq_len)
+        ).cast("long").alias("seq_last"),
+        (F.col("tok_offset") % F.lit(seq_len)).alias("offset_in_seq"),
+    )
+
+
+def pack_offsets_sql(seq_len: int = 2048) -> str:
+    return f"""
+WITH sized AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+             x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, n_tokens,
+         (SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens)::BIGINT
+           AS tok_offset
+  FROM sized
+  WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, tok_offset,
+       (tok_offset // {seq_len})::BIGINT AS seq_first,
+       ((tok_offset + n_tokens - 1) // {seq_len})::BIGINT AS seq_last,
+       (tok_offset % {seq_len})::BIGINT AS offset_in_seq
+FROM off
+"""

@@ -592,3 +592,33 @@ def test_chunk_documents_boundaries(spark):
         " ".join(t.split()[:3]) for _, _, t in by_doc[1]
     ).split()
     assert rebuilt == text.split()
+
+
+def test_pack_offsets_invariants(spark):
+    """Concat-and-split packing metadata: offsets are the exact running
+    token count in doc_id order, sequence spans cover each doc, and a
+    doc crossing a boundary reports the right first/last sequence."""
+    from reiz_io_spark.operators.textstats import pack_offsets
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 5)), (2, ""), (3, " ".join(["b"] * 6)),
+         (4, "c"), (5, " ".join(["d"] * 9))],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_offsets(docs, seq_len=8).collect()}
+    assert 2 not in rows  # empty doc occupies no tokens
+    assert (rows[1]["tok_offset"], rows[1]["seq_first"], rows[1]["seq_last"],
+            rows[1]["offset_in_seq"]) == (0, 0, 0, 0)
+    # doc 3: tokens 5..10 -> crosses the 8-token boundary
+    assert (rows[3]["tok_offset"], rows[3]["seq_first"],
+            rows[3]["seq_last"]) == (5, 0, 1)
+    assert rows[4]["tok_offset"] == 11 and rows[4]["seq_first"] == 1
+    # doc 5: tokens 12..20 -> sequences 1..2, offset 4 into seq 1
+    assert (rows[5]["seq_first"], rows[5]["seq_last"],
+            rows[5]["offset_in_seq"]) == (1, 2, 4)
+    # global invariant: offsets are a prefix sum (no gaps, no overlaps)
+    ordered = sorted(rows.values(), key=lambda r: r["doc_id"])
+    acc = 0
+    for r in ordered:
+        assert r["tok_offset"] == acc
+        acc += r["n_tokens"]
