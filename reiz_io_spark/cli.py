@@ -100,6 +100,18 @@ def main(argv: list[str] | None = None) -> int:
         "committed snapshots (live-maintained index); default: pinned",
     )
 
+    su = sub.add_parser(
+        "stream-upserts", help="catch-up CDC run: apply every corpus "
+        "parquet file in a landing dir as update commits "
+        "(availableNow trigger; idempotent under full redelivery)"
+    )
+    su.add_argument("--landing", required=True)
+    su.add_argument("--index", required=True)
+    su.add_argument("--order-col", default=None,
+                    help="latest-wins column for multi-version batches "
+                    "(e.g. commit); without it multi-version batches refuse")
+    su.add_argument("--checkpoint", default=None)
+
     mg = sub.add_parser(
         "merge", help="incremental merge of newly ingested batches "
         "(streaming maintenance; reads only new runs)"
@@ -457,6 +469,25 @@ def _dispatch(args, spark) -> int:
         for r in rows:
             print(json.dumps({"query_id": r["query_id"],
                               "vec_id": r["vec_id"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "stream-upserts":
+        from .streaming.ingest import stream_upserts_into_index
+
+        q = stream_upserts_into_index(
+            spark, args.landing, args.index,
+            order_col=args.order_col,
+            checkpoint_dir=args.checkpoint,
+            available_now=True,
+        )
+        q.awaitTermination(3600)
+        with open(f"{args.index}/meta.json") as fh:
+            meta = json.load(fh)
+        print(json.dumps({
+            "version": meta.get("version"),
+            "n_docs": meta.get("n_docs"),
+            "n_tombstones_pending": meta.get("n_tombstones_pending", 0),
+        }))
         return 0
 
     if args.cmd == "merge":
