@@ -91,7 +91,10 @@ def main(argv: list[str] | None = None) -> int:
         "serve", help="HTTP query service over a warm index (POST /query, "
         "/analyze; GET /stats — the reference's web/api.py analog)"
     )
-    sv.add_argument("--index", required=True)
+    sv.add_argument("--index", help="single index dir")
+    sv.add_argument("--indexes", help="comma-separated SHARD dirs — "
+                    "serve the federation (dfs stats, warm zero-job "
+                    "queries; /query positions route unsupported)")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8099)
     sv.add_argument(
@@ -350,8 +353,22 @@ def _dispatch(args, spark) -> int:
         from .serve import QueryService
         from .web import serve as http_serve
 
-        reader = IndexReader(spark, args.index).warm()
-        service = QueryService(reader, auto_refresh_s=args.auto_refresh_s)
+        if args.indexes:
+            from .serve import FederatedQueryService
+
+            service = FederatedQueryService([
+                QueryService(
+                    IndexReader(spark, p).warm(),
+                    auto_refresh_s=args.auto_refresh_s,
+                )
+                for p in args.indexes.split(",") if p
+            ])
+        elif args.index:
+            reader = IndexReader(spark, args.index).warm()
+            service = QueryService(reader, auto_refresh_s=args.auto_refresh_s)
+        else:
+            print("serve: pass --index or --indexes")
+            return 2
         print(json.dumps({"serving": f"http://{args.host}:{args.port}"}),
               file=sys.stderr)
         http_serve(service, host=args.host, port=args.port)

@@ -549,6 +549,63 @@ class FederatedQueryService:
         self.services = services
         self.k1 = services[0].k1
         self.b = services[0].b
+        self.reader = _FederatedReaderFacade(services)
+
+    @property
+    def meta(self) -> dict:
+        return self.reader.meta
+
+    @property
+    def n_docs(self) -> int:
+        return sum(s.n_docs for s in self.services)
+
+    def statistics(self) -> dict:
+        """Module/AST/stmt/expr counts are cf sums over node: terms —
+        additive across disjoint shards, so the federated /stats is the
+        per-shard sum under the global n_docs/avgdl."""
+        out: dict = {}
+        for s in self.services:
+            for k_, v in s.statistics().items():
+                if k_ in ("n_docs", "avgdl"):
+                    continue
+                out[k_] = out.get(k_, 0) + v
+        m = self.meta
+        out["n_docs"] = m["n_docs"]
+        out["avgdl"] = m["avgdl"]
+        return out
+
+    def analyze(self, query: LoweredQuery) -> dict:
+        groups, gmeta, _ = self._global_stats(query)
+        total_df = sum(m["df"] for m in gmeta.values())
+        budget = min(s.max_driver_postings for s in self.services)
+        cf: dict[str, int] = {}
+        for s in self.services:
+            for t, m in s.term_meta(sorted(gmeta)).items():
+                cf[t] = cf.get(t, 0) + int(m.get("cf", 0))
+        return {
+            "query": query.source,
+            "groups": [list(g) for g in groups],
+            "terms": {
+                t: {"df": m["df"], "cf": cf.get(t, 0), "idf": m["idf"]}
+                for t, m in gmeta.items()
+            },
+            "route": (
+                "distributed-federated-wand"
+                if total_df > budget
+                else "driver-cache-federated"
+            ),
+            "total_df": total_df,
+            "n_docs": self.meta["n_docs"],
+            "n_shards": len(self.services),
+        }
+
+    def query_positions(self, query: LoweredQuery, k: int = 10, offset: int = 0):
+        raise NotImplementedError(
+            "federated structural positions are not implemented — the "
+            "verify stage needs shard-local content under a GLOBAL "
+            "candidate ranking; query the owning shard's single-index "
+            "service instead"
+        )
 
     def _global_stats(self, query: LoweredQuery):
         per_groups = [s.resolve_groups(query) for s in self.services]
@@ -638,3 +695,30 @@ class FederatedQueryService:
             if got[0] is not None:
                 return got
         return (None, None, None)
+
+
+class _FederatedReaderFacade:
+    """Duck-typed reader for the pieces web.py touches on a federated
+    service: the shared L2 result cache binds to (index_dir, version) —
+    the facade points it at shard 0's directory under a COMBINED
+    version key, so a commit on ANY shard invalidates cached results."""
+
+    def __init__(self, services: list[QueryService]):
+        self._services = services
+        self.index_dir = services[0].reader.index_dir
+        self.spark = services[0].reader.spark
+
+    @property
+    def meta(self) -> dict:
+        versions = "-".join(
+            str(s.meta.get("version", "?")) for s in self._services
+        )
+        n_docs = sum(s.n_docs for s in self._services)
+        total_dl = sum(int(s.meta["total_dl"]) for s in self._services)
+        return {
+            "version": f"fed{len(self._services)}:{versions}",
+            "build_id": "federated",
+            "n_docs": n_docs,
+            "total_dl": total_dl,
+            "avgdl": total_dl / n_docs if n_docs else 0.0,
+        }
