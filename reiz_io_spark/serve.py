@@ -599,13 +599,96 @@ class FederatedQueryService:
             "n_shards": len(self.services),
         }
 
-    def query_positions(self, query: LoweredQuery, k: int = 10, offset: int = 0):
-        raise NotImplementedError(
-            "federated structural positions are not implemented — the "
-            "verify stage needs shard-local content under a GLOBAL "
-            "candidate ranking; query the owning shard's single-index "
-            "service instead"
-        )
+    def query_positions(
+        self, query: LoweredQuery, k: int = 10, offset: int = 0
+    ) -> list[dict]:
+        """Federated structural positions: per-shard driver scoring
+        under the GLOBAL stats, globally-merged tranche escalation, and
+        content verification against the OWNING shard's cache — the
+        single-index serving algorithm with the ranking federated.
+        Results equal the single-index service over the union corpus
+        (pytest-gated). Hot queries (global df over the driver budget)
+        refuse: the distributed verify stage is per-reader."""
+        from .plans.matcher import match_spans
+
+        for s in self.services:
+            s._maybe_auto_refresh()
+        groups, gmeta, avgdl = self._global_stats(query)
+        if not groups or any(len(g) == 0 for g in groups):
+            return []
+        for g in groups:
+            if all(t not in gmeta for t in g):
+                return []
+        budget = min(s.max_driver_postings for s in self.services)
+        if sum(m["df"] for m in gmeta.values()) > budget:
+            raise NotImplementedError(
+                "federated structural positions over the driver budget "
+                "need the distributed verify stage, which is per-reader "
+                "— raise max_driver_postings, or query the owning "
+                "shard's single-index service"
+            )
+        for s in self.services:
+            s._fetch_postings(list(gmeta))
+        want = k + offset
+        tranche = max(want * 4, 16)
+        verified: list[tuple[int, float, list, int]] = []
+        seen = 0
+        while True:
+            per: list[tuple[int, float, int]] = []
+            for si, s in enumerate(self.services):
+                per.extend(
+                    (doc_id, score, si)
+                    for doc_id, score in s._score_driver(
+                        groups, gmeta, seen + tranche, avgdl=avgdl
+                    )
+                )
+            per.sort(key=lambda t: (-t[1], t[0]))
+            ranked = per[seen:seen + tranche]
+            if not ranked:
+                break
+            by_shard: dict[int, list[int]] = {}
+            for doc_id, _, si in ranked:
+                by_shard.setdefault(si, []).append(doc_id)
+            fetched: dict[int, str | None] = {}
+            for si, ids in by_shard.items():
+                fetched.update(self.services[si]._fetch_content(ids))
+            for doc_id, score, si in ranked:
+                content = fetched.get(doc_id)
+                if content is None:
+                    continue
+                try:
+                    spans = match_spans(content, query.source)
+                except SyntaxError:
+                    continue
+                if spans:
+                    verified.append((doc_id, score, spans, si))
+            seen += len(ranked)
+            if len(verified) >= want or len(per) <= seen:
+                break
+            tranche *= 4
+        from .functions.links import github_link, username_of
+
+        out: list[dict] = []
+        for rank, (doc_id, score, spans, si) in enumerate(
+            verified[offset:offset + k], start=offset + 1
+        ):
+            repo, path, commit = self.services[si]._doc_meta(doc_id)
+            first = min(s_[0] for s_ in spans)
+            first_end = max(s_[2] for s_ in spans if s_[0] == first)
+            out.append(
+                {"doc_id": doc_id, "repo": repo, "path": path,
+                 "score": score, "rank": rank,
+                 "username": username_of(repo),
+                 "github_link": github_link(repo, commit, path, first, first_end),
+                 "linenos": sorted({s_[0] for s_ in spans}),
+                 "matches": [
+                     {"lineno": ln, "col_offset": col, "end_lineno": end_ln,
+                      "segment": seg,
+                      "github_link": github_link(repo, commit, path, ln, end_ln)}
+                     for ln, col, end_ln, _ec, seg in spans
+                 ]}
+            )
+        return out
 
     def _global_stats(self, query: LoweredQuery):
         per_groups = [s.resolve_groups(query) for s in self.services]

@@ -367,3 +367,21 @@ def test_reshard_without_retokenize(spark, fed, tmp_path_factory):
     delete_docs(spark, pend, F.col("repo") == victim)
     with pytest.raises(RuntimeError, match="pending"):
         reshard_index(spark, [pend, new_dirs[1]], 2, str(base / "new2"))
+
+
+def test_federated_positions_equal_single_index(spark, fed):
+    """Structural positions through the federated serving tier equal
+    the single-index service over the union corpus — same ranking
+    (global stats), same verified docs, same spans/links."""
+    from reiz_io_spark.serve import FederatedQueryService, QueryService
+
+    q = lower_query("pos", REFERENCE_QUERIES["simple/not_constant"])
+    single_svc = QueryService(IndexReader(spark, fed["single"]))
+    fed_svc = FederatedQueryService([QueryService(r) for r in fed["readers"]])
+    want = single_svc.query_positions(q, k=5)
+    got = fed_svc.query_positions(q, k=5)
+    assert got == want
+    assert want, "fixture query should verify at least one doc"
+    # offset paging parity
+    assert fed_svc.query_positions(q, k=3, offset=2) == \
+        single_svc.query_positions(q, k=3, offset=2)
