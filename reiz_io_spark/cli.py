@@ -94,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--index", help="single index dir")
     sv.add_argument("--indexes", help="comma-separated SHARD dirs — "
                     "serve the federation (dfs stats, warm zero-job "
-                    "queries; /query positions route unsupported)")
+                    "queries incl. structural positions)")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8099)
     sv.add_argument(
