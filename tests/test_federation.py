@@ -344,6 +344,12 @@ def test_reshard_without_retokenize(spark, fed, tmp_path_factory):
 
     new_dirs = reshard_index(spark, sdirs, 2, str(base / "new"))
     assert len(new_dirs) == 2
+    from reiz_io_spark.operators.fsck import fsck_index
+
+    for d in new_dirs:
+        rep = fsck_index(spark, d, deep=True)
+        bad = {k: v for k, v in rep.items() if not v["ok"]}
+        assert not bad, (d, bad)
     new_readers = [IndexReader(spark, d) for d in new_dirs]
     got = _rows(federated_topk(spark, None, Q, k=30, readers=new_readers))
     assert got == want, "reshard must be invisible to queries"
@@ -385,3 +391,13 @@ def test_federated_positions_equal_single_index(spark, fed):
     # offset paging parity
     assert fed_svc.query_positions(q, k=3, offset=2) == \
         single_svc.query_positions(q, k=3, offset=2)
+
+
+def test_federated_statistics_equal_single_index(spark, fed):
+    from reiz_io_spark.serve import FederatedQueryService, QueryService
+
+    single = QueryService(IndexReader(spark, fed["single"])).statistics()
+    fed_stats = FederatedQueryService(
+        [QueryService(r) for r in fed["readers"]]
+    ).statistics()
+    assert fed_stats == single
