@@ -121,6 +121,8 @@ def structural_topk(
     k: int = 10,
     offset: int = 0,
     candidate_budget: int = CANDIDATE_BUDGET,
+    groups_override: list[tuple[str, ...]] | None = None,
+    stats_override: dict | None = None,
 ) -> DataFrame:
     """Exact top-k structurally matching docs with match line numbers.
 
@@ -168,13 +170,20 @@ def structural_topk(
         # applies inside each retrieval (k is finite)
         tranche = max(want * OVERSAMPLE, 16)
         for _ in range(MAX_TRANCHES):
-            rows = wand_topk(reader, query, k=tranche).collect()
+            rows = wand_topk(
+                reader, query, k=tranche,
+                groups_override=groups_override,
+                stats_override=stats_override,
+            ).collect()
             consume(rows, seen)
             if len(order) >= want or len(rows) < tranche:
                 break
             tranche *= 4
     else:
-        cand = wand_scores(reader, query, k=None).persist(
+        cand = wand_scores(
+            reader, query, k=None,
+            groups_override=groups_override, stats_override=stats_override,
+        ).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         try:

@@ -555,14 +555,19 @@ def wand_topk(
     offset: int = 0,
     bucket_shift: int | None = None,
     field_weights: dict[str, float] | None = None,
+    groups_override: list[tuple[str, ...]] | None = None,
+    stats_override: dict | None = None,
 ) -> DataFrame:
     """Global top-k with LIMIT/OFFSET paging (reiz/fetch.py:10,71-81).
     field_weights (BM25F): per-namespace score multipliers, e.g.
     {'id': 2.0, 'node': 0.5} boosts identifier hits over bare
-    node-type hits — folded into idf, exact (see field_weight_of)."""
+    node-type hits — folded into idf, exact (see field_weight_of).
+    groups_override/stats_override: the federation hooks, passed
+    through to wand_scores."""
     out = wand_scores(
         reader, query, k=k + offset, bucket_shift=bucket_shift,
         field_weights=field_weights,
+        groups_override=groups_override, stats_override=stats_override,
     )
     ranked = out.orderBy(F.desc("score"), F.asc("doc_id"))
     if offset:

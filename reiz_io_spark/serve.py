@@ -57,6 +57,30 @@ class _LRU(OrderedDict):
             self.popitem(last=False)
 
 
+def _fold_position_rows(rows, offset: int) -> list[dict]:
+    """structural_topk rows (one per (doc, match)) -> the serving
+    tier's grouped dict shape; rows must arrive doc-grouped in rank
+    order."""
+    out: list[dict] = []
+    for r in rows:
+        m = {"lineno": r["lineno"], "col_offset": r["col_offset"],
+             "end_lineno": r["end_lineno"], "segment": r["segment"],
+             "github_link": r["github_link"]}
+        if out and out[-1]["doc_id"] == r["doc_id"]:
+            out[-1]["matches"].append(m)
+            if r["lineno"] not in out[-1]["linenos"]:
+                out[-1]["linenos"].append(r["lineno"])
+            continue
+        out.append(
+            {"doc_id": r["doc_id"], "repo": r["repo"], "path": r["path"],
+             "score": r["score"], "rank": offset + len(out) + 1,
+             "username": r["username"],
+             "github_link": r["github_link"],
+             "linenos": [r["lineno"]], "matches": [m]}
+        )
+    return out
+
+
 class QueryService:
     """Thread-safety contract: a single QueryService may be called from
     many threads (ThreadingHTTPServer handlers). The warm path is
@@ -363,24 +387,7 @@ class QueryService:
             from .operators.verify import structural_topk
 
             rows = structural_topk(self.reader, query, k=k, offset=offset).collect()
-            out: list[dict] = []
-            for r in rows:
-                m = {"lineno": r["lineno"], "col_offset": r["col_offset"],
-                     "end_lineno": r["end_lineno"], "segment": r["segment"],
-                     "github_link": r["github_link"]}
-                if out and out[-1]["doc_id"] == r["doc_id"]:
-                    out[-1]["matches"].append(m)
-                    if r["lineno"] not in out[-1]["linenos"]:
-                        out[-1]["linenos"].append(r["lineno"])
-                    continue
-                out.append(
-                    {"doc_id": r["doc_id"], "repo": r["repo"], "path": r["path"],
-                     "score": r["score"], "rank": offset + len(out) + 1,
-                     "username": r["username"],
-                     "github_link": r["github_link"],
-                     "linenos": [r["lineno"]], "matches": [m]}
-                )
-            return out
+            return _fold_position_rows(rows, offset)
         self._fetch_postings(list(tmeta))
         want = k + offset
         tranche = max(want * 4, 16)
@@ -621,12 +628,36 @@ class FederatedQueryService:
                 return []
         budget = min(s.max_driver_postings for s in self.services)
         if sum(m["df"] for m in gmeta.values()) > budget:
-            raise NotImplementedError(
-                "federated structural positions over the driver budget "
-                "need the distributed verify stage, which is per-reader "
-                "— raise max_driver_postings, or query the owning "
-                "shard's single-index service"
-            )
+            # hot query: per-shard DISTRIBUTED verify under the global
+            # stats (every shard returns its verified top-(k+offset)
+            # under globally comparable scores — any global top doc is
+            # in its shard's list), then a doc-level global merge
+            from .operators.verify import structural_topk
+
+            stats = {
+                "avgdl": avgdl,
+                "idf_by_term": {t: m["idf"] for t, m in gmeta.items()},
+                "df_by_term": {t: m["df"] for t, m in gmeta.items()},
+            }
+            docs: list[tuple[float, int, list]] = []
+            for s in self.services:
+                rows = structural_topk(
+                    s.reader, query, k=k + offset, offset=0,
+                    groups_override=groups, stats_override=stats,
+                ).collect()
+                cur: list = []
+                for r in rows:
+                    if cur and cur[0]["doc_id"] != r["doc_id"]:
+                        docs.append((cur[0]["score"], cur[0]["doc_id"], cur))
+                        cur = []
+                    cur.append(r)
+                if cur:
+                    docs.append((cur[0]["score"], cur[0]["doc_id"], cur))
+            docs.sort(key=lambda t: (-t[0], t[1]))
+            flat = [
+                r for _, _, rows_ in docs[offset:offset + k] for r in rows_
+            ]
+            return _fold_position_rows(flat, offset)
         for s in self.services:
             s._fetch_postings(list(gmeta))
         want = k + offset

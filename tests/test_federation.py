@@ -401,3 +401,21 @@ def test_federated_statistics_equal_single_index(spark, fed):
         [QueryService(r) for r in fed["readers"]]
     ).statistics()
     assert fed_stats == single
+
+
+def test_federated_positions_distributed_route(spark, fed):
+    """Over-budget federated positions route through per-shard
+    DISTRIBUTED structural verify under global stats — equal to the
+    single-index service forced onto its distributed route."""
+    from reiz_io_spark.serve import FederatedQueryService, QueryService
+
+    q = lower_query("pos", REFERENCE_QUERIES["simple/not_constant"])
+    single_svc = QueryService(
+        IndexReader(spark, fed["single"]), max_driver_postings=1
+    )
+    fed_svc = FederatedQueryService([
+        QueryService(r, max_driver_postings=1) for r in fed["readers"]
+    ])
+    want = single_svc.query_positions(q, k=5)
+    got = fed_svc.query_positions(q, k=5)
+    assert want and got == want
