@@ -84,6 +84,14 @@ def main(argv: list[str] | None = None) -> int:
     fka.add_argument("--index", required=True)
     fka.add_argument("--deep", action="store_true")
 
+    fkt = sub.add_parser(
+        "fsck-trigrams", help="trigram-sidecar integrity check "
+        "(generations/coverage/meta; --deep: fragments decode, salt "
+        "purity, dictionary df == fragment sums == content recount)"
+    )
+    fkt.add_argument("--index", required=True)
+    fkt.add_argument("--deep", action="store_true")
+
     st = sub.add_parser("stats", help="index stats (the reference's /stats)")
     st.add_argument("--index", required=True)
 
@@ -605,6 +613,13 @@ def _dispatch(args, spark) -> int:
         from .operators.fsck import fsck_ann_index
 
         report = fsck_ann_index(spark, args.index, deep=args.deep)
+        print(json.dumps(report, indent=2))
+        return 0 if all(v["ok"] for v in report.values()) else 1
+
+    if args.cmd == "fsck-trigrams":
+        from .operators.fsck import fsck_trigrams
+
+        report = fsck_trigrams(spark, args.index, deep=args.deep)
         print(json.dumps(report, indent=2))
         return 0 if all(v["ok"] for v in report.values()) else 1
 

@@ -746,6 +746,24 @@ def _merge_incremental_locked(
     new_runs = spark.read.schema(RUNS_ON_DISK).parquet(p["runs"]).filter(
         F.col("batch").isin(new_batches)
     )
+    # deleted docs: a batch can land (lineage 'done') BEFORE a delete
+    # folds one of its doc_ids — merging it afterwards must not encode
+    # a FOLDED doc's postings into the blocks (read paths mask only
+    # PENDING ids, so the doc would silently resurface). FOLDED ids are
+    # anti-joined out here, mirroring merge_and_encode's full-ledger
+    # discipline. PENDING ids flow through ON PURPOSE: pending means
+    # "present in blocks, masked at read" (the Lucene live-docs
+    # contract), and a later compact_deletes subtracts exactly the
+    # df/cf this merge adds — excluding them here would desync the
+    # dictionary from compaction's arithmetic.
+    from .deletes import read_tombstones as _read_tombstones
+
+    tomb = _read_tombstones(spark, out_dir, meta)
+    if tomb is not None:
+        new_runs = new_runs.join(
+            tomb.filter(F.col("folded")).select("doc_id"),
+            "doc_id", "left_anti",
+        )
     new_stats = (
         new_runs.groupBy("term")
         .agg(F.count("*").alias("df_new"), F.sum("tf").alias("cf_new"))

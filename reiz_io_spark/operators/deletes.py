@@ -314,10 +314,34 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
             meta.get("fragment_postings", FRAGMENT_POSTINGS)
         )
         tomb = read_tombstones(spark, index_dir, meta)
-        pending = tomb.filter(~F.col("folded")).select("doc_id")
+        pending_all = tomb.filter(~F.col("folded")).select("doc_id")
+        merged_batches = sorted(meta.get("merged_batches", []))
 
-        # --- deleted postings: ONE runs scan, broadcast semi join ------
-        runs = spark.read.schema(RUNS_ON_DISK).parquet(p["runs"])
+        # A tombstone is FOLDABLE only if its doc's postings are in the
+        # blocks — i.e. its batch has been merged. A pending tombstone
+        # sitting in a landed-but-unmerged batch must stay PENDING:
+        # folding it would subtract df/cf for postings that were never
+        # encoded (dictionary desync) and fold collection stats for
+        # batches the blocks don't contain (ADVICE r06). Its postings
+        # arrive with the next merge_incremental, masked at read, and
+        # fold on a later compaction. Each doc_id lives in exactly one
+        # batch (stage1's cross-batch anti-join), so one pruned
+        # docs-table scan classifies the ledger.
+        docs_merged = (
+            spark.read.schema(DOCS_ON_DISK).parquet(p["docs"])
+            .filter(F.col("batch").isin(merged_batches))
+            .select("doc_id")
+        )
+        pending = pending_all.join(docs_merged, "doc_id", "left_semi")
+        if not pending.take(1):
+            return meta  # every pending tombstone awaits its merge
+
+        # --- deleted postings: ONE pruned runs scan, broadcast semi join
+        # (restricted to merged batches — exactly the data the blocks
+        # were encoded from)
+        runs = spark.read.schema(RUNS_ON_DISK).parquet(p["runs"]).filter(
+            F.col("batch").isin(merged_batches)
+        )
         deleted_runs = runs.join(
             F.broadcast(pending), "doc_id", "left_semi"
         )
@@ -335,10 +359,10 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
             for r in del_stats.select("term_bucket").distinct().collect()
         )
         if not affected_buckets:
-            # deleted docs contributed no postings (all parse-failed):
-            # just mark the ledger folded + recompute nothing
+            # foldable docs contributed no postings (all parse-failed):
+            # just fold THEIR ledger rows + recompute nothing
             del_stats.unpersist()
-            return _commit_folded(spark, index_dir, meta, p, version)
+            return _commit_folded(spark, index_dir, meta, p, version, pending)
         affected_ids = del_stats.select("term_id").distinct()
 
         # --- dictionary: subtract within affected buckets ---------------
@@ -453,17 +477,22 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
         )
         del_stats.unpersist()
 
-        # --- stats: lineage totals minus the FULL cumulative ledger ------
+        # --- stats: merged-lineage totals minus the FOLDED ledger --------
+        # lineage restricted to merged batches: the blocks contain
+        # exactly those batches' postings; a landed-but-unmerged batch
+        # joins the stats at its own merge commit. The subtraction uses
+        # the NEW ledger's folded rows (previously-folded + folded by
+        # this compaction) — still-pending rows keep counting toward
+        # n_docs/avgdl because their postings are still in the blocks
+        # (or not yet merged at all): the Lucene live-docs contract.
         lin = spark.read.schema(LINEAGE).parquet(p["lineage"]).filter(
-            F.col("status") == "done"
+            (F.col("status") == "done")
+            & F.col("build_id").isin(merged_batches)
         )
         stats = lin.agg(
             F.sum(F.col("n_files") - F.col("n_parse_failed")).alias("n_docs"),
             F.sum("n_terms").alias("total_dl"),
         ).collect()[0]
-        d_n, d_dl = deleted_stats(spark, index_dir, meta)
-        n_docs = int(stats["n_docs"] or 0) - d_n
-        total_dl = int(stats["total_dl"] or 0) - d_dl
 
         # --- commit ------------------------------------------------------
         new_version = version + 1
@@ -475,7 +504,22 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
         _assemble_version(
             cur_dict_dir, dict_staging, new_dict_dir, affected_buckets
         )
-        folded_dir = _write_folded_ledger(spark, index_dir, meta, new_version)
+        folded_dir = _write_folded_ledger(
+            spark, index_dir, meta, new_version, fold_ids=pending
+        )
+        staged_ledger = spark.read.schema(TOMBSTONES_SCHEMA).parquet(folded_dir)
+        lrow = staged_ledger.agg(
+            F.sum(
+                F.when(F.col("folded") & F.col("parse_ok"), 1).otherwise(0)
+            ).alias("nf"),
+            F.sum(
+                F.when(F.col("folded") & F.col("parse_ok"), F.col("doclen"))
+                .otherwise(F.lit(0))
+            ).alias("dlf"),
+            F.sum(F.when(~F.col("folded"), 1).otherwise(0)).alias("pending"),
+        ).collect()[0]
+        n_docs = int(stats["n_docs"] or 0) - int(lrow["nf"] or 0)
+        total_dl = int(stats["total_dl"] or 0) - int(lrow["dlf"] or 0)
         prev_tomb = meta.get("tombstones_dir")
         meta.update(
             {
@@ -483,7 +527,7 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
                 "dictionary_dir": os.path.basename(new_dict_dir),
                 "blocks_dir": os.path.basename(new_blocks_dir),
                 "tombstones_dir": os.path.basename(folded_dir),
-                "n_tombstones_pending": 0,
+                "n_tombstones_pending": int(lrow["pending"] or 0),
                 "n_docs": n_docs,
                 "total_dl": total_dl,
                 "avgdl": total_dl / n_docs if n_docs else 0.0,
@@ -505,16 +549,37 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
 
 
 def _write_folded_ledger(
-    spark: SparkSession, index_dir: str, meta: dict, version: int
+    spark: SparkSession, index_dir: str, meta: dict, version: int,
+    fold_ids: DataFrame | None = None,
 ) -> str:
-    """Rewrite the ledger with every row folded=true (staged, not yet
-    committed — the caller's meta flip publishes it)."""
+    """Rewrite the ledger with rows folded=true (staged, not yet
+    committed — the caller's meta flip publishes it). ``fold_ids=None``
+    folds EVERY row (the full-re-encode path, merge_and_encode, which
+    anti-joined the whole ledger); a DataFrame of doc_ids folds only
+    those rows — compact_deletes folds exactly the pending tombstones
+    whose postings it removed from the blocks, leaving tombstones of
+    landed-but-unmerged batches pending."""
     tomb = read_tombstones(spark, index_dir, meta)
+    if fold_ids is None:
+        folded = tomb.withColumn("folded", F.lit(True))
+    else:
+        folded = (
+            tomb.join(
+                F.broadcast(
+                    fold_ids.select("doc_id").withColumn("_f", F.lit(True))
+                ),
+                "doc_id", "left",
+            )
+            .select(
+                "doc_id", "doclen", "parse_ok",
+                (F.col("folded") | F.coalesce("_f", F.lit(False))).alias(
+                    "folded"
+                ),
+            )
+        )
     new_dir = os.path.join(index_dir, f"tombstones_v{version}")
     staging = os.path.join(index_dir, "tombstones_staging")
-    tomb.withColumn("folded", F.lit(True)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(staging)
+    folded.coalesce(1).write.mode("overwrite").parquet(staging)
     if os.path.isdir(new_dir):
         shutil.rmtree(new_dir)
     os.replace(staging, new_dir)
@@ -522,18 +587,24 @@ def _write_folded_ledger(
 
 
 def _commit_folded(
-    spark: SparkSession, index_dir: str, meta: dict, p: dict, version: int
+    spark: SparkSession, index_dir: str, meta: dict, p: dict, version: int,
+    fold_ids: DataFrame | None = None,
 ) -> dict:
-    """Pending docs had zero postings (parse-failed): no block work —
-    fold the ledger and adjust stats only."""
+    """Foldable pending docs had zero postings (parse-failed): no block
+    work — fold exactly their ledger rows and leave any unmerged-batch
+    tombstones pending."""
     new_version = version + 1
-    folded_dir = _write_folded_ledger(spark, index_dir, meta, new_version)
+    folded_dir = _write_folded_ledger(
+        spark, index_dir, meta, new_version, fold_ids=fold_ids
+    )
+    staged = spark.read.schema(TOMBSTONES_SCHEMA).parquet(folded_dir)
+    n_pending = staged.filter(~F.col("folded")).count()
     prev_tomb = meta.get("tombstones_dir")
     meta.update(
         {
             "version": new_version,
             "tombstones_dir": os.path.basename(folded_dir),
-            "n_tombstones_pending": 0,
+            "n_tombstones_pending": int(n_pending),
         }
     )
     _write_meta_atomic(p["meta"], meta)
@@ -589,16 +660,23 @@ def apply_update_sidecars(
     )
     old = read_tombstones(spark, index_dir, meta)
     if old is not None:
-        n_folded = old.join(
+        stale = old.join(
             F.broadcast(removes), "doc_id", "left_semi"
-        ).filter(F.col("folded")).count()
-        if n_folded:
-            raise RuntimeError(
-                f"update sidecar reverts {n_folded} FOLDED tombstones — "
-                f"their postings were compacted away after the update "
-                f"was staged; re-run update_docs (it will refuse and "
-                f"explain), or re-ingest the content under a new path"
-            )
+        ).filter(F.col("folded")).select("doc_id")
+        n_stale = stale.count()
+        if n_stale:
+            # a compaction folded these revert targets between
+            # update_docs staging its sidecar and this merge applying
+            # it: the postings are physically gone, so the revert
+            # cannot be honored. SKIP the stale untombstone rows —
+            # raising here would leave the batch in new_batches and
+            # poison every subsequent merge on the same sidecar
+            # (ADVICE r06). The reverted content stays hidden (the
+            # folded contract); restoring it means re-ingesting under
+            # a new path. The skip count is published in the same meta
+            # flip so operators can see it.
+            removes = removes.join(stale, "doc_id", "left_anti")
+        meta["last_merge_stale_reverts"] = int(n_stale)
         ledger = (
             old.join(F.broadcast(removes), "doc_id", "left_anti")
             .unionByName(

@@ -173,6 +173,57 @@ def federated_doc_metadata(
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def federated_grep(
+    spark: SparkSession,
+    index_dirs: list[str],
+    pattern: str,
+    allow_stale: bool = False,
+    driver_decode_max: int | None = None,
+) -> DataFrame:
+    """Regex/trigram grep over a shard set: each shard runs its OWN
+    sidecar candidate seek (driver-side dictionary probe + pruned
+    posting reads, or the distributed decode for hot trigrams), and the
+    per-shard verify plans union into ONE lazy job. Bit-identical to
+    grep_index over a single index holding the union corpus: the doc
+    sets are disjoint and both the factor prefilter and the rlike
+    verify are per-document, so no cross-shard statistics discipline is
+    needed (unlike BM25) — union of per-shard answers IS the global
+    answer (pytest-gated). A shard without a committed sidecar degrades
+    to its factor-prefiltered scan independently; the other shards keep
+    their seeks."""
+    from .regexsearch import DRIVER_DECODE_MAX, grep_index
+
+    ddm = DRIVER_DECODE_MAX if driver_decode_max is None else driver_decode_max
+    out = None
+    for d in index_dirs:
+        part = grep_index(
+            spark, d, pattern, allow_stale=allow_stale, driver_decode_max=ddm
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def federated_grep_lines(
+    spark: SparkSession,
+    index_dirs: list[str],
+    pattern: str,
+    allow_stale: bool = False,
+    driver_decode_max: int | None = None,
+) -> DataFrame:
+    """``grep -n`` over a shard set — the grep_lines twin of
+    federated_grep (same disjoint-doc-set argument, one union job)."""
+    from .regexsearch import DRIVER_DECODE_MAX, grep_lines
+
+    ddm = DRIVER_DECODE_MAX if driver_decode_max is None else driver_decode_max
+    out = None
+    for d in index_dirs:
+        part = grep_lines(
+            spark, d, pattern, allow_stale=allow_stale, driver_decode_max=ddm
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def federated_update_docs(
     spark: SparkSession, index_dirs: list[str], corpus: DataFrame
 ) -> list[dict]:
@@ -231,6 +282,117 @@ def federated_delete_repo(
 
     i = spark_xxhash64(repo) % len(index_dirs)
     return delete_docs(spark, index_dirs[i], F.col("repo") == repo)
+
+
+# --------------------------------------------------------------------------
+# federated ANN: shard the vector tier like the text tier
+# --------------------------------------------------------------------------
+#
+# The same blast-radius argument that motivated text-index federation
+# applies to the ANN tier at 10^9+ vectors — and ANN federation is
+# EASIER: cosine scores are locally exact (no global df/avgdl
+# discipline), so the union of per-shard exact-refined top-k, re-ranked
+# once, IS the global answer over the shards' combined candidates.
+# Routing: pmod(xxhash64(vec_id), N) — deterministic, computable by any
+# writer without coordination (the vec-tier twin of shard_of).
+
+
+def shard_of_vec(n_shards: int):
+    return F.pmod(F.xxhash64("vec_id"), F.lit(n_shards)).cast("int")
+
+
+def shard_embeddings(embeddings: DataFrame, n_shards: int) -> list[DataFrame]:
+    """Split an embeddings table into n_shards disjoint frames by
+    shard_of_vec — each is the input of an independent build_ann_index
+    (per-shard quantizers train on their own slice)."""
+    withs = embeddings.withColumn("_fed_shard", shard_of_vec(n_shards))
+    return [
+        withs.filter(F.col("_fed_shard") == i).drop("_fed_shard")
+        for i in range(n_shards)
+    ]
+
+
+def build_federated_ann_index(
+    embeddings: DataFrame,
+    out_dirs: list[str],
+    m: int = 4,
+    n_codes: int = 16,
+    n_lists: int = 16,
+    seed: int = 7,
+) -> list[dict]:
+    """One build_ann_index per shard over the routed slice. Each shard
+    trains its OWN quantizers (IVF centroids + PQ codebooks) on its own
+    vectors — legal because scores are exact after the refine; only
+    candidate selection is approximate, and recall is per-shard."""
+    from .ann_index import build_ann_index
+
+    parts = shard_embeddings(embeddings, len(out_dirs))
+    return [
+        build_ann_index(part, d, m=m, n_codes=n_codes, n_lists=n_lists,
+                        seed=seed)
+        for part, d in zip(parts, out_dirs)
+    ]
+
+
+def federated_append_to_ann_index(
+    embeddings_batch: DataFrame, index_dirs: list[str]
+) -> list[dict]:
+    """Route an append batch by pmod(xxhash64(vec_id), N) and fold each
+    slice into its owning shard (append_to_ann_index's frozen-quantizer
+    contract per shard; empty slices no-op). Shards commit
+    independently — same per-shard atomicity as federated_update_docs."""
+    from .ann_index import append_to_ann_index
+
+    n = len(index_dirs)
+    routed = embeddings_batch.withColumn("_fed_shard", shard_of_vec(n))
+    metas = []
+    for i, d in enumerate(index_dirs):
+        part = routed.filter(F.col("_fed_shard") == i).drop("_fed_shard")
+        metas.append(append_to_ann_index(part, d))
+    return metas
+
+
+def federated_ann_search(
+    spark: SparkSession,
+    index_dirs: list[str],
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 4,
+    refine_factor: int = 4,
+    query_vectors: dict | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, score) global top-k over the shard set: each
+    shard runs its own partition-pruned ADC scan + exact-cosine refine
+    (ann_index_search, tombstone-masked per shard), the per-shard
+    top-k frames union into ONE lazy plan, and a single window re-rank
+    takes the global k. Scores are exact cosines, so the merge needs no
+    statistics phase; with probe-all + full-depth refine the result is
+    bit-identical to one index over the union vectors AND to the
+    brute-force scan (pytest-gated). Query vectors resolve ONCE on the
+    driver and are handed to every shard — N shards never multiply the
+    embeddings point-lookup."""
+    from pyspark.sql.window import Window
+
+    from .ann_index import ann_index_search
+    from .pq import resolve_query_vectors
+
+    qvecs = resolve_query_vectors(embeddings, query_ids, query_vectors)
+    out = None
+    for d in index_dirs:
+        part = ann_index_search(
+            spark, d, embeddings, query_ids, k=k, n_probe=n_probe,
+            refine_factor=refine_factor, query_vectors=qvecs,
+        )
+        out = part if out is None else out.unionByName(part)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "score")
+    )
 
 
 def reshard_index(

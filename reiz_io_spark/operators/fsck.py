@@ -103,11 +103,16 @@ def fsck_index(
         f"{inv['n']} terms, {inv['ids']} ids, {inv['bad_df'] or 0} df<=0",
     )
 
-    # --- collection stats == lineage totals - folded ledger ------------------
+    # --- collection stats == MERGED-lineage totals - folded ledger -----------
+    # merged batches only: a landed-but-unmerged batch has lineage rows
+    # but no postings in the blocks; its docs join the stats at its own
+    # merge commit (and its tombstones stay pending until then)
     lin = spark.read.schema(LINEAGE).parquet(p["lineage"]).filter(
         F.col("status") == "done"
     )
-    stats = lin.agg(
+    stats = lin.filter(
+        F.col("build_id").isin(list(meta.get("merged_batches", [])))
+    ).agg(
         F.sum(F.col("n_files") - F.col("n_parse_failed")).alias("n"),
         F.sum("n_terms").alias("dl"),
     ).collect()[0]
@@ -292,4 +297,222 @@ def fsck_ann_index(
             union.groupBy("vec_id").count().filter(F.col("count") > 1).count()
         )
         ok("no_duplicate_vec_ids", dup == 0, f"{dup} duplicated ids")
+    return report
+
+
+def fsck_trigrams(
+    spark: SparkSession, index_dir: str, deep: bool = False
+) -> dict[str, dict]:
+    """Trigram-sidecar twin of fsck_index (VERDICT r06 #8). The sidecar
+    has the same class of invariants as the main index — atomic meta
+    flips, generation dirs no reader should lose, coverage bookkeeping,
+    encoded fragments that must decode to what the dictionary promises:
+
+    - **light**: sidecar meta parses; every committed generation's
+      postings+dictionary dirs resolve; covered_batches still exist in
+      the content table's hive layout; staleness vs the content batches
+      on disk is REPORTED (a stale sidecar is legal — grep refuses it
+      unless allow_stale — so it does not fail fsck); a leftover
+      update.lock is reported (live writer or crash debris).
+    - **deep**: every fragment decodes (delta+varint) to exactly
+      ``n_docs`` strictly-increasing doc_ids starting at
+      ``first_doc_id``; ``bucket`` equals the query-side bucket
+      function (a mismatch would make partition pruning silently skip
+      the fragment); hot-trigram fragments carry the salt their
+      members hash to (pmod(xxhash64(doc_id), n_salts), the purity the
+      seek relies on); each generation's dictionary df equals the sum
+      of its fragments' n_docs per trigram; and the MERGED per-trigram
+      df equals a recount from the covered content batches — the
+      content-identical guarantee (bit-rot + lost-fragment check).
+    """
+    import numpy as np
+
+    from ..functions import codec
+    from .regexsearch import (
+        N_TG_BUCKETS,
+        TG_FRAGMENT,
+        _content_batches,
+        _gen_dictionary,
+        _gen_postings,
+        _tg_paths,
+    )
+
+    report: dict[str, dict] = {}
+
+    def ok(name: str, cond: bool, detail: str = "") -> None:
+        report[name] = {"ok": bool(cond), "detail": detail}
+
+    p = _tg_paths(index_dir)
+    try:
+        with open(p["meta"]) as fh:
+            tmeta = json.load(fh)
+    except (OSError, json.JSONDecodeError) as exc:
+        ok("tg_meta_readable", False, str(exc))
+        return report
+    ok("tg_meta_readable", True, f"commit {tmeta.get('commit')}")
+
+    gens = list(tmeta.get("generations", []))
+    missing = [
+        g for g in gens
+        if not (os.path.isdir(_gen_postings(p["base"], g))
+                and os.path.isdir(_gen_dictionary(p["base"], g)))
+    ]
+    ok("tg_generations_resolve", not missing,
+       f"missing: {missing}" if missing else f"{len(gens)} generations")
+
+    covered = sorted(tmeta.get("covered_batches", []))
+    on_disk = _content_batches(index_dir)
+    gone = sorted(set(covered) - set(on_disk))
+    ok("tg_covered_batches_exist", not gone,
+       f"covered batches gone from content: {gone}" if gone else "")
+    uncovered = sorted(set(on_disk) - set(covered))
+    ok("tg_staleness", True,  # reported, never a failure (see docstring)
+       f"STALE — uncovered content batches: {uncovered}" if uncovered
+       else "fresh")
+    ok("tg_no_writer_lock", not os.path.exists(p["lock"]),
+       "update.lock present (live writer or crash debris)"
+       if os.path.exists(p["lock"]) else "")
+    ok(
+        "tg_bucket_config",
+        int(tmeta.get("n_term_buckets", -1)) == N_TG_BUCKETS,
+        f"sidecar {tmeta.get('n_term_buckets')} vs code {N_TG_BUCKETS}",
+    )
+
+    if not deep or missing or not gens:
+        return report
+
+    # --- deep: fragments decode; per-generation df; salt purity ------------
+    schema = (
+        "tg long, salt int, first_doc_id long, n_docs long, "
+        "doc_deltas binary, bucket int"
+    )
+    from ..functions.hashing import spark_xxhash64
+
+    total_bad = {"decode": 0, "bucket": 0, "salt": 0}
+    df_mismatch = 0
+    merged_df: dict | None = {}
+    for g in gens:
+        posts = spark.read.schema(schema).parquet(_gen_postings(p["base"], g))
+        gdict = spark.read.schema("tg long, df long").parquet(
+            _gen_dictionary(p["base"], g)
+        )
+        hot = {
+            int(r["tg"]): -(-int(r["df"]) // TG_FRAGMENT)
+            for r in gdict.filter(F.col("df") > TG_FRAGMENT).collect()
+        }
+
+        def _check(pdf_iter, hot=hot):
+            import pandas as pd
+
+            for pdf in pdf_iter:
+                bad_dec = bad_bkt = bad_salt = 0
+                for tg, salt, first, n, buf, bkt in zip(
+                    pdf["tg"], pdf["salt"], pdf["first_doc_id"],
+                    pdf["n_docs"], pdf["doc_deltas"], pdf["bucket"],
+                ):
+                    try:
+                        ids = codec.delta_decode_docids(
+                            int(first), bytes(buf), int(n)
+                        )
+                    except Exception:
+                        bad_dec += 1
+                        continue
+                    if (
+                        ids.size != int(n)
+                        or (ids.size and int(ids[0]) != int(first))
+                        or (ids.size > 1 and not bool(np.all(ids[:-1] < ids[1:])))
+                    ):
+                        bad_dec += 1
+                    if int(bkt) != spark_xxhash64(int(tg)) % N_TG_BUCKETS:
+                        bad_bkt += 1
+                    ns = hot.get(int(tg), 1)
+                    if ns > 1:
+                        salts = np.array(
+                            [spark_xxhash64(int(d)) % ns for d in ids],
+                            dtype=np.int64,
+                        )
+                        if not bool(np.all(salts == int(salt))):
+                            bad_salt += 1
+                    elif int(salt) != 0:
+                        bad_salt += 1
+                yield pd.DataFrame(
+                    {"bad_dec": [bad_dec], "bad_bkt": [bad_bkt],
+                     "bad_salt": [bad_salt]}
+                )
+
+        agg = posts.mapInPandas(
+            _check, schema="bad_dec long, bad_bkt long, bad_salt long"
+        ).agg(
+            F.sum("bad_dec").alias("d"), F.sum("bad_bkt").alias("b"),
+            F.sum("bad_salt").alias("s"),
+        ).collect()[0]
+        total_bad["decode"] += int(agg["d"] or 0)
+        total_bad["bucket"] += int(agg["b"] or 0)
+        total_bad["salt"] += int(agg["s"] or 0)
+
+        # generation dictionary df == sum of fragment sizes per trigram
+        frag_df = posts.groupBy("tg").agg(F.sum("n_docs").alias("n"))
+        df_mismatch += (
+            gdict.join(frag_df, "tg", "full_outer")
+            .filter(F.coalesce("df", F.lit(0)) != F.coalesce("n", F.lit(0)))
+            .count()
+        )
+        if merged_df is not None:
+            for r in gdict.collect():
+                merged_df[int(r["tg"])] = (
+                    merged_df.get(int(r["tg"]), 0) + int(r["df"])
+                )
+
+    ok("tg_fragments_decode", total_bad["decode"] == 0,
+       f"{total_bad['decode']} fragments fail decode/sort/first")
+    ok("tg_bucket_function", total_bad["bucket"] == 0,
+       f"{total_bad['bucket']} fragments in the wrong bucket")
+    ok("tg_salt_purity", total_bad["salt"] == 0,
+       f"{total_bad['salt']} fragments with impure salt")
+    ok("tg_dictionary_matches_fragments", df_mismatch == 0,
+       f"{df_mismatch} trigrams df!=fragment sum")
+
+    # --- deep: merged df == recount from the covered content ---------------
+    from ..schema import CONTENT_ON_DISK
+
+    content = (
+        spark.read.schema(CONTENT_ON_DISK)
+        .parquet(os.path.join(index_dir, "content"))
+        .filter(F.col("batch").isin(covered))
+        .select("doc_id", "content")
+    )
+
+    def _recount(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            tgs = []
+            for text in pdf["content"]:
+                b = text.encode("utf-8")
+                if len(b) < 3:
+                    continue
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                tgs.append(np.unique((a[:-2] << 16) | (a[1:-1] << 8) | a[2:]))
+            yield pd.DataFrame(
+                {"tg": np.concatenate(tgs) if tgs
+                 else np.empty(0, dtype=np.int64)}
+            )
+
+    want = {
+        int(r["tg"]): int(r["n"])
+        for r in content.mapInPandas(_recount, schema="tg long")
+        .groupBy("tg").agg(F.count("*").alias("n")).collect()
+    }
+    extra = {t for t in merged_df if t not in want}
+    lost = {t for t in want if t not in merged_df}
+    wrong = {
+        t for t in merged_df
+        if t in want and merged_df[t] != want[t]
+    }
+    ok(
+        "tg_df_matches_content_recount",
+        not (extra or lost or wrong),
+        f"{len(extra)} phantom / {len(lost)} lost / {len(wrong)} wrong-df "
+        f"trigrams",
+    )
     return report

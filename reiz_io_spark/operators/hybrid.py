@@ -115,7 +115,7 @@ LIMIT {k}
 def hybrid_rrf_topk_indexed(
     documents: DataFrame,
     embeddings: DataFrame,
-    ann_index_dir: str,
+    ann_index_dir: str | list[str],
     query_terms: list[str],
     query_vec_id: int,
     k: int = 10,
@@ -130,17 +130,30 @@ def hybrid_rrf_topk_indexed(
     corpus scan, so the fused query's cost is index-seek-shaped on
     BOTH lists. Same output contract as hybrid_rrf_topk; the vector
     list's membership is the ANN approximation (probe-all + deep
-    refine converges it to the flat-PQ list — pytest)."""
+    refine converges it to the flat-PQ list — pytest).
+
+    ``ann_index_dir`` may be a LIST of shard dirs: the vector list then
+    comes from federation.federated_ann_search (per-shard pruned scans,
+    one global merge) — the same fused deployment over a sharded ANN
+    tier (VERDICT r06 #6)."""
     from .ann_index import ann_index_search
+    from .federation import federated_ann_search
 
     bm = bm25_topk(documents, query_terms, n_deep, conjunctive=False)
     w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
     bmr = bm.select("doc_id", F.row_number().over(w).alias("bm_rank"))
-    ann = ann_index_search(
-        documents.sparkSession, ann_index_dir, embeddings,
-        [query_vec_id], k=n_deep, n_probe=n_probe,
-        refine_factor=refine_factor,
-    )
+    if isinstance(ann_index_dir, (list, tuple)):
+        ann = federated_ann_search(
+            documents.sparkSession, list(ann_index_dir), embeddings,
+            [query_vec_id], k=n_deep, n_probe=n_probe,
+            refine_factor=refine_factor,
+        )
+    else:
+        ann = ann_index_search(
+            documents.sparkSession, ann_index_dir, embeddings,
+            [query_vec_id], k=n_deep, n_probe=n_probe,
+            refine_factor=refine_factor,
+        )
     wv = Window.partitionBy(F.lit(0)).orderBy(
         F.desc("score"), F.asc("vec_id")
     )

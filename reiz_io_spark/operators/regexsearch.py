@@ -994,6 +994,26 @@ def _candidate_content(
     verified = content
     if cand is not None:
         verified = content.join(cand, "doc_id", "left_semi")
+    elif dnf is not None:
+        # no committed sidecar (or non-factorable route): don't degrade
+        # silently to a bare full-corpus rlike — push the same JVM
+        # Contains factor conjunction regex_search uses into the
+        # content scan, so the rlike verify only sees factor-passing
+        # rows (ADVICE r06: the fallback previously skipped even this).
+        text = F.col("content")
+        probe = F.lower(text) if fold else text
+        verified = content.filter(
+            reduce(
+                lambda a, b: a | b,
+                (
+                    reduce(
+                        lambda a, b: a & b,
+                        (probe.contains(f) for f in sorted(alt)),
+                    )
+                    for alt in dnf
+                ),
+            )
+        )
     return verified, docs
 
 

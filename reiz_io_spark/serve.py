@@ -81,52 +81,34 @@ def _fold_position_rows(rows, offset: int) -> list[dict]:
     return out
 
 
-class QueryService:
-    """Thread-safety contract: a single QueryService may be called from
-    many threads (ThreadingHTTPServer handlers). The warm path is
-    lock-free — cache reads hit immutable values in dicts that are only
-    ever inserted into. Cache MISSES serialize behind one miss lock
-    (double-checked), so concurrent cold queries never issue duplicate
-    Spark collects for the same keys; warm traffic never blocks on a
-    cold fill. Postings/content caches are bounded LRUs — a long-lived
-    server's memory stays proportional to its hot set, not its history.
-    """
+class _Snapshot:
+    """One committed index snapshot bundled with its warm caches:
+    reader, collection stats, decoded-postings LRU, term meta, Like
+    expansions, doc metadata, content LRU, and the pending-tombstone
+    mask. A request captures ONE reference to this object at entry and
+    resolves everything through it, so a refresh landing mid-request
+    can never mix generations (old idf with new postings/avgdl, or a
+    KeyError on a vanished cache entry) — the service publishes a new
+    snapshot with a single reference assignment and in-flight readers
+    keep this one alive until they finish."""
 
     def __init__(
         self,
         reader: IndexReader,
-        max_driver_postings: int = 5_000_000,
-        max_driver_docmeta: int = 5_000_000,
-        max_cached_terms: int = 65_536,
-        max_cached_contents: int = 16_384,
-        auto_refresh_s: float | None = None,
+        miss_lock: threading.Lock,
+        max_driver_docmeta: int,
+        max_cached_terms: int,
+        max_cached_contents: int,
     ):
-        self.max_driver_postings = max_driver_postings
-        self._max_driver_docmeta = max_driver_docmeta
-        self._max_cached_terms = max_cached_terms
-        self._max_cached_contents = max_cached_contents
-        # auto_refresh_s: with a live-maintained index (update/delete/
-        # merge commits), re-stat meta.json at most this often from
-        # query_topk and reopen on a newer snapshot. None (default) =
-        # pinned snapshot, the classic contract.
-        self.auto_refresh_s = auto_refresh_s
-        self._next_refresh_check = 0.0
-        self._miss_lock = threading.Lock()
-        self._bind(reader)
-
-    def _bind(self, reader: IndexReader) -> None:
-        """Point the service at one committed snapshot: fresh caches,
-        fresh stats. In-flight warm readers keep the PREVIOUS snapshot's
-        immutable cache objects — per-request consistency holds."""
-        max_driver_docmeta = self._max_driver_docmeta
-        max_cached_terms = self._max_cached_terms
-        max_cached_contents = self._max_cached_contents
         self.reader = reader
         self.meta = reader.meta
         self.k1 = float(self.meta["k1"])
         self.b = float(self.meta["b"])
         self.avgdl = float(self.meta["avgdl"])
         self.n_docs = int(self.meta["n_docs"])
+        # shared with the owning service: miss serialization may span a
+        # snapshot swap (harmless — it only bounds duplicate collects)
+        self._miss_lock = miss_lock
         self._postings: _LRU = _LRU(max_cached_terms)  # term -> (d, tf, dl)
         self._tmeta: dict[str, dict] = {}
         self._absent: set[str] = set()
@@ -149,44 +131,7 @@ class QueryService:
             for did in self._excl.tolist():
                 self._docmeta.pop(did, None)
 
-    def refresh_if_stale(self) -> bool:
-        """Reopen on a newer committed index snapshot (an update/
-        delete/merge flipped meta.json since this service bound its
-        reader). One meta.json read; True iff the service re-bound.
-        All caches reset and refill lazily — the same warm-up cost as
-        a new service, paid only when a commit actually happened.
-        Concurrent warm queries during the swap serve the OLD snapshot
-        to completion (their cache references stay valid); queries
-        arriving after the swap see the new one."""
-        import json as _json
-        import os as _os
-
-        mp = _os.path.join(self.reader.index_dir, "meta.json")
-        try:
-            with open(mp) as fh:
-                v = int(_json.load(fh).get("version", 0))
-        except (OSError, ValueError):
-            return False
-        if v == int(self.meta.get("version", 0)):
-            return False
-        with self._miss_lock:
-            if v == int(self.meta.get("version", 0)):  # double-checked
-                return False
-            self._bind(IndexReader(self.reader.spark, self.reader.index_dir))
-        return True
-
-    def _maybe_auto_refresh(self) -> None:
-        if self.auto_refresh_s is None:
-            return
-        import time as _time
-
-        now = _time.monotonic()
-        if now < self._next_refresh_check:
-            return
-        self._next_refresh_check = now + float(self.auto_refresh_s)
-        self.refresh_if_stale()
-
-    # -- term resolution (cached) ---------------------------------------------
+    # -- term resolution (cached) ------------------------------------------
 
     def resolve_groups(self, query: LoweredQuery) -> list[tuple[str, ...]]:
         def expand(namespace: str, regex: str) -> list[str]:
@@ -217,7 +162,7 @@ class QueryService:
                     self._absent.update(t for t in missing if t not in got)
         return {t: self._tmeta[t] for t in terms if t in self._tmeta}
 
-    # -- postings cache ---------------------------------------------------------
+    # -- postings cache ----------------------------------------------------
 
     def _fetch_postings(self, terms: list[str]) -> None:
         """One pruned blocks read for all missing terms. Misses are
@@ -266,7 +211,7 @@ class QueryService:
             order = np.argsort(d, kind="stable")
             self._postings[t] = (d[order], tf[order], dl[order])
 
-    # -- scoring (exact, oracle accumulation order) ------------------------------
+    # -- scoring (exact, oracle accumulation order) ------------------------
 
     def _score_driver(
         self, groups: list[tuple[str, ...]], tmeta: dict, k: int,
@@ -319,174 +264,7 @@ class QueryService:
         order = np.lexsort((candidates, -scores))[:k]
         return [(int(candidates[i]), float(scores[i])) for i in order]
 
-    def query_topk(
-        self, query: LoweredQuery, k: int = 10, offset: int = 0,
-        field_weights: dict[str, float] | None = None,
-    ) -> list[dict]:
-        """Ranked results as dicts. Warm path: zero Spark jobs once the
-        query's terms are cached. Fallback: distributed wand_topk.
-        field_weights (BM25F): per-namespace multipliers applied at
-        score time — the postings cache stays weight-independent, so
-        one warm cache serves every weighting."""
-        self._maybe_auto_refresh()
-        groups = self.resolve_groups(query)
-        if not groups or any(len(g) == 0 for g in groups):
-            return []
-        all_terms = sorted({t for g in groups for t in g})
-        tmeta = self.term_meta(all_terms)
-        for g in groups:
-            if all(t not in tmeta for t in g):
-                return []
-        total_df = sum(m["df"] for m in tmeta.values())
-        if total_df > self.max_driver_postings:
-            top = wand_mod.wand_topk(
-                self.reader, query, k=k, offset=offset,
-                field_weights=field_weights,
-            ).collect()
-            ranked = [(r["doc_id"], r["score"]) for r in top]
-        else:
-            self._fetch_postings(list(tmeta))
-            ranked = self._score_driver(
-                groups, tmeta, k + offset, field_weights=field_weights
-            )[offset:]
-        from .functions.links import github_link, username_of
-
-        out = []
-        for rank, (doc_id, score) in enumerate(ranked, start=offset + 1):
-            repo, path, commit = self._doc_meta(doc_id)
-            out.append(
-                {"doc_id": doc_id, "repo": repo, "path": path,
-                 "score": score, "rank": rank,
-                 # reference renders both in every result row
-                 # (reiz/fetch.py:95-107)
-                 "github_link": github_link(repo, commit, path),
-                 "username": username_of(repo)}
-            )
-        return out
-
-    def query_positions(
-        self, query: LoweredQuery, k: int = 10, offset: int = 0
-    ) -> list[dict]:
-        """Structurally verified results with exact match positions and
-        source segments (fetch.py:14-29 projection) — the serving twin
-        of operators/verify.structural_topk (same tranche escalation,
-        driver-side matcher over cached content)."""
-        from .plans.matcher import match_spans
-
-        self._maybe_auto_refresh()
-        groups = self.resolve_groups(query)
-        if not groups or any(len(g) == 0 for g in groups):
-            return []
-        all_terms = sorted({t for g in groups for t in g})
-        tmeta = self.term_meta(all_terms)
-        for g in groups:
-            if all(t not in tmeta for t in g):
-                return []
-        if sum(m["df"] for m in tmeta.values()) > self.max_driver_postings:
-            # hot query: distributed verify stage (adaptive retrieval)
-            from .operators.verify import structural_topk
-
-            rows = structural_topk(self.reader, query, k=k, offset=offset).collect()
-            return _fold_position_rows(rows, offset)
-        self._fetch_postings(list(tmeta))
-        want = k + offset
-        tranche = max(want * 4, 16)
-        verified: list[tuple[int, float, list[int]]] = []
-        seen = 0
-        while True:
-            ranked = self._score_driver(groups, tmeta, seen + tranche)[seen:]
-            if not ranked:
-                break
-            fetched = self._fetch_content([d for d, _ in ranked])
-            for doc_id, score in ranked:
-                content = fetched.get(doc_id)
-                if content is None:
-                    continue
-                try:
-                    spans = match_spans(content, query.source)
-                except SyntaxError:
-                    continue
-                if spans:
-                    verified.append((doc_id, score, spans))
-            seen += len(ranked)
-            if len(verified) >= want or len(ranked) < tranche:
-                break
-            tranche *= 4
-        from .functions.links import github_link, username_of
-
-        out = []
-        for rank, (doc_id, score, spans) in enumerate(
-            verified[offset : offset + k], start=offset + 1
-        ):
-            repo, path, commit = self._doc_meta(doc_id)
-            first = min(s[0] for s in spans)
-            first_end = max(s[2] for s in spans if s[0] == first)
-            out.append(
-                {"doc_id": doc_id, "repo": repo, "path": path, "score": score,
-                 "rank": rank,
-                 "username": username_of(repo),
-                 "github_link": github_link(repo, commit, path, first, first_end),
-                 "linenos": sorted({s[0] for s in spans}),
-                 "matches": [
-                     {"lineno": ln, "col_offset": col, "end_lineno": end_ln,
-                      "segment": seg,
-                      "github_link": github_link(repo, commit, path, ln, end_ln)}
-                     for ln, col, end_ln, _ec, seg in spans
-                 ]}
-            )
-        return out
-
-    def analyze(self, query: LoweredQuery) -> dict:
-        """Lowered plan + per-term stats (the reference's POST /analyze,
-        reiz/web/api.py:96-119 returns the compiled EdgeQL; we return
-        the lowered CNF + index stats + chosen route)."""
-        groups = self.resolve_groups(query)
-        all_terms = sorted({t for g in groups for t in g})
-        tmeta = self.term_meta(all_terms)
-        total_df = sum(m["df"] for m in tmeta.values())
-        return {
-            "query": query.source,
-            "groups": [list(g) for g in groups],
-            "terms": {
-                t: {"df": m["df"], "cf": m["cf"], "idf": m["idf"]}
-                for t, m in tmeta.items()
-            },
-            "route": (
-                "distributed-wand"
-                if total_df > self.max_driver_postings
-                else "driver-cache"
-            ),
-            "total_df": total_df,
-            "n_docs": self.n_docs,
-        }
-
-    def statistics(self) -> dict:
-        """The reference's /stats numbers (reiz/fetch.py:12,31-36 counts
-        Module / AST / stmt / expr instances): derived from the
-        dictionary's node: term collection frequencies — cf("node:T") is
-        exactly the number of T instances across parsed files, so one
-        tiny dictionary scan answers all four."""
-        import ast as _ast
-
-        rows = (
-            self.reader.dictionary()
-            .filter(F.col("term").startswith("node:"))
-            .select("term", "cf")
-            .collect()
-        )
-        stmt_types = {c.__name__ for c in _ast.stmt.__subclasses__()}
-        expr_types = {c.__name__ for c in _ast.expr.__subclasses__()}
-        counts = {r["term"][len("node:"):]: int(r["cf"]) for r in rows}
-        return {
-            "Module": counts.get("Module", 0),
-            "AST": sum(counts.values()),
-            "stmt": sum(v for t, v in counts.items() if t in stmt_types),
-            "expr": sum(v for t, v in counts.items() if t in expr_types),
-            "n_docs": self.n_docs,
-            "avgdl": self.avgdl,
-        }
-
-    # -- metadata / content lookups ----------------------------------------------
+    # -- metadata / content lookups ----------------------------------------
 
     def _doc_meta(self, doc_id: int) -> tuple[str, str, str | None]:
         if self._docmeta is not None and doc_id in self._docmeta:
@@ -528,6 +306,312 @@ class QueryService:
                         self._content[d] = got.get(d)
         return {d: self._content.get(d) for d in doc_ids}
 
+
+class QueryService:
+    """Thread-safety contract: a single QueryService may be called from
+    many threads (ThreadingHTTPServer handlers). The warm path is
+    lock-free — cache reads hit immutable values in dicts that are only
+    ever inserted into. Cache MISSES serialize behind one miss lock
+    (double-checked), so concurrent cold queries never issue duplicate
+    Spark collects for the same keys; warm traffic never blocks on a
+    cold fill. Postings/content caches are bounded LRUs — a long-lived
+    server's memory stays proportional to its hot set, not its history.
+
+    Snapshot consistency: all per-snapshot state lives in ONE
+    `_Snapshot` bundle; every request pins `self._snap` once at entry,
+    so a concurrent `refresh_if_stale` (which swaps the pointer to a
+    fresh bundle) can never hand a request a mix of old and new
+    generations.
+    """
+
+    def __init__(
+        self,
+        reader: IndexReader,
+        max_driver_postings: int = 5_000_000,
+        max_driver_docmeta: int = 5_000_000,
+        max_cached_terms: int = 65_536,
+        max_cached_contents: int = 16_384,
+        auto_refresh_s: float | None = None,
+    ):
+        self.max_driver_postings = max_driver_postings
+        self._max_driver_docmeta = max_driver_docmeta
+        self._max_cached_terms = max_cached_terms
+        self._max_cached_contents = max_cached_contents
+        # auto_refresh_s: with a live-maintained index (update/delete/
+        # merge commits), re-stat meta.json at most this often from
+        # query_topk and reopen on a newer snapshot. None (default) =
+        # pinned snapshot, the classic contract.
+        self.auto_refresh_s = auto_refresh_s
+        self._next_refresh_check = 0.0
+        self._miss_lock = threading.Lock()
+        self._bind(reader)
+
+    def _bind(self, reader: IndexReader) -> None:
+        """Point the service at one committed snapshot: fresh caches,
+        fresh stats, published as ONE reference assignment (atomic
+        under the GIL). In-flight requests that pinned the previous
+        `_snap` keep its immutable bundle to completion — per-request
+        consistency holds."""
+        self._snap = _Snapshot(
+            reader, self._miss_lock, self._max_driver_docmeta,
+            self._max_cached_terms, self._max_cached_contents,
+        )
+
+    # -- snapshot delegation (compat surface; request paths pin _snap once) --
+
+    @property
+    def reader(self) -> IndexReader:
+        return self._snap.reader
+
+    @property
+    def meta(self) -> dict:
+        return self._snap.meta
+
+    @property
+    def k1(self) -> float:
+        return self._snap.k1
+
+    @property
+    def b(self) -> float:
+        return self._snap.b
+
+    @property
+    def avgdl(self) -> float:
+        return self._snap.avgdl
+
+    @property
+    def n_docs(self) -> int:
+        return self._snap.n_docs
+
+    @property
+    def _docmeta(self):
+        return self._snap._docmeta
+
+    def resolve_groups(self, query: LoweredQuery) -> list[tuple[str, ...]]:
+        return self._snap.resolve_groups(query)
+
+    def term_meta(self, terms: list[str]) -> dict[str, dict]:
+        return self._snap.term_meta(terms)
+
+    def _fetch_postings(self, terms: list[str]) -> None:
+        self._snap._fetch_postings(terms)
+
+    def _score_driver(self, *args, **kwargs):
+        return self._snap._score_driver(*args, **kwargs)
+
+    def _doc_meta(self, doc_id: int) -> tuple[str, str, str | None]:
+        return self._snap._doc_meta(doc_id)
+
+    def _fetch_content(self, doc_ids: list[int]) -> dict[int, str | None]:
+        return self._snap._fetch_content(doc_ids)
+
+    def refresh_if_stale(self) -> bool:
+        """Reopen on a newer committed index snapshot (an update/
+        delete/merge flipped meta.json since this service bound its
+        reader). One meta.json read; True iff the service re-bound.
+        All caches reset and refill lazily — the same warm-up cost as
+        a new service, paid only when a commit actually happened.
+        Concurrent warm queries during the swap serve the OLD snapshot
+        to completion (their cache references stay valid); queries
+        arriving after the swap see the new one."""
+        import json as _json
+        import os as _os
+
+        mp = _os.path.join(self.reader.index_dir, "meta.json")
+        try:
+            with open(mp) as fh:
+                v = int(_json.load(fh).get("version", 0))
+        except (OSError, ValueError):
+            return False
+        if v == int(self.meta.get("version", 0)):
+            return False
+        with self._miss_lock:
+            if v == int(self.meta.get("version", 0)):  # double-checked
+                return False
+            self._bind(IndexReader(self.reader.spark, self.reader.index_dir))
+        return True
+
+    def _maybe_auto_refresh(self) -> None:
+        if self.auto_refresh_s is None:
+            return
+        import time as _time
+
+        now = _time.monotonic()
+        if now < self._next_refresh_check:
+            return
+        self._next_refresh_check = now + float(self.auto_refresh_s)
+        self.refresh_if_stale()
+
+    def query_topk(
+        self, query: LoweredQuery, k: int = 10, offset: int = 0,
+        field_weights: dict[str, float] | None = None,
+    ) -> list[dict]:
+        """Ranked results as dicts. Warm path: zero Spark jobs once the
+        query's terms are cached. Fallback: distributed wand_topk.
+        field_weights (BM25F): per-namespace multipliers applied at
+        score time — the postings cache stays weight-independent, so
+        one warm cache serves every weighting."""
+        self._maybe_auto_refresh()
+        snap = self._snap  # pin ONE snapshot for the whole request
+        groups = snap.resolve_groups(query)
+        if not groups or any(len(g) == 0 for g in groups):
+            return []
+        all_terms = sorted({t for g in groups for t in g})
+        tmeta = snap.term_meta(all_terms)
+        for g in groups:
+            if all(t not in tmeta for t in g):
+                return []
+        total_df = sum(m["df"] for m in tmeta.values())
+        if total_df > self.max_driver_postings:
+            top = wand_mod.wand_topk(
+                snap.reader, query, k=k, offset=offset,
+                field_weights=field_weights,
+            ).collect()
+            ranked = [(r["doc_id"], r["score"]) for r in top]
+        else:
+            snap._fetch_postings(list(tmeta))
+            ranked = snap._score_driver(
+                groups, tmeta, k + offset, field_weights=field_weights
+            )[offset:]
+        from .functions.links import github_link, username_of
+
+        out = []
+        for rank, (doc_id, score) in enumerate(ranked, start=offset + 1):
+            repo, path, commit = snap._doc_meta(doc_id)
+            out.append(
+                {"doc_id": doc_id, "repo": repo, "path": path,
+                 "score": score, "rank": rank,
+                 # reference renders both in every result row
+                 # (reiz/fetch.py:95-107)
+                 "github_link": github_link(repo, commit, path),
+                 "username": username_of(repo)}
+            )
+        return out
+
+    def query_positions(
+        self, query: LoweredQuery, k: int = 10, offset: int = 0
+    ) -> list[dict]:
+        """Structurally verified results with exact match positions and
+        source segments (fetch.py:14-29 projection) — the serving twin
+        of operators/verify.structural_topk (same tranche escalation,
+        driver-side matcher over cached content)."""
+        from .plans.matcher import match_spans
+
+        self._maybe_auto_refresh()
+        snap = self._snap  # pin ONE snapshot for the whole request
+        groups = snap.resolve_groups(query)
+        if not groups or any(len(g) == 0 for g in groups):
+            return []
+        all_terms = sorted({t for g in groups for t in g})
+        tmeta = snap.term_meta(all_terms)
+        for g in groups:
+            if all(t not in tmeta for t in g):
+                return []
+        if sum(m["df"] for m in tmeta.values()) > self.max_driver_postings:
+            # hot query: distributed verify stage (adaptive retrieval)
+            from .operators.verify import structural_topk
+
+            rows = structural_topk(snap.reader, query, k=k, offset=offset).collect()
+            return _fold_position_rows(rows, offset)
+        snap._fetch_postings(list(tmeta))
+        want = k + offset
+        tranche = max(want * 4, 16)
+        verified: list[tuple[int, float, list[int]]] = []
+        seen = 0
+        while True:
+            ranked = snap._score_driver(groups, tmeta, seen + tranche)[seen:]
+            if not ranked:
+                break
+            fetched = snap._fetch_content([d for d, _ in ranked])
+            for doc_id, score in ranked:
+                content = fetched.get(doc_id)
+                if content is None:
+                    continue
+                try:
+                    spans = match_spans(content, query.source)
+                except SyntaxError:
+                    continue
+                if spans:
+                    verified.append((doc_id, score, spans))
+            seen += len(ranked)
+            if len(verified) >= want or len(ranked) < tranche:
+                break
+            tranche *= 4
+        from .functions.links import github_link, username_of
+
+        out = []
+        for rank, (doc_id, score, spans) in enumerate(
+            verified[offset : offset + k], start=offset + 1
+        ):
+            repo, path, commit = snap._doc_meta(doc_id)
+            first = min(s[0] for s in spans)
+            first_end = max(s[2] for s in spans if s[0] == first)
+            out.append(
+                {"doc_id": doc_id, "repo": repo, "path": path, "score": score,
+                 "rank": rank,
+                 "username": username_of(repo),
+                 "github_link": github_link(repo, commit, path, first, first_end),
+                 "linenos": sorted({s[0] for s in spans}),
+                 "matches": [
+                     {"lineno": ln, "col_offset": col, "end_lineno": end_ln,
+                      "segment": seg,
+                      "github_link": github_link(repo, commit, path, ln, end_ln)}
+                     for ln, col, end_ln, _ec, seg in spans
+                 ]}
+            )
+        return out
+
+    def analyze(self, query: LoweredQuery) -> dict:
+        """Lowered plan + per-term stats (the reference's POST /analyze,
+        reiz/web/api.py:96-119 returns the compiled EdgeQL; we return
+        the lowered CNF + index stats + chosen route)."""
+        snap = self._snap
+        groups = snap.resolve_groups(query)
+        all_terms = sorted({t for g in groups for t in g})
+        tmeta = snap.term_meta(all_terms)
+        total_df = sum(m["df"] for m in tmeta.values())
+        return {
+            "query": query.source,
+            "groups": [list(g) for g in groups],
+            "terms": {
+                t: {"df": m["df"], "cf": m["cf"], "idf": m["idf"]}
+                for t, m in tmeta.items()
+            },
+            "route": (
+                "distributed-wand"
+                if total_df > self.max_driver_postings
+                else "driver-cache"
+            ),
+            "total_df": total_df,
+            "n_docs": snap.n_docs,
+        }
+
+    def statistics(self) -> dict:
+        """The reference's /stats numbers (reiz/fetch.py:12,31-36 counts
+        Module / AST / stmt / expr instances): derived from the
+        dictionary's node: term collection frequencies — cf("node:T") is
+        exactly the number of T instances across parsed files, so one
+        tiny dictionary scan answers all four."""
+        import ast as _ast
+
+        snap = self._snap
+        rows = (
+            snap.reader.dictionary()
+            .filter(F.col("term").startswith("node:"))
+            .select("term", "cf")
+            .collect()
+        )
+        stmt_types = {c.__name__ for c in _ast.stmt.__subclasses__()}
+        expr_types = {c.__name__ for c in _ast.expr.__subclasses__()}
+        counts = {r["term"][len("node:"):]: int(r["cf"]) for r in rows}
+        return {
+            "Module": counts.get("Module", 0),
+            "AST": sum(counts.values()),
+            "stmt": sum(v for t, v in counts.items() if t in stmt_types),
+            "expr": sum(v for t, v in counts.items() if t in expr_types),
+            "n_docs": snap.n_docs,
+            "avgdl": snap.avgdl,
+        }
 
 class FederatedQueryService:
     """Warm serving over a SHARDED index (operators/federation.py's
@@ -582,12 +666,13 @@ class FederatedQueryService:
         return out
 
     def analyze(self, query: LoweredQuery) -> dict:
-        groups, gmeta, _ = self._global_stats(query)
+        snaps = [s._snap for s in self.services]
+        groups, gmeta, _ = self._global_stats(snaps, query)
         total_df = sum(m["df"] for m in gmeta.values())
         budget = min(s.max_driver_postings for s in self.services)
         cf: dict[str, int] = {}
-        for s in self.services:
-            for t, m in s.term_meta(sorted(gmeta)).items():
+        for sn in snaps:
+            for t, m in sn.term_meta(sorted(gmeta)).items():
                 cf[t] = cf.get(t, 0) + int(m.get("cf", 0))
         return {
             "query": query.source,
@@ -620,7 +705,10 @@ class FederatedQueryService:
 
         for s in self.services:
             s._maybe_auto_refresh()
-        groups, gmeta, avgdl = self._global_stats(query)
+        # pin one snapshot PER SHARD for the whole request (a shard
+        # refresh mid-request must not mix generations)
+        snaps = [s._snap for s in self.services]
+        groups, gmeta, avgdl = self._global_stats(snaps, query)
         if not groups or any(len(g) == 0 for g in groups):
             return []
         for g in groups:
@@ -631,7 +719,15 @@ class FederatedQueryService:
             # hot query: per-shard DISTRIBUTED verify under the global
             # stats (every shard returns its verified top-(k+offset)
             # under globally comparable scores — any global top doc is
-            # in its shard's list), then a doc-level global merge
+            # in its shard's list), then a doc-level global merge.
+            # Per-shard jobs are SUBMITTED CONCURRENTLY from a thread
+            # pool — Spark's scheduler runs them in parallel, so hot-
+            # query latency stays ~flat in n_shards instead of growing
+            # linearly with a sequential collect loop (VERDICT r06 #5;
+            # federated_topk's single-union shape is not available here
+            # because structural_topk's verify matcher is per-reader).
+            from concurrent.futures import ThreadPoolExecutor
+
             from .operators.verify import structural_topk
 
             stats = {
@@ -639,12 +735,17 @@ class FederatedQueryService:
                 "idf_by_term": {t: m["idf"] for t, m in gmeta.items()},
                 "df_by_term": {t: m["df"] for t, m in gmeta.items()},
             }
-            docs: list[tuple[float, int, list]] = []
-            for s in self.services:
-                rows = structural_topk(
-                    s.reader, query, k=k + offset, offset=0,
+
+            def _shard_rows(sn):
+                return structural_topk(
+                    sn.reader, query, k=k + offset, offset=0,
                     groups_override=groups, stats_override=stats,
                 ).collect()
+
+            with ThreadPoolExecutor(max_workers=len(snaps)) as pool:
+                per_shard_rows = list(pool.map(_shard_rows, snaps))
+            docs: list[tuple[float, int, list]] = []
+            for rows in per_shard_rows:
                 cur: list = []
                 for r in rows:
                     if cur and cur[0]["doc_id"] != r["doc_id"]:
@@ -658,18 +759,18 @@ class FederatedQueryService:
                 r for _, _, rows_ in docs[offset:offset + k] for r in rows_
             ]
             return _fold_position_rows(flat, offset)
-        for s in self.services:
-            s._fetch_postings(list(gmeta))
+        for sn in snaps:
+            sn._fetch_postings(list(gmeta))
         want = k + offset
         tranche = max(want * 4, 16)
         verified: list[tuple[int, float, list, int]] = []
         seen = 0
         while True:
             per: list[tuple[int, float, int]] = []
-            for si, s in enumerate(self.services):
+            for si, sn in enumerate(snaps):
                 per.extend(
                     (doc_id, score, si)
-                    for doc_id, score in s._score_driver(
+                    for doc_id, score in sn._score_driver(
                         groups, gmeta, seen + tranche, avgdl=avgdl
                     )
                 )
@@ -682,7 +783,7 @@ class FederatedQueryService:
                 by_shard.setdefault(si, []).append(doc_id)
             fetched: dict[int, str | None] = {}
             for si, ids in by_shard.items():
-                fetched.update(self.services[si]._fetch_content(ids))
+                fetched.update(snaps[si]._fetch_content(ids))
             for doc_id, score, si in ranked:
                 content = fetched.get(doc_id)
                 if content is None:
@@ -703,7 +804,7 @@ class FederatedQueryService:
         for rank, (doc_id, score, spans, si) in enumerate(
             verified[offset:offset + k], start=offset + 1
         ):
-            repo, path, commit = self.services[si]._doc_meta(doc_id)
+            repo, path, commit = snaps[si]._doc_meta(doc_id)
             first = min(s_[0] for s_ in spans)
             first_end = max(s_[2] for s_ in spans if s_[0] == first)
             out.append(
@@ -721,8 +822,8 @@ class FederatedQueryService:
             )
         return out
 
-    def _global_stats(self, query: LoweredQuery):
-        per_groups = [s.resolve_groups(query) for s in self.services]
+    def _global_stats(self, snaps: list[_Snapshot], query: LoweredQuery):
+        per_groups = [sn.resolve_groups(query) for sn in snaps]
         arity = {len(g) for g in per_groups}
         if len(arity) != 1:
             raise ValueError("shards resolved different group arity")
@@ -732,11 +833,11 @@ class FederatedQueryService:
         ]
         all_terms = sorted({t for g in groups for t in g})
         df: dict[str, int] = {}
-        for s in self.services:
-            for t, m in s.term_meta(all_terms).items():
+        for sn in snaps:
+            for t, m in sn.term_meta(all_terms).items():
                 df[t] = df.get(t, 0) + int(m["df"])
-        n_docs = sum(s.n_docs for s in self.services)
-        total_dl = sum(int(s.meta["total_dl"]) for s in self.services)
+        n_docs = sum(sn.n_docs for sn in snaps)
+        total_dl = sum(int(sn.meta["total_dl"]) for sn in snaps)
         avgdl = total_dl / n_docs if n_docs else 0.0
         n = float(n_docs)
         gmeta = {
@@ -755,7 +856,8 @@ class FederatedQueryService:
     ) -> list[dict]:
         for s in self.services:
             s._maybe_auto_refresh()
-        groups, gmeta, avgdl = self._global_stats(query)
+        snaps = [s._snap for s in self.services]  # pin per-shard snapshots
+        groups, gmeta, avgdl = self._global_stats(snaps, query)
         if not groups or any(len(g) == 0 for g in groups):
             return []
         for g in groups:
@@ -766,17 +868,17 @@ class FederatedQueryService:
             from .operators.federation import federated_topk
 
             top = federated_topk(
-                self.services[0].reader.spark, None, query,
+                snaps[0].reader.spark, None, query,
                 k=k, offset=offset, field_weights=field_weights,
-                readers=[s.reader for s in self.services],
+                readers=[sn.reader for sn in snaps],
             ).collect()
             ranked = [(r["doc_id"], r["score"]) for r in top]
         else:
             merged: list[tuple[int, float]] = []
-            for s in self.services:
-                s._fetch_postings(list(gmeta))
+            for sn in snaps:
+                sn._fetch_postings(list(gmeta))
                 merged.extend(
-                    s._score_driver(
+                    sn._score_driver(
                         groups, gmeta, k + offset,
                         field_weights=field_weights, avgdl=avgdl,
                     )
@@ -788,7 +890,7 @@ class FederatedQueryService:
 
         out = []
         for rank, (doc_id, score) in enumerate(ranked, start=offset + 1):
-            repo, path, commit = self._doc_meta_any(doc_id)
+            repo, path, commit = self._doc_meta_any(snaps, doc_id)
             out.append(
                 {"doc_id": doc_id, "repo": repo, "path": path,
                  "score": score, "rank": rank,
@@ -797,15 +899,15 @@ class FederatedQueryService:
             )
         return out
 
-    def _doc_meta_any(self, doc_id: int) -> tuple:
+    def _doc_meta_any(self, snaps: list[_Snapshot], doc_id: int) -> tuple:
         """Each doc_id lives in exactly one shard (disjoint corpora):
         check the warm docmeta maps first, then fall back shard by
         shard."""
-        for s in self.services:
-            if s._docmeta is not None and doc_id in s._docmeta:
-                return s._docmeta[doc_id]
-        for s in self.services:
-            got = s._doc_meta(doc_id)
+        for sn in snaps:
+            if sn._docmeta is not None and doc_id in sn._docmeta:
+                return sn._docmeta[doc_id]
+        for sn in snaps:
+            got = sn._doc_meta(doc_id)
             if got[0] is not None:
                 return got
         return (None, None, None)

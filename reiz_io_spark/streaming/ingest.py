@@ -169,3 +169,57 @@ def stream_upserts_into_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_upserts_into_federation(
+    spark: SparkSession,
+    corpus_stream_dir: str,
+    index_dirs: list[str],
+    order_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 16,
+):
+    """CDC upserts over a SHARD SET: each micro-batch routes by the
+    federation hash (pmod(xxhash64(repo), N) — the same function that
+    placed the docs) and applies ONE idempotent ``update_docs`` commit
+    per TOUCHED shard per trigger (federation.federated_update_docs).
+    The single-index guarantees carry per shard: unchanged re-delivery
+    no-ops on every shard (exactly-once effect from at-least-once
+    delivery with no sink-side batch memory), a crashed half-applied
+    trigger resumes under each shard's deterministic content-derived
+    batch id, and a fresh-checkpoint full redelivery moves no shard's
+    version. Streamed results equal batch-federated updates equal a
+    fresh union build (pytest-gated). Shards commit independently —
+    a trigger is N atomic per-shard commits, each shard's readers
+    always on a consistent snapshot."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.federation import federated_update_docs
+
+    stream = (
+        spark.readStream.schema(CORPUS)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(corpus_stream_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df
+        if order_col is not None:
+            w = Window.partitionBy("repo", "path").orderBy(
+                F.col(order_col).desc(), F.col("content").desc()
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        federated_update_docs(df.sparkSession, index_dirs, df)
+
+    writer = stream.writeStream.foreachBatch(process_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

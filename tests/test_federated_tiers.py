@@ -1,0 +1,372 @@
+"""Round-7 federated tiers: grep over a shard set, a sharded ANN tier,
+hybrid fusion over ANN shards, and streaming CDC upserts routed to
+shards (VERDICT r06 #4, #6, #7).
+
+The correctness arguments under test:
+- grep: doc sets are disjoint and both the factor prefilter and rlike
+  verify are per-document, so the union of per-shard answers equals
+  grep over one index holding the union corpus, bit-for-bit.
+- ANN: cosine scores are locally exact; with probe-all + full-depth
+  refine every live vector is an exact-scored candidate in its shard,
+  so the merged top-k equals the brute-force scan AND a single index
+  over the union vectors.
+- CDC: per-shard update_docs idempotence carries through the routing
+  hash — streamed == batch-federated == fresh union build.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from reiz_io_spark.operators import similarity
+from reiz_io_spark.operators.ann_index import (
+    ann_index_search,
+    build_ann_index,
+    delete_vectors,
+)
+from reiz_io_spark.operators.build import build_index
+from reiz_io_spark.operators.federation import (
+    build_federated_ann_index,
+    federated_ann_search,
+    federated_append_to_ann_index,
+    federated_grep,
+    federated_grep_lines,
+    federated_topk,
+    shard_corpus,
+    shard_embeddings,
+)
+from reiz_io_spark.operators.score import IndexReader
+from reiz_io_spark.operators.wand import wand_topk
+from reiz_io_spark.plans.lower import lower_query
+from reiz_io_spark.sources.corpus import synth_corpus
+
+SF_DIR = "/root/testdata/sf0.001"
+N_SHARDS = 3
+QIDS = [0, 1, 2]
+GREP_PATTERNS = [r"def [a-z_]+\(", r"(return|yield) ", r"self\.[a-z]+"]
+
+
+# --------------------------------------------------------------------------
+# federated grep
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def grep_fed(spark, tmp_path_factory):
+    """Single index + 3-shard federation over the same corpus, trigram
+    sidecars committed everywhere."""
+    from reiz_io_spark.operators.regexsearch import build_trigram_index
+
+    base = tmp_path_factory.mktemp("grep_fed")
+    corpus = synth_corpus(spark, n_filler=40, seed=21).cache()
+    single = str(base / "single")
+    build_index(spark, corpus, single, build_id="b0", n_shards=2,
+                fragment_postings=64)
+    build_trigram_index(spark, single)
+    shards = []
+    for i, part in enumerate(shard_corpus(corpus, N_SHARDS)):
+        d = str(base / f"shard{i}")
+        build_index(spark, part, d, build_id="b0", n_shards=2,
+                    fragment_postings=64)
+        build_trigram_index(spark, d)
+        shards.append(d)
+    return {"single": single, "shards": shards}
+
+
+@pytest.mark.parametrize("pattern", GREP_PATTERNS)
+def test_federated_grep_equals_single_index(spark, grep_fed, pattern):
+    from reiz_io_spark.operators.regexsearch import grep_index
+
+    want = sorted(
+        tuple(r)
+        for r in grep_index(spark, grep_fed["single"], pattern).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in federated_grep(spark, grep_fed["shards"], pattern).collect()
+    )
+    assert got == want
+    assert want  # non-vacuous
+
+
+def test_federated_grep_lines_equals_single_index(spark, grep_fed):
+    from reiz_io_spark.operators.regexsearch import grep_lines
+
+    pattern = r"return "
+    want = sorted(
+        tuple(r)
+        for r in grep_lines(spark, grep_fed["single"], pattern).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in federated_grep_lines(
+            spark, grep_fed["shards"], pattern
+        ).collect()
+    )
+    assert got == want
+    assert want
+
+
+def test_federated_grep_mixed_sidecar_degrades_gracefully(
+    spark, tmp_path, grep_fed
+):
+    """One shard without a sidecar: its branch degrades to the factor-
+    prefiltered scan; the union still equals single-index grep."""
+    from reiz_io_spark.operators.regexsearch import grep_index
+
+    corpus = synth_corpus(spark, n_filler=40, seed=21).cache()
+    parts = shard_corpus(corpus, N_SHARDS)
+    bare = str(tmp_path / "bare_shard0")
+    build_index(spark, parts[0], bare, build_id="b0", n_shards=2,
+                fragment_postings=64)  # NO sidecar
+    dirs = [bare] + grep_fed["shards"][1:]
+    pattern = r"def [a-z_]+\("
+    want = sorted(
+        tuple(r)
+        for r in grep_index(spark, grep_fed["single"], pattern).collect()
+    )
+    got = sorted(
+        tuple(r) for r in federated_grep(spark, dirs, pattern).collect()
+    )
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# federated ANN
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def ann_fed(spark, emb, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ann_fed")
+    dirs = [str(base / f"shard{i}") for i in range(N_SHARDS)]
+    metas = build_federated_ann_index(
+        emb, dirs, m=4, n_codes=16, n_lists=8, seed=7
+    )
+    assert sum(m["n_vectors"] for m in metas) == emb.count()
+    assert all(m["n_vectors"] > 0 for m in metas)
+    single = str(base / "single")
+    build_ann_index(emb, single, m=4, n_codes=16, n_lists=8, seed=7)
+    return {"dirs": dirs, "single": single}
+
+
+def test_federated_ann_probe_all_equals_brute_and_single(spark, emb, ann_fed):
+    """Probe-all + full-depth refine: every live vector is an exact
+    candidate in its shard, so the merged top-k is bit-identical to the
+    brute-force cosine scan and to the single union index."""
+    n = emb.count()
+    got = sorted(tuple(r) for r in federated_ann_search(
+        spark, ann_fed["dirs"], emb, QIDS, k=10, n_probe=8,
+        refine_factor=max(8, n),
+    ).collect())
+    brute = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in similarity.brute_force_topk(emb, QIDS, k=10).collect()
+    )
+    assert got == brute
+    single = sorted(tuple(r) for r in ann_index_search(
+        spark, ann_fed["single"], emb, QIDS, k=10, n_probe=8,
+        refine_factor=max(8, n),
+    ).collect())
+    assert got == single
+
+
+def test_federated_ann_default_probe_recall(spark, emb, ann_fed):
+    """At the default probe depth the federation keeps useful recall
+    (same gate shape as the single-index recall test) and exact scores."""
+    exact = similarity.brute_force_topk(emb, QIDS, k=10).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"] for r in exact
+    }
+    got = federated_ann_search(
+        spark, ann_fed["dirs"], emb, QIDS, k=10, n_probe=4, refine_factor=4
+    ).collect()
+    pairs = {(r["query_id"], r["vec_id"]) for r in got}
+    assert len(pairs & exact_pairs) / len(exact_pairs) >= 0.5
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_federated_ann_append_routes_by_vec_hash(spark, emb, tmp_path):
+    """Build shards from half the vectors, append the other half via
+    the routing hash: probe-all search equals brute force over ALL."""
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    dirs = [str(tmp_path / f"s{i}") for i in range(N_SHARDS)]
+    build_federated_ann_index(half1, dirs, m=4, n_codes=16, n_lists=8,
+                              seed=7)
+    metas = federated_append_to_ann_index(half2, dirs)
+    assert sum(m["n_vectors"] for m in metas) == emb.count()
+    # routing determinism: every appended vector joined its vec_id's
+    # shard — re-appending the same batch adds the same counts again
+    # (append has no dedup contract), so instead check shard sizes
+    # match the hash split
+    sizes = [p.count() for p in shard_embeddings(emb, N_SHARDS)]
+    assert sorted(m["n_vectors"] for m in metas) == sorted(sizes)
+    n = emb.count()
+    got = sorted(tuple(r) for r in federated_ann_search(
+        spark, dirs, emb, QIDS, k=10, n_probe=8, refine_factor=max(8, n)
+    ).collect())
+    brute = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in similarity.brute_force_topk(emb, QIDS, k=10).collect()
+    )
+    assert got == brute
+
+
+def test_federated_ann_delete_excluded(spark, emb, ann_fed, tmp_path):
+    """Tombstoning a vector on its owning shard removes it from the
+    federated answer immediately (per-shard masked ADC scan)."""
+    from reiz_io_spark.functions.hashing import spark_xxhash64
+
+    n = emb.count()
+    pre = federated_ann_search(
+        spark, ann_fed["dirs"], emb, QIDS, k=5, n_probe=8,
+        refine_factor=max(8, n),
+    ).collect()
+    victim = next(
+        int(r["vec_id"]) for r in pre if int(r["vec_id"]) not in QIDS
+    )
+    owner = ann_fed["dirs"][spark_xxhash64(victim) % N_SHARDS]
+    delete_vectors(owner, [victim])
+    try:
+        post = federated_ann_search(
+            spark, ann_fed["dirs"], emb, QIDS, k=5, n_probe=8,
+            refine_factor=max(8, n),
+        ).collect()
+        assert victim not in {int(r["vec_id"]) for r in post}
+    finally:
+        from reiz_io_spark.operators.ann_index import undelete_vectors
+
+        undelete_vectors(owner, [victim])
+
+
+def test_hybrid_indexed_accepts_shard_set(spark, emb, ann_fed):
+    """hybrid_rrf_topk_indexed over the ANN shard list equals the
+    single-ANN-dir deployment under probe-all + full-depth refine."""
+    from reiz_io_spark.operators.hybrid import hybrid_rrf_topk_indexed
+
+    docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).cache()
+    n = emb.count()
+    kw = dict(k=10, n_deep=20, n_probe=8, refine_factor=max(8, n))
+    want = [
+        tuple(r) for r in hybrid_rrf_topk_indexed(
+            docs, emb, ann_fed["single"], ["spark", "join"], 1, **kw
+        ).collect()
+    ]
+    got = [
+        tuple(r) for r in hybrid_rrf_topk_indexed(
+            docs, emb, ann_fed["dirs"], ["spark", "join"], 1, **kw
+        ).collect()
+    ]
+    assert got == want
+    assert want
+
+
+# --------------------------------------------------------------------------
+# streaming CDC upserts over a shard set
+# --------------------------------------------------------------------------
+
+def test_streamed_federated_upserts_equal_batch_and_fresh(spark, tmp_path):
+    from reiz_io_spark.operators.deletes import compact_deletes
+    from reiz_io_spark.operators.federation import federated_update_docs
+    from reiz_io_spark.streaming.ingest import stream_upserts_into_federation
+
+    Q = lower_query("flagship", "Call(Name('len'))")
+    SUF = "\n\ndef fed_upsert_probe(seq):\n    return len(seq)\n"
+    corpus = synth_corpus(spark, n_filler=30, seed=13).cache()
+    repos = sorted(
+        r["repo"] for r in corpus.select("repo").distinct().collect()
+    )
+    rA, rB = repos[0], repos[1]
+
+    def _build_shards(root):
+        dirs = []
+        for i, part in enumerate(shard_corpus(corpus, N_SHARDS)):
+            d = str(tmp_path / root / f"shard{i}")
+            build_index(spark, part, d, build_id="b0", n_shards=2,
+                        fragment_postings=64)
+            dirs.append(d)
+        return dirs
+
+    streamed = _build_shards("streamed")
+    batch = _build_shards("batch")
+
+    upd = corpus.filter(F.col("repo").isin([rA, rB])).withColumn(
+        "content", F.concat(F.col("content"), F.lit(SUF))
+    )
+    landing = str(tmp_path / "landing")
+    upd.write.parquet(landing, mode="append")
+
+    q = stream_upserts_into_federation(
+        spark, landing, streamed,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(300)
+    federated_update_docs(spark, batch, upd)
+
+    def _fed_rows(dirs, k=30):
+        return [
+            (r["doc_id"], r["score"])
+            for r in federated_topk(spark, dirs, Q, k=k).collect()
+        ]
+
+    assert _fed_rows(streamed) == _fed_rows(batch)
+
+    # after compaction both equal a fresh federation over the final
+    # corpus (repo/path/score — updated docs get version-qualified ids)
+    for d in streamed + batch:
+        compact_deletes(spark, d)
+    final = corpus.withColumn(
+        "content",
+        F.when(
+            F.col("repo").isin([rA, rB]),
+            F.concat(F.col("content"), F.lit(SUF)),
+        ).otherwise(F.col("content")),
+    )
+    fresh = []
+    for i, part in enumerate(shard_corpus(final, N_SHARDS)):
+        d = str(tmp_path / "fresh" / f"shard{i}")
+        build_index(spark, part, d, build_id="b0", n_shards=2,
+                    fragment_postings=64)
+        fresh.append(d)
+
+    def _rpps(dirs):
+        from reiz_io_spark.operators.federation import (
+            federated_doc_metadata,
+        )
+
+        readers = [IndexReader(spark, d) for d in dirs]
+        top = federated_topk(spark, dirs, Q, k=10_000)
+        rows = federated_doc_metadata(readers, top).select(
+            "repo", "path", F.round("score", 9).alias("score")
+        ).collect()
+        return sorted((x["repo"], x["path"], x["score"]) for x in rows)
+
+    assert _rpps(streamed) == _rpps(batch) == _rpps(fresh)
+
+    # full redelivery with a fresh checkpoint: no shard's version moves
+    v_before = [
+        int(IndexReader(spark, d).meta["version"]) for d in streamed
+    ]
+    q2 = stream_upserts_into_federation(
+        spark, landing, streamed,
+        checkpoint_dir=str(tmp_path / "ckpt2"), available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert [
+        int(IndexReader(spark, d).meta["version"]) for d in streamed
+    ] == v_before
