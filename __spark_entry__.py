@@ -358,6 +358,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at the tail (see `tail` below): local-full-sweep + pytest
     # evidence; the doc-grained code_grep_index keeps the sweep slot
     q["code_grep_lines"] = _code_grep_lines
+    # r7: grep over the 3-shard federation (tail from birth — bit-
+    # identical to the SWEPT code_grep_index by the disjoint-doc-set
+    # argument, pytest-gated; the single-index slot carries the driver
+    # evidence). Twin: the same RE2 grep over the raw-content table.
+    q["code_grep_federated"] = _code_grep_federated
+    # r7: sharded ANN (tail from birth — probe-all + full-refine makes
+    # the merge exact, so the twin is the same brute-force cosine SQL
+    # as ann_cosine_topk; per-shard recall at default probes is
+    # pytest-gated in tests/test_federated_tiers.py)
+    q["ann_federated_topk"] = _ann_federated_topk
 
     # --- general relational operators (joins/windows/aggs) --------------------
     q["tpch_pricing_summary"] = lambda s, d: _tpch_pricing(s, d)
@@ -486,6 +496,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_offsets",  # r6: tail from birth — one ordered
                             # window cumsum; invariant pytest + local
                             # sweep
+        "code_grep_federated",  # r7: tail from birth — union of
+                            # per-shard sidecar seeks, bit-identical
+                            # to the SWEPT code_grep_index
+                            # (pytest-gated); local sweep
+        "ann_federated_topk",  # r7: tail from birth — probe-all +
+                            # full-refine exact merge == the SWEPT
+                            # ann_cosine_topk's brute scan; default-
+                            # probe recall pytest-gated; local sweep
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -607,24 +625,14 @@ _FED_SHARD_CACHE: dict[str, list[str]] = {}
 FED_N_SHARDS = 3
 
 
-def _code_search_federated(s: SparkSession, d: str) -> DataFrame:
-    """Sharded-index federation (operators/federation.py): the entry
-    corpus split into 3 shard indexes by pmod(xxhash64(repo), 3), the
-    flagship query answered with the dfs_query_then_fetch discipline —
-    per-shard dictionary expansion unioned, df/n_docs/total_dl summed,
-    global idf/avgdl injected into each shard's unmodified WAND
-    kernels, per-shard candidates unioned into a global top-k. Result
-    is bit-identical to one index over the whole corpus (pytest-gated),
-    so the twin is the SAME single-index DuckDB BM25 recompute as
-    code_search_wand."""
+def _ensure_fed_shards(s: SparkSession, d: str) -> list[str]:
+    """The entry corpus split into 3 shard indexes by
+    pmod(xxhash64(repo), 3), built once per process — shared by the
+    federated search and federated grep entries."""
     import tempfile
 
     from reiz_io_spark.operators.build import build_index
-    from reiz_io_spark.operators.federation import (
-        federated_doc_metadata, federated_topk, shard_corpus,
-    )
-    from reiz_io_spark.operators.score import IndexReader
-    from reiz_io_spark.plans.lower import lower_query
+    from reiz_io_spark.operators.federation import shard_corpus
     from reiz_io_spark.sources.corpus import synth_corpus
 
     if d not in _FED_SHARD_CACHE:
@@ -636,7 +644,26 @@ def _code_search_federated(s: SparkSession, d: str) -> DataFrame:
             build_index(s, part, out, build_id="entry", n_shards=2)
             dirs.append(out)
         _FED_SHARD_CACHE[d] = dirs
-    readers = [IndexReader(s, p) for p in _FED_SHARD_CACHE[d]]
+    return _FED_SHARD_CACHE[d]
+
+
+def _code_search_federated(s: SparkSession, d: str) -> DataFrame:
+    """Sharded-index federation (operators/federation.py): the entry
+    corpus split into 3 shard indexes by pmod(xxhash64(repo), 3), the
+    flagship query answered with the dfs_query_then_fetch discipline —
+    per-shard dictionary expansion unioned, df/n_docs/total_dl summed,
+    global idf/avgdl injected into each shard's unmodified WAND
+    kernels, per-shard candidates unioned into a global top-k. Result
+    is bit-identical to one index over the whole corpus (pytest-gated),
+    so the twin is the SAME single-index DuckDB BM25 recompute as
+    code_search_wand."""
+    from reiz_io_spark.operators.federation import (
+        federated_doc_metadata, federated_topk,
+    )
+    from reiz_io_spark.operators.score import IndexReader
+    from reiz_io_spark.plans.lower import lower_query
+
+    readers = [IndexReader(s, p) for p in _ensure_fed_shards(s, d)]
     top = federated_topk(
         s, None, lower_query("flagship", "Call(Name('len'))"), k=10,
         readers=readers,
@@ -721,6 +748,66 @@ def _code_grep_index(s: SparkSession, d: str) -> DataFrame:
     return regexsearch.grep_index(s, index_dir, GREP_PATTERN).orderBy(
         "doc_id"
     )
+
+
+def _code_grep_federated(s: SparkSession, d: str) -> DataFrame:
+    """grep over the 3-shard federation
+    (operators/federation.py::federated_grep): each shard runs its own
+    trigram-sidecar candidate seek, the per-shard verify plans union
+    into ONE job. Bit-identical to single-index grep over the union
+    corpus (pytest-gated — disjoint doc sets, per-document verify), so
+    the twin is the SAME RE2 grep over the raw-content side table as
+    code_grep_index."""
+    from reiz_io_spark.operators.federation import federated_grep
+
+    dirs = _ensure_fed_shards(s, d)
+    for p in dirs:
+        if p not in _TRIGRAM_BUILT:
+            regexsearch.build_trigram_index(s, p)
+            _TRIGRAM_BUILT.add(p)
+    return federated_grep(s, dirs, GREP_PATTERN).orderBy("doc_id")
+
+
+_FED_ANN_CACHE: dict[str, list[str]] = {}
+
+
+def _ann_federated_topk(s: SparkSession, d: str) -> DataFrame:
+    """Sharded ANN tier (operators/federation.py::federated_ann_search):
+    the embeddings table routed by pmod(xxhash64(vec_id), 3) into three
+    independent IVF-PQ indexes (per-shard quantizers), searched with
+    probe-all + full-depth refine so every live vector is an
+    exact-scored candidate in its shard — the global merge is then
+    bit-identical to the brute-force cosine scan, which is the DuckDB
+    twin. Cosine scores are locally exact, so federation needs no
+    global-stats phase (unlike BM25)."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from reiz_io_spark.operators.federation import (
+        build_federated_ann_index, federated_ann_search,
+    )
+
+    emb = _emb(s, d)
+    if d not in _FED_ANN_CACHE:
+        root = tempfile.mkdtemp(prefix="entry_fed_ann_")
+        dirs = [os.path.join(root, f"shard{i}") for i in range(3)]
+        build_federated_ann_index(emb, dirs, m=4, n_codes=16, n_lists=8,
+                                  seed=7)
+        _FED_ANN_CACHE[d] = dirs
+    n = emb.count()
+    out = federated_ann_search(
+        s, _FED_ANN_CACHE[d], emb, ANN_QUERY_IDS, k=10, n_probe=8,
+        refine_factor=max(8, n),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("score").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return out.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def _code_search_positions(s: SparkSession, d: str) -> DataFrame:
@@ -1184,5 +1271,13 @@ FROM documents
     o["code_grep_index"] = oracle_tables.grep_oracle_sql(GREP_PATTERN)
     o["code_grep_lines"] = oracle_tables.grep_lines_oracle_sql(
         GREP_LINES_PATTERN
+    )
+    # federated grep is bit-identical to single-index grep over the
+    # union corpus (disjoint doc sets; pytest-gated) -> same twin
+    o["code_grep_federated"] = oracle_tables.grep_oracle_sql(GREP_PATTERN)
+    # federated ANN under probe-all + full-depth refine: every live
+    # vector is exact-scored in its shard, so the merge == brute scan
+    o["ann_federated_topk"] = similarity.brute_force_topk_sql(
+        ANN_QUERY_IDS, k=10
     )
     return o

@@ -168,7 +168,7 @@ def test_federated_ann_probe_all_equals_brute_and_single(spark, emb, ann_fed):
         refine_factor=max(8, n),
     ).collect())
     brute = sorted(
-        (r["query_id"], r["neighbor_id"], r["score"])
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
         for r in similarity.brute_force_topk(emb, QIDS, k=10).collect()
     )
     assert got == brute
@@ -185,7 +185,7 @@ def test_federated_ann_default_probe_recall(spark, emb, ann_fed):
     exact = similarity.brute_force_topk(emb, QIDS, k=10).collect()
     exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
     exact_scores = {
-        (r["query_id"], r["neighbor_id"]): r["score"] for r in exact
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact
     }
     got = federated_ann_search(
         spark, ann_fed["dirs"], emb, QIDS, k=10, n_probe=4, refine_factor=4
@@ -219,7 +219,7 @@ def test_federated_ann_append_routes_by_vec_hash(spark, emb, tmp_path):
         spark, dirs, emb, QIDS, k=10, n_probe=8, refine_factor=max(8, n)
     ).collect())
     brute = sorted(
-        (r["query_id"], r["neighbor_id"], r["score"])
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
         for r in similarity.brute_force_topk(emb, QIDS, k=10).collect()
     )
     assert got == brute
