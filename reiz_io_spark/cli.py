@@ -92,6 +92,15 @@ def main(argv: list[str] | None = None) -> int:
     fkt.add_argument("--index", required=True)
     fkt.add_argument("--deep", action="store_true")
 
+    fkf = sub.add_parser(
+        "fsck-federation", help="shard-set integrity: per-shard fsck + "
+        "cross-shard invariants (live doc_id disjointness, k1/b/layout "
+        "agreement, routing-convention report)"
+    )
+    fkf.add_argument("--indexes", required=True,
+                     help="comma-separated shard dirs")
+    fkf.add_argument("--deep", action="store_true")
+
     st = sub.add_parser("stats", help="index stats (the reference's /stats)")
     st.add_argument("--index", required=True)
 
@@ -620,6 +629,15 @@ def _dispatch(args, spark) -> int:
         from .operators.fsck import fsck_trigrams
 
         report = fsck_trigrams(spark, args.index, deep=args.deep)
+        print(json.dumps(report, indent=2))
+        return 0 if all(v["ok"] for v in report.values()) else 1
+
+    if args.cmd == "fsck-federation":
+        from .operators.fsck import fsck_federation
+
+        report = fsck_federation(
+            spark, args.indexes.split(","), deep=args.deep
+        )
         print(json.dumps(report, indent=2))
         return 0 if all(v["ok"] for v in report.values()) else 1
 

@@ -516,3 +516,78 @@ def fsck_trigrams(
         f"trigrams",
     )
     return report
+
+
+def fsck_federation(
+    spark: SparkSession, index_dirs: list[str], deep: bool = False
+) -> dict[str, dict]:
+    """Federation-level integrity: the invariants the shard-local
+    checkers cannot see.
+
+    - every shard passes its own fsck_index (light or deep — per-shard
+      failures are namespaced `shard<i>.<check>`);
+    - shards agree on the BM25/layout params that make scores globally
+      comparable (k1, b, block_size, fragment_postings — the same
+      refusal federated_stats enforces at query time);
+    - live doc_ids are DISJOINT across shards (the property every
+      federated merge relies on: metadata joins expect one owner,
+      dfs stats would double-count a doc indexed twice). Tombstoned
+      ids are excluded — a doc legitimately deleted on one shard and
+      re-ingested on another is healthy;
+    - routing (informational): whether every live doc sits on the
+      shard its pmod(xxhash64(repo), N) hash names. A False here is
+      REPORTED but not a failure — resharding to a different N or
+      custom placement is legal; disjointness is the correctness
+      invariant, routing is the convention.
+    """
+    report: dict[str, dict] = {}
+
+    def ok(name: str, cond: bool, detail: str = "") -> None:
+        report[name] = {"ok": bool(cond), "detail": detail}
+
+    metas = []
+    for i, d in enumerate(index_dirs):
+        sub = fsck_index(spark, d, deep=deep)
+        for k, v in sub.items():
+            report[f"shard{i}.{k}"] = v
+        try:
+            with open(os.path.join(d, "meta.json")) as fh:
+                metas.append(json.load(fh))
+        except (OSError, json.JSONDecodeError):
+            metas.append({})
+    for key in ("k1", "b", "block_size", "fragment_postings"):
+        vals = {m.get(key) for m in metas}
+        ok(
+            f"fed_params_agree_{key}", len(vals) == 1,
+            f"{sorted(map(str, vals))}" if len(vals) != 1 else "",
+        )
+
+    from .deletes import read_tombstones
+
+    live = None
+    for i, d in enumerate(index_dirs):
+        docs = spark.read.schema(DOCS_ON_DISK).parquet(
+            _paths(d)["docs"]
+        ).select("doc_id", "repo")
+        tomb = read_tombstones(spark, d, metas[i])
+        if tomb is not None:
+            docs = docs.join(tomb.select("doc_id"), "doc_id", "left_anti")
+        part = docs.withColumn("fed_shard", F.lit(i))
+        live = part if live is None else live.unionByName(part)
+    dup = (
+        live.groupBy("doc_id")
+        .agg(F.countDistinct("fed_shard").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    ok("fed_doc_ids_disjoint", dup == 0, f"{dup} doc_ids live on 2+ shards")
+    n = len(index_dirs)
+    misrouted = live.filter(
+        F.pmod(F.xxhash64("repo"), F.lit(n)).cast("int") != F.col("fed_shard")
+    ).count()
+    ok(
+        "fed_routing_convention", True,  # informational, never a failure
+        f"{misrouted} live docs off their pmod(xxhash64(repo), {n}) shard"
+        if misrouted else "all docs on their hash shard",
+    )
+    return report

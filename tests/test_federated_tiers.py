@@ -370,3 +370,33 @@ def test_streamed_federated_upserts_equal_batch_and_fresh(spark, tmp_path):
     assert [
         int(IndexReader(spark, d).meta["version"]) for d in streamed
     ] == v_before
+
+
+# --------------------------------------------------------------------------
+# federation fsck (cross-shard invariants)
+# --------------------------------------------------------------------------
+
+def test_fsck_federation_green_and_detects_duplicates(spark, grep_fed,
+                                                      tmp_path):
+    from reiz_io_spark.operators.fsck import fsck_federation
+
+    rep = fsck_federation(spark, grep_fed["shards"], deep=False)
+    bad = {k: v for k, v in rep.items() if not v["ok"]}
+    assert not bad, bad
+    assert rep["fed_routing_convention"]["detail"].startswith("all docs")
+
+    # a doc living on two shards (here: the same shard dir twice — the
+    # degenerate duplicate) must fail disjointness
+    dup_rep = fsck_federation(
+        spark, [grep_fed["shards"][0], grep_fed["shards"][0]], deep=False
+    )
+    assert not dup_rep["fed_doc_ids_disjoint"]["ok"]
+
+    # k1 disagreement is the query-time refusal, surfaced at rest
+    odd = str(tmp_path / "odd_k1")
+    build_index(spark, synth_corpus(spark, n_filler=6, seed=2), odd,
+                build_id="b0", n_shards=2, fragment_postings=64, k1=0.9)
+    k1_rep = fsck_federation(
+        spark, [grep_fed["shards"][0], odd], deep=False
+    )
+    assert not k1_rep["fed_params_agree_k1"]["ok"]
