@@ -368,6 +368,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # as ann_cosine_topk; per-shard recall at default probes is
     # pytest-gated in tests/test_federated_tiers.py)
     q["ann_federated_topk"] = _ann_federated_topk
+    # r7: per-term BM25 score explain (the ES `_explain` analog) for
+    # the flagship query's top-1 doc — tail from birth: the SWEPT
+    # code_search_wand pins the summed score; this entry pins the
+    # BREAKDOWN (tf/df/idf/contribution per term) against a DuckDB
+    # twin that recomputes it from the side tables.
+    q["code_search_explain"] = _code_search_explain
+    # r7: exact per-repo facet counts of the flagship query's match
+    # set over the 3-shard federation (tail from birth — membership is
+    # per-document so the federated counts are identical to the
+    # single-index facet, pytest-gated; the twin recomputes the match
+    # set + GROUP BY from the side tables with no BM25 at all).
+    q["code_facets_federated"] = _code_facets_federated
 
     # --- general relational operators (joins/windows/aggs) --------------------
     q["tpch_pricing_summary"] = lambda s, d: _tpch_pricing(s, d)
@@ -504,6 +516,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             # full-refine exact merge == the SWEPT
                             # ann_cosine_topk's brute scan; default-
                             # probe recall pytest-gated; local sweep
+        "code_search_explain",  # r7: tail from birth — per-term
+                            # breakdown of the SWEPT code_search_wand
+                            # score (sum(contrib) == score pytest);
+                            # local sweep vs the DuckDB recompute
+        "code_facets_federated",  # r7: tail from birth — federated ==
+                            # single-index facet counts pytest; local
+                            # sweep vs the DuckDB match-set GROUP BY
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -560,6 +579,47 @@ def _code_search_wand(s: SparkSession, d: str) -> DataFrame:
     top = wand_topk(reader, lower_query("flagship", "Call(Name('len'))"), k=10)
     return attach_doc_metadata(reader, top).select(
         "doc_id", "repo", "path", F.round("score", 6).alias("score")
+    )
+
+
+def _code_search_explain(s: SparkSession, d: str) -> DataFrame:
+    """Per-term BM25 contribution rows for the flagship query's top-1
+    doc (score.explain_score — runs-scan with doc_id+term IN pushdown,
+    broadcast term metadata, no shuffle). The DuckDB twin recomputes
+    the identical breakdown from the side tables, so tf, df, idf, and
+    the contribution arithmetic are each hash-pinned."""
+    from reiz_io_spark.operators.score import IndexReader, explain_score
+    from reiz_io_spark.operators.wand import wand_topk
+    from reiz_io_spark.plans.lower import lower_query
+
+    _ensure_entry_index(s, d)
+    reader = IndexReader(s, _CODE_INDEX_CACHE[d])
+    query = lower_query("flagship", "Call(Name('len'))")
+    top1 = wand_topk(reader, query, k=1).collect()
+    if not top1:
+        return explain_score(reader, query, [])
+    return explain_score(reader, query, [int(top1[0]["doc_id"])]).select(
+        "doc_id", "term", "tf", "dl", "df",
+        F.round("idf", 6).alias("idf"),
+        "weight",
+        F.round("contrib", 6).alias("contrib"),
+    )
+
+
+def _code_facets_federated(s: SparkSession, d: str) -> DataFrame:
+    """Per-repo facet counts of the flagship query's match set across
+    the 3-shard federation (federation.federated_facets): per-shard
+    exact match sets (WAND kernels, pruning off) unioned + ONE global
+    count aggregate. Membership is per-document, so the counts equal
+    the single-index facet over the union corpus exactly."""
+    from reiz_io_spark.operators.federation import federated_facets
+    from reiz_io_spark.operators.score import IndexReader
+    from reiz_io_spark.plans.lower import lower_query
+
+    readers = [IndexReader(s, p) for p in _ensure_fed_shards(s, d)]
+    return federated_facets(
+        s, None, lower_query("flagship", "Call(Name('len'))"),
+        facet_col="repo", readers=readers,
     )
 
 
@@ -1241,6 +1301,15 @@ FROM documents
     oracle_tables.ensure_oracle_tables()
     o["code_search_wand"] = oracle_tables.wand_oracle_sql(
         "flagship", "Call(Name('len'))", k=10
+    )
+    # per-term breakdown of the same query's top-1 doc: the twin
+    # recomputes tf/df/idf/contrib from the side tables (r7)
+    o["code_search_explain"] = oracle_tables.explain_oracle_sql(
+        "flagship", "Call(Name('len'))"
+    )
+    # facet counts of the same query's match set, grouped by repo (r7)
+    o["code_facets_federated"] = oracle_tables.facet_oracle_sql(
+        "flagship", "Call(Name('len'))", facet_col="repo"
     )
     o["code_search_after_delete"] = oracle_tables.wand_oracle_sql(
         "flagship", "Call(Name('len'))", k=10,

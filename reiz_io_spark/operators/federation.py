@@ -173,6 +173,42 @@ def federated_doc_metadata(
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def federated_facets(
+    spark: SparkSession,
+    index_dirs: list[str] | None,
+    query: LoweredQuery,
+    facet_col: str = "repo",
+    k: int | None = None,
+    readers: list[IndexReader] | None = None,
+) -> DataFrame:
+    """Exact per-facet doc counts of the query's match set across the
+    shard set (score.facet_counts over a federation). Counts are exact
+    and identical to the single-index facet over the union corpus:
+    each shard's match set is exact under the global-stats discipline
+    (scores don't even matter — membership is the conjunction test,
+    which is per-document), doc sets are disjoint, and the final
+    count aggregate integer-sums across shards in one job. Scale
+    shape: per-shard pruned blocks decode + ONE global hash aggregate;
+    only (doc_id, facet) rows cross the exchange."""
+    if readers is None:
+        readers = [IndexReader(spark, d) for d in index_dirs]
+    cands = federated_scores(spark, readers, query, k=None)
+    if not cands.columns:  # defensive; _empty_results has columns
+        return cands
+    meta = None
+    for r in readers:
+        part = r.docs().select("doc_id", facet_col)
+        meta = part if meta is None else meta.unionByName(part)
+    out = (
+        cands.select("doc_id")
+        .join(meta, "doc_id")
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc(facet_col))
+    )
+    return out.limit(k) if k is not None else out
+
+
 def federated_grep(
     spark: SparkSession,
     index_dirs: list[str],

@@ -653,6 +653,11 @@ def _df_lookup(
 
 DRIVER_DECODE_MAX = 2 << 20  # <=2M postings (~16 MB) decode driver-side
 ISIN_CAND_MAX = 10_000  # candidate sets this small push down as IN filters
+# seek-vs-scan routing: when the rarest-trigram df bound says candidates
+# exceed this fraction of the corpus, skip the posting seek and verify
+# over the factor-prefiltered scan instead (max'd with ISIN_CAND_MAX so
+# the rule only binds at scale)
+GREP_SEEK_MAX_FRACTION = 0.02
 
 
 def grep_index(
@@ -823,6 +828,7 @@ def _candidate_content(
             return sum(df_of[v] for v in present) if present else None
 
         chosen_per_alt = []  # list of lists of variant tuples
+        alt_min_df = []  # each alternative's rarest-group df
         for groups in alt_groups:
             gdfs = [_gdf(g) for g in groups]
             if any(d is None for d in gdfs):
@@ -833,6 +839,7 @@ def _candidate_content(
             chosen_per_alt.append(
                 [groups[i] for i in order[:R_TRIGRAMS_PER_ALT]]
             )
+            alt_min_df.append(gdfs[order[0]])
         if not chosen_per_alt:
             return None, docs
         chosen_groups = sorted(
@@ -842,7 +849,24 @@ def _candidate_content(
             {v for g in chosen_groups for v in g if v in df_of}
         )
         total_df = sum(df_of[v] for v in chosen)
-        if total_df <= driver_decode_max:
+        # Adaptive route (the Zoekt/codesearch pragmatics): the rarest
+        # group's df upper-bounds each alternative's candidate set, and
+        # the dictionary hands us those dfs BEFORE any posting read.
+        # When the bound says the seek cannot be selective — candidates
+        # would be a material fraction of the corpus (proxied by the
+        # hottest trigram's df, a tight lower bound on live n_docs) —
+        # the decode+intersect+semi-join machinery only ADDS cost over
+        # the factor-prefiltered parallel scan, so route to the scan
+        # (measured at 240k files: a ~93%-selectivity pattern ran 6x
+        # slower through the seek). Small corpora keep the seek (the
+        # ISIN_CAND_MAX floor) so the threshold only binds at scale.
+        n_docs_bound = int(dfs.max()) if len(dfs) else 0
+        est_cands = sum(alt_min_df)
+        if est_cands > max(
+            ISIN_CAND_MAX, int(GREP_SEEK_MAX_FRACTION * n_docs_bound)
+        ):
+            cand = None  # falls through to the factor-prefiltered scan
+        elif total_df <= driver_decode_max:
             # serving shape: the chosen trigrams are by construction the
             # RAREST ones, and the dictionary told us their exact total
             # posting count before touching any fragment — when it's
@@ -900,9 +924,14 @@ def _candidate_content(
                 # small candidate set: push the ids into the content
                 # scan as an IN filter — ONE stage, no join exchange
                 # (a broadcast semi join measured ~1 s of pure
-                # machinery at this candidate size)
-                ids = [int(i) for i in cand_ids]
-                return content.filter(F.col("doc_id").isin(ids)), docs
+                # machinery at this candidate size). Built as ONE SQL
+                # expression, not Column.isin: isin creates a py4j
+                # literal per element (~0.6 ms each — 1.3 s of pure
+                # driver socket chatter at 2k candidates, linear in
+                # the candidate count); the parser ingests the same
+                # predicate in one round-trip.
+                in_list = ",".join(str(int(i)) for i in cand_ids)
+                return content.filter(F.expr(f"doc_id IN ({in_list})")), docs
             cand = F.broadcast(
                 spark.createDataFrame(
                     [(int(i),) for i in cand_ids], "doc_id long"

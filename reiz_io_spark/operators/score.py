@@ -354,6 +354,114 @@ def naive_bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def explain_score(
+    reader: IndexReader,
+    query: LoweredQuery,
+    doc_ids: list[int],
+    field_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-term BM25 contribution breakdown for specific docs — the
+    Elasticsearch `_explain` analog (the reference exposes no scoring
+    introspection; this is our engine's own debugging surface).
+
+    One row per (doc_id, matched query term):
+    (doc_id, term, tf, dl, df, idf, weight, contrib), where
+    contrib = idf * weight * tf*(1+k1) / (tf + k1*(1-b + b*dl/avgdl))
+    — the EXACT arithmetic of the scoring paths (same expression as
+    naive_bm25_topk / the WAND rescore), so sum(contrib) over a doc's
+    rows reproduces its query score bit-for-bit when the doc satisfies
+    the query (pytest-gated). Docs the query doesn't touch yield no
+    rows; pending-deleted docs yield no rows (read paths must agree).
+
+    Scale shape: term IN-list AND doc_id IN-list both push into the
+    runs scan (an explain touches a handful of row groups at any corpus
+    size); the per-term metadata is a broadcast of len(query terms)
+    rows; no shuffle, no aggregation."""
+    spark = reader.spark
+    empty = spark.createDataFrame(
+        [], "doc_id long, term string, tf long, dl long, df long, "
+            "idf double, weight double, contrib double",
+    )
+    groups = reader.resolve_groups(query)
+    if not groups or any(len(g) == 0 for g in groups):
+        return empty
+    meta = reader.meta
+    k1, b, avgdl = float(meta["k1"]), float(meta["b"]), float(meta["avgdl"])
+    all_terms = sorted({t for g in groups for t in g})
+    tmeta = reader.term_meta(all_terms)
+    if not tmeta:
+        return empty
+
+    from .wand import field_weight_of
+
+    def _w(t: str) -> float:
+        return field_weight_of(t, field_weights) if field_weights else 1.0
+
+    qterms = spark.createDataFrame(
+        [
+            (t, int(tmeta[t]["df"]), float(tmeta[t]["idf"]), _w(t))
+            for t in all_terms
+            if t in tmeta
+        ],
+        "term string, df long, idf double, weight double",
+    )
+    p = (
+        reader.runs()
+        .filter(F.col("term").isin(all_terms))
+        .filter(F.col("doc_id").isin([int(x) for x in doc_ids]))
+    )
+    tomb = reader.tombstones()
+    if tomb is not None:
+        p = p.join(tomb.select("doc_id"), "doc_id", "left_anti")
+    contrib = (
+        F.col("idf") * F.col("weight")
+        * (F.col("tf") * F.lit(1.0 + k1))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+        )
+    )
+    return (
+        p.join(F.broadcast(qterms), "term")
+        .select(
+            "doc_id", "term", "tf", "dl", "df", "idf", "weight",
+            contrib.alias("contrib"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+def facet_counts(
+    reader: IndexReader,
+    query: LoweredQuery,
+    facet_col: str = "repo",
+    k: int | None = None,
+) -> DataFrame:
+    """Exact per-facet doc counts of the query's match set — the
+    search-page "group by repository / language" sidebar (Elasticsearch
+    terms-aggregation analog; the reference renders per-repo hit groups
+    in its result UI, reiz/web/api.py).
+
+    (facet, n_docs) rows, count-descending. Exact, not approximate:
+    the match set is every conjunction-satisfying live doc (the WAND
+    kernels with pruning off — k=None returns all candidates), joined
+    to the docs table's facet column and hash-aggregated. Scale shape:
+    one pruned blocks decode (query terms only) + one shuffle for the
+    count aggregate; the docs join carries only (doc_id, facet)."""
+    from .wand import wand_scores
+
+    cands = wand_scores(reader, query, k=None).select("doc_id")
+    meta = reader.docs().select("doc_id", facet_col)
+    out = (
+        cands.join(meta, "doc_id")
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc(facet_col))
+    )
+    return out.limit(k) if k is not None else out
+
+
 def _empty_results(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], "doc_id long, score double")
 

@@ -442,6 +442,99 @@ JOIN read_parquet('{df_file}') m USING (doc_id)
 """
 
 
+def explain_oracle_sql(
+    query_name: str, query_source: str, base: str = ORACLE_TABLES_DIR
+) -> str:
+    """DuckDB twin of the score-explain entry: recompute the query's
+    BM25 ranking from the side tables, take the top-1 doc, and emit its
+    per-term contribution rows — the same (doc_id, term, tf, dl, df,
+    idf, weight, contrib) shape score.explain_score returns, so the
+    hash compare pins the whole breakdown (tf from the index's runs,
+    df/idf from the dictionary, the contribution arithmetic) and not
+    just the summed score."""
+    from . import BM25_B, BM25_K1
+    from .plans.lower import lower_query
+
+    q = lower_query(query_name, query_source)
+    terms = []
+    for g in q.groups:
+        if len(g.terms) != 1:
+            raise ValueError("explain_oracle_sql: non-singleton group")
+        terms.append(g.terms[0])
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tf_file = terms_path(base)
+    df_file = docs_path(base)
+    return f"""
+WITH p AS (
+  SELECT term, doc_id, tf, dl
+  FROM read_parquet('{tf_file}')
+  WHERE term IN ({in_list})
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM read_parquet('{df_file}')
+),
+d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + ((SELECT n_docs FROM s) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * {1.0 + BM25_K1!r})
+           / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r}
+              * (p.dl / (SELECT avgdl FROM s))))
+         ) AS score
+  FROM p JOIN d USING (term)
+  GROUP BY p.doc_id
+  HAVING count(DISTINCT p.term) = {len(terms)}
+),
+top1 AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 1)
+SELECT p.doc_id, p.term, p.tf, p.dl, d.df,
+       round(ln(1.0 + ((SELECT n_docs FROM s) - d.df + 0.5)
+                / (d.df + 0.5)), 6) AS idf,
+       1.0 AS weight,
+       round(
+         ln(1.0 + ((SELECT n_docs FROM s) - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * {1.0 + BM25_K1!r})
+         / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r}
+            * (p.dl / (SELECT avgdl FROM s)))), 6) AS contrib
+FROM p JOIN d USING (term) JOIN top1 USING (doc_id)
+ORDER BY p.term
+"""
+
+
+def facet_oracle_sql(
+    query_name: str, query_source: str, facet_col: str = "repo",
+    base: str = ORACLE_TABLES_DIR,
+) -> str:
+    """DuckDB twin of the facet-counts entry: the conjunction's match
+    set recomputed from the side tables, grouped by the docs table's
+    facet column. Membership (not scoring) is the property under test,
+    so the twin needs no BM25 arithmetic at all."""
+    from .plans.lower import lower_query
+
+    q = lower_query(query_name, query_source)
+    terms = []
+    for g in q.groups:
+        if len(g.terms) != 1:
+            raise ValueError("facet_oracle_sql: non-singleton group")
+        terms.append(g.terms[0])
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH m AS (
+  SELECT doc_id
+  FROM read_parquet('{terms_path(base)}')
+  WHERE term IN ({in_list})
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(terms)}
+)
+SELECT d.{facet_col}, count(*) AS n_docs
+FROM m JOIN read_parquet('{docs_path(base)}') d USING (doc_id)
+GROUP BY d.{facet_col}
+ORDER BY n_docs DESC, d.{facet_col} ASC
+"""
+
+
 def positions_oracle_sql(base: str = ORACLE_TABLES_DIR) -> str:
     """DuckDB twin of the structural entry: the pre-materialized golden
     table (single-threaded matcher + oracle BM25), read back verbatim."""

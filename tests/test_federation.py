@@ -419,3 +419,52 @@ def test_federated_positions_distributed_route(spark, fed):
     want = single_svc.query_positions(q, k=5)
     got = fed_svc.query_positions(q, k=5)
     assert want and got == want
+
+
+def test_federated_facets_equal_single_index(spark, fed):
+    from reiz_io_spark.operators.federation import federated_facets
+    from reiz_io_spark.operators.score import facet_counts
+
+    single = IndexReader(spark, fed["single"])
+    for q, col in ((Q, "repo"), (Q_LIKE, "repo")):
+        want = [
+            (r[col], r["n_docs"])
+            for r in facet_counts(single, q, facet_col=col).collect()
+        ]
+        got = [
+            (r[col], r["n_docs"])
+            for r in federated_facets(
+                spark, None, q, facet_col=col, readers=fed["readers"]
+            ).collect()
+        ]
+        assert got == want and want  # non-empty, identical incl. order
+    # k truncation keeps the (count desc, facet asc) deterministic head
+    want_q = [
+        (r["repo"], r["n_docs"]) for r in facet_counts(single, Q).collect()
+    ]
+    got3 = federated_facets(
+        spark, None, Q, facet_col="repo", k=3, readers=fed["readers"]
+    ).collect()
+    assert [(r["repo"], r["n_docs"]) for r in got3] == want_q[:3]
+
+
+def test_facets_respect_pending_deletes(spark, fed, tmp_path):
+    import shutil
+
+    from reiz_io_spark.operators.score import facet_counts
+
+    src = fed["single"]
+    dst = str(tmp_path / "fac_del")
+    shutil.copytree(src, dst)
+    before = {
+        r["repo"]: r["n_docs"]
+        for r in facet_counts(IndexReader(spark, dst), Q).collect()
+    }
+    victim = max(before, key=before.get)
+    delete_docs(spark, dst, F.col("repo") == victim)
+    after = {
+        r["repo"]: r["n_docs"]
+        for r in facet_counts(IndexReader(spark, dst), Q).collect()
+    }
+    assert victim not in after
+    assert {k: v for k, v in before.items() if k != victim} == after

@@ -487,3 +487,60 @@ def test_update_noop_when_no_new_batches(spark, grown_index):
     after = rx.update_trigram_index(spark, inc_dir)
     assert after["generations"] == before["generations"]
     assert after["covered_batches"] == before["covered_batches"]
+
+
+# --------------------------------------------------------------------------
+# adaptive seek-vs-scan routing (GREP_SEEK_MAX_FRACTION)
+# --------------------------------------------------------------------------
+
+def test_hot_pattern_routes_to_scan_without_posting_reads(
+    spark, trigram_index, monkeypatch
+):
+    """When the dictionary's rarest-trigram df bound says the seek
+    cannot be selective, grep must answer from the factor-prefiltered
+    scan WITHOUT reading a single posting fragment — and still equal
+    the brute scan row-for-row."""
+    index_dir, _ = trigram_index
+    pattern = GREP_PATTERNS[0]  # hot: 'def ' occurs in ~every file
+    want = sorted(
+        tuple(r)
+        for r in rx.grep_bruteforce(spark, index_dir, pattern).collect()
+    )
+    assert want
+    monkeypatch.setattr(rx, "ISIN_CAND_MAX", 1)
+    monkeypatch.setattr(rx, "GREP_SEEK_MAX_FRACTION", 0.0)
+
+    def _boom(*a, **k):
+        raise AssertionError("posting read on the scan route")
+
+    monkeypatch.setattr(rx, "_read_postings", _boom)
+    got = sorted(
+        tuple(r) for r in rx.grep_index(spark, index_dir, pattern).collect()
+    )
+    assert got == want
+
+
+def test_selective_pattern_keeps_the_seek(spark, trigram_index):
+    """A pattern whose rarest trigram is rare stays under the default
+    routing threshold (the scan route only binds on hot patterns):
+    check the bound arithmetic on the real dictionary, then the
+    end-to-end equality."""
+    index_dir, _ = trigram_index
+    pattern = r"A_FOO[A-Za-z_]*\("  # golden caseless_match ident, rare
+    dnf, fold = rx.analyze(pattern)
+    assert dnf is not None and not fold
+    p = rx._tg_paths(index_dir)
+    with open(p["meta"]) as fh:
+        tmeta = json.load(fh)
+    tgs, dfs = rx._load_dictionary(spark, p, tmeta)
+    df_of = rx._df_lookup(tgs, dfs, sorted(
+        {t for alt in dnf for fac in alt for t in rx.trigrams_of(fac)}
+    ))
+    est = min(v for v in df_of.values())  # rarest-trigram bound
+    assert est <= max(
+        rx.ISIN_CAND_MAX, int(rx.GREP_SEEK_MAX_FRACTION * int(dfs.max()))
+    )
+    rows = rx.grep_index(spark, index_dir, pattern).collect()
+    want = rx.grep_bruteforce(spark, index_dir, pattern).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
+    assert rows  # the golden file matches
