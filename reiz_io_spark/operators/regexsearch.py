@@ -865,6 +865,11 @@ def _candidate_content(
         if est_cands > max(
             ISIN_CAND_MAX, int(GREP_SEEK_MAX_FRACTION * n_docs_bound)
         ):
+            if est_cands > (n_docs_bound >> 1):
+                # super-hot: most docs hold every required factor, so
+                # even the Contains prefilter is a pure extra pass over
+                # the corpus — verify on the bare scan (== brute)
+                return content, docs
             cand = None  # falls through to the factor-prefiltered scan
         elif total_df <= driver_decode_max:
             # serving shape: the chosen trigrams are by construction the

@@ -383,7 +383,7 @@ def explain_score(
             "idf double, weight double, contrib double",
     )
     groups = reader.resolve_groups(query)
-    if not groups or any(len(g) == 0 for g in groups):
+    if not doc_ids or not groups or any(len(g) == 0 for g in groups):
         return empty
     meta = reader.meta
     k1, b, avgdl = float(meta["k1"]), float(meta["b"]), float(meta["avgdl"])
@@ -405,10 +405,12 @@ def explain_score(
         ],
         "term string, df long, idf double, weight double",
     )
+    id_list = ",".join(str(int(x)) for x in doc_ids)
     p = (
         reader.runs()
         .filter(F.col("term").isin(all_terms))
-        .filter(F.col("doc_id").isin([int(x) for x in doc_ids]))
+        # one parsed IN expression (Column.isin = py4j literal/element)
+        .filter(F.expr(f"doc_id IN ({id_list})"))
     )
     tomb = reader.tombstones()
     if tomb is not None:

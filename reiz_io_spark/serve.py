@@ -295,9 +295,12 @@ class _Snapshot:
             with self._miss_lock:
                 missing = [d for d in doc_ids if d not in self._content]
                 if missing:
+                    # ONE parsed IN expression — Column.isin is a py4j
+                    # round-trip per element (linear driver cost)
+                    in_list = ",".join(str(int(d)) for d in missing)
                     rows = (
                         self.reader.content()
-                        .filter(F.col("doc_id").isin(missing))
+                        .filter(F.expr(f"doc_id IN ({in_list})"))
                         .select("doc_id", "content")
                         .collect()
                     )
