@@ -101,6 +101,26 @@ def main(argv: list[str] | None = None) -> int:
                      help="comma-separated shard dirs")
     fkf.add_argument("--deep", action="store_true")
 
+    xp = sub.add_parser(
+        "explain-score", help="per-term BM25 contribution breakdown for "
+        "the pattern's top-k docs (the Elasticsearch _explain analog)"
+    )
+    xp.add_argument("--index", required=True)
+    xp.add_argument("--pattern", required=True)
+    xp.add_argument("-k", type=int, default=1,
+                    help="explain the top-k docs (default: top-1)")
+
+    fc = sub.add_parser(
+        "facets", help="exact per-facet doc counts of the pattern's "
+        "match set (one index or a comma-separated shard set)"
+    )
+    fc.add_argument("--index", help="single index dir")
+    fc.add_argument("--indexes", help="comma-separated shard dirs")
+    fc.add_argument("--pattern", required=True)
+    fc.add_argument("--by", default="repo",
+                    help="docs-table facet column (default: repo)")
+    fc.add_argument("-k", type=int, default=None, help="top-k facets")
+
     st = sub.add_parser("stats", help="index stats (the reference's /stats)")
     st.add_argument("--index", required=True)
 
@@ -323,6 +343,54 @@ def _dispatch(args, spark) -> int:
                 "score": round(r["score"], 6),
             }))
         print(f"# {len(rows)} rows in {wall:.3f}s", file=sys.stderr)
+        return 0
+
+    if args.cmd == "explain-score":
+        from .operators.score import IndexReader, explain_score
+        from .operators.wand import wand_topk
+        from .plans.lower import lower_query
+
+        reader = IndexReader(spark, args.index)
+        q = lower_query("cli", args.pattern)
+        top = wand_topk(reader, q, k=args.k).collect()
+        if not top:
+            print("# 0 matching docs", file=sys.stderr)
+            return 0
+        score_of = {int(r["doc_id"]): float(r["score"]) for r in top}
+        rows = explain_score(reader, q, list(score_of)).collect()
+        for r in rows:
+            print(json.dumps({
+                "doc_id": r["doc_id"], "term": r["term"],
+                "tf": r["tf"], "dl": r["dl"], "df": r["df"],
+                "idf": round(r["idf"], 6), "weight": r["weight"],
+                "contrib": round(r["contrib"], 6),
+                "doc_score": round(score_of[int(r["doc_id"])], 6),
+            }))
+        return 0
+
+    if args.cmd == "facets":
+        from .plans.lower import lower_query
+
+        q = lower_query("cli", args.pattern)
+        if args.indexes:
+            from .operators.federation import federated_facets
+
+            out = federated_facets(
+                spark, args.indexes.split(","), q,
+                facet_col=args.by, k=args.k,
+            )
+        elif args.index:
+            from .operators.score import IndexReader, facet_counts
+
+            out = facet_counts(
+                IndexReader(spark, args.index), q,
+                facet_col=args.by, k=args.k,
+            )
+        else:
+            print("facets: pass --index or --indexes", file=sys.stderr)
+            return 2
+        for r in out.collect():
+            print(json.dumps({args.by: r[args.by], "n_docs": r["n_docs"]}))
         return 0
 
     if args.cmd == "query-federated":

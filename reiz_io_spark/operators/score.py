@@ -359,10 +359,15 @@ def explain_score(
     query: LoweredQuery,
     doc_ids: list[int],
     field_weights: dict[str, float] | None = None,
+    stats_override: dict | None = None,
 ) -> DataFrame:
     """Per-term BM25 contribution breakdown for specific docs — the
     Elasticsearch `_explain` analog (the reference exposes no scoring
     introspection; this is our engine's own debugging surface).
+    stats_override is the federation hook (same shape wand_scores
+    takes: {"avgdl", "idf_by_term", "df_by_term"} computed over the
+    shard set) — a shard explains its local tf/dl under GLOBAL
+    df/idf, so federated explains sum to the federated scores.
 
     One row per (doc_id, matched query term):
     (doc_id, term, tf, dl, df, idf, weight, contrib), where
@@ -386,24 +391,34 @@ def explain_score(
     if not doc_ids or not groups or any(len(g) == 0 for g in groups):
         return empty
     meta = reader.meta
-    k1, b, avgdl = float(meta["k1"]), float(meta["b"]), float(meta["avgdl"])
+    k1, b = float(meta["k1"]), float(meta["b"])
     all_terms = sorted({t for g in groups for t in g})
-    tmeta = reader.term_meta(all_terms)
-    if not tmeta:
-        return empty
+    if stats_override is not None:
+        avgdl = float(stats_override["avgdl"])
+        df_of = stats_override["df_by_term"]
+        idf_of = stats_override["idf_by_term"]
+    else:
+        avgdl = float(meta["avgdl"])
+        tmeta = reader.term_meta(all_terms)
+        if not tmeta:
+            return empty
+        df_of = {t: int(m["df"]) for t, m in tmeta.items()}
+        idf_of = {t: float(m["idf"]) for t, m in tmeta.items()}
 
     from .wand import field_weight_of
 
     def _w(t: str) -> float:
         return field_weight_of(t, field_weights) if field_weights else 1.0
 
+    qterm_rows = [
+        (t, int(df_of[t]), float(idf_of[t]), _w(t))
+        for t in all_terms
+        if t in df_of
+    ]
+    if not qterm_rows:
+        return empty
     qterms = spark.createDataFrame(
-        [
-            (t, int(tmeta[t]["df"]), float(tmeta[t]["idf"]), _w(t))
-            for t in all_terms
-            if t in tmeta
-        ],
-        "term string, df long, idf double, weight double",
+        qterm_rows, "term string, df long, idf double, weight double"
     )
     id_list = ",".join(str(int(x)) for x in doc_ids)
     p = (

@@ -491,6 +491,74 @@ class QueryService:
             )
         return out
 
+    def explain_topk(
+        self, query: LoweredQuery, k: int = 1,
+        field_weights: dict[str, float] | None = None,
+    ) -> list[dict]:
+        """Per-term BM25 contribution rows for the query's top-k docs —
+        the serving twin of operators/score.explain_score (same
+        arithmetic: codec.bm25_contrib is the expression the driver
+        scorer uses, so contributions sum to the served score exactly).
+        Warm path: ZERO Spark jobs (postings + term meta caches); the
+        over-budget fallback collects the distributed explain."""
+        self._maybe_auto_refresh()
+        snap = self._snap  # pin ONE snapshot for the whole request
+        groups = snap.resolve_groups(query)
+        if not groups or any(len(g) == 0 for g in groups):
+            return []
+        all_terms = sorted({t for g in groups for t in g})
+        tmeta = snap.term_meta(all_terms)
+        for g in groups:
+            if all(t not in tmeta for t in g):
+                return []
+        from .operators.wand import field_weight_of
+
+        def _w(t: str) -> float:
+            return field_weight_of(t, field_weights) if field_weights else 1.0
+
+        if sum(m["df"] for m in tmeta.values()) > self.max_driver_postings:
+            from .operators.score import explain_score
+
+            top = wand_mod.wand_topk(
+                snap.reader, query, k=k, field_weights=field_weights
+            ).collect()
+            if not top:
+                return []
+            rows = explain_score(
+                snap.reader, query, [int(r["doc_id"]) for r in top],
+                field_weights=field_weights,
+            ).collect()
+            return [dict(r.asDict()) for r in rows]
+        snap._fetch_postings(list(tmeta))
+        ranked = snap._score_driver(
+            groups, tmeta, k, field_weights=field_weights
+        )
+        out = []
+        for doc_id, _score in ranked:
+            evicted = [t for t in tmeta if t not in snap._postings]
+            if evicted:
+                snap._fetch_postings(evicted)
+            for term in sorted(tmeta):
+                d, tf, dl = snap._postings[term]
+                if d.size == 0:
+                    continue
+                pos = int(np.searchsorted(d, doc_id))
+                if pos >= d.size or int(d[pos]) != doc_id:
+                    continue
+                idf = float(tmeta[term]["idf"]) * _w(term)
+                contrib = float(codec.bm25_contrib(
+                    tf[pos:pos + 1], dl[pos:pos + 1], idf,
+                    snap.avgdl, snap.k1, snap.b,
+                )[0])
+                out.append({
+                    "doc_id": int(doc_id), "term": term,
+                    "tf": int(tf[pos]), "dl": int(dl[pos]),
+                    "df": int(tmeta[term]["df"]),
+                    "idf": float(tmeta[term]["idf"]), "weight": _w(term),
+                    "contrib": contrib,
+                })
+        return out
+
     def query_positions(
         self, query: LoweredQuery, k: int = 10, offset: int = 0
     ) -> list[dict]:
@@ -900,6 +968,86 @@ class FederatedQueryService:
                  "github_link": github_link(repo, commit, path),
                  "username": username_of(repo)}
             )
+        return out
+
+    def explain_topk(
+        self, query: LoweredQuery, k: int = 1,
+        field_weights: dict[str, float] | None = None,
+    ) -> list[dict]:
+        """Federated per-term BM25 explain: the top-k under the global
+        ranking, each doc's tf/dl read from its OWNER shard's warm
+        postings, idf/df taken from the GLOBAL integer-sum stats — so
+        contributions sum to the federated (single-index-identical)
+        score. Warm path: zero Spark jobs; over-budget queries collect
+        per-shard distributed explains under a stats override."""
+        for s in self.services:
+            s._maybe_auto_refresh()
+        snaps = [s._snap for s in self.services]
+        groups, gmeta, avgdl = self._global_stats(snaps, query)
+        if not groups or any(len(g) == 0 for g in groups):
+            return []
+        for g in groups:
+            if all(t not in gmeta for t in g):
+                return []
+        top = self.query_topk(query, k=k, field_weights=field_weights)
+        if not top:
+            return []
+        top_ids = [int(r["doc_id"]) for r in top]
+        from .operators.wand import field_weight_of
+
+        def _w(t: str) -> float:
+            return field_weight_of(t, field_weights) if field_weights else 1.0
+
+        budget = min(s.max_driver_postings for s in self.services)
+        if sum(m["df"] for m in gmeta.values()) > budget:
+            from .operators.score import explain_score
+
+            override = {
+                "avgdl": avgdl,
+                "df_by_term": {t: m["df"] for t, m in gmeta.items()},
+                "idf_by_term": {t: m["idf"] for t, m in gmeta.items()},
+            }
+            out = []
+            for sn in snaps:  # each doc matches rows in its owner only
+                out.extend(
+                    dict(r.asDict())
+                    for r in explain_score(
+                        sn.reader, query, top_ids,
+                        field_weights=field_weights,
+                        stats_override=override,
+                    ).collect()
+                )
+            out.sort(key=lambda r: (top_ids.index(r["doc_id"]), r["term"]))
+            return out
+        out = []
+        for doc_id in top_ids:
+            for sn in snaps:
+                sn._fetch_postings(list(gmeta))
+                rows = []
+                for term in sorted(gmeta):
+                    if term not in sn._postings:
+                        continue
+                    d, tf, dl = sn._postings[term]
+                    if d.size == 0:
+                        continue
+                    pos = int(np.searchsorted(d, doc_id))
+                    if pos >= d.size or int(d[pos]) != doc_id:
+                        continue
+                    idf = float(gmeta[term]["idf"]) * _w(term)
+                    contrib = float(codec.bm25_contrib(
+                        tf[pos:pos + 1], dl[pos:pos + 1], idf,
+                        avgdl, self.k1, self.b,
+                    )[0])
+                    rows.append({
+                        "doc_id": int(doc_id), "term": term,
+                        "tf": int(tf[pos]), "dl": int(dl[pos]),
+                        "df": int(gmeta[term]["df"]),
+                        "idf": float(gmeta[term]["idf"]),
+                        "weight": _w(term), "contrib": contrib,
+                    })
+                if rows:  # owner shard found — disjointness: stop here
+                    out.extend(rows)
+                    break
         return out
 
     def _doc_meta_any(self, snaps: list[_Snapshot], doc_id: int) -> tuple:

@@ -161,6 +161,18 @@ def make_handler(
             if self.path == "/analyze":
                 return self._send(200, {"status": "success",
                                         **service.analyze(q)})
+            if self.path == "/explain":
+                # per-term BM25 contribution rows for the top-k docs
+                # (zero Spark jobs on the warm path)
+                try:
+                    rows = service.explain_topk(
+                        q, k=int(body.get("limit", 1))
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    return self._error(repr(exc), 500)
+                return self._send(200, {"status": "success",
+                                        "results": rows,
+                                        "exception": None})
             if self.path != "/query":
                 return self._error("not found", 404)
             k = int(body.get("limit", 10))

@@ -468,3 +468,49 @@ def test_facets_respect_pending_deletes(spark, fed, tmp_path):
     }
     assert victim not in after
     assert {k: v for k, v in before.items() if k != victim} == after
+
+
+def test_serving_explain_single_and_federated(spark, fed):
+    """explain_topk at the serving tier: contributions sum to the
+    served score exactly; the federated explain (owner-shard tf/dl
+    under global df/idf) is row-identical to the single-index one."""
+    from reiz_io_spark.serve import FederatedQueryService, QueryService
+
+    single_svc = QueryService(IndexReader(spark, fed["single"]))
+    fed_svc = FederatedQueryService([QueryService(r) for r in fed["readers"]])
+    for q in (Q, Q_LIKE):
+        top = single_svc.query_topk(q, k=3)
+        rows = single_svc.explain_topk(q, k=3)
+        by_doc: dict[int, float] = {}
+        for r in rows:
+            by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + r["contrib"]
+        for t in top:
+            assert abs(by_doc[t["doc_id"]] - t["score"]) < 1e-9, q.name
+
+        fed_rows = fed_svc.explain_topk(q, k=3)
+        key = lambda r: (r["doc_id"], r["term"])  # noqa: E731
+        assert sorted(
+            (r["doc_id"], r["term"], r["tf"], r["dl"], r["df"],
+             round(r["idf"], 9), round(r["contrib"], 9))
+            for r in fed_rows
+        ) == sorted(
+            (r["doc_id"], r["term"], r["tf"], r["dl"], r["df"],
+             round(r["idf"], 9), round(r["contrib"], 9))
+            for r in rows
+        ), q.name
+
+    # batch twin agreement: the serving rows equal explain_score's
+    from reiz_io_spark.operators.score import explain_score
+
+    ids = [r["doc_id"] for r in single_svc.query_topk(Q, k=2)]
+    batch = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], round(r["contrib"], 9))
+        for r in explain_score(
+            IndexReader(spark, fed["single"]), Q, ids
+        ).collect()
+    }
+    serve_rows = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], round(r["contrib"], 9))
+        for r in single_svc.explain_topk(Q, k=2)
+    }
+    assert serve_rows == batch
