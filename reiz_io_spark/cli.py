@@ -121,6 +121,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="docs-table facet column (default: repo)")
     fc.add_argument("-k", type=int, default=None, help="top-k facets")
 
+    ex = sub.add_parser(
+        "export", help="clone a committed snapshot to a new dir "
+        "(backup/restore/promote-to-serving; --at-version time-travels)"
+    )
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--at-version", type=int, default=None)
+    ex.add_argument("--no-sidecars", action="store_true")
+    ex.add_argument("--no-verify", action="store_true",
+                    help="skip the post-copy fsck")
+
     st = sub.add_parser("stats", help="index stats (the reference's /stats)")
     st.add_argument("--index", required=True)
 
@@ -343,6 +354,18 @@ def _dispatch(args, spark) -> int:
                 "score": round(r["score"], 6),
             }))
         print(f"# {len(rows)} rows in {wall:.3f}s", file=sys.stderr)
+        return 0
+
+    if args.cmd == "export":
+        from .operators.snapshot import export_snapshot
+
+        meta = export_snapshot(
+            spark, args.index, args.out, at_version=args.at_version,
+            include_sidecars=not args.no_sidecars,
+            verify=not args.no_verify,
+        )
+        print(json.dumps({"exported_version": meta.get("version"),
+                          "n_docs": meta.get("n_docs"), "out": args.out}))
         return 0
 
     if args.cmd == "explain-score":
