@@ -380,6 +380,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # single-index facet, pytest-gated; the twin recomputes the match
     # set + GROUP BY from the side tables with no BM25 at all).
     q["code_facets_federated"] = _code_facets_federated
+    # r7: cursor (search_after) pagination — page 2 of the flagship
+    # ranking fetched via the keyset cursor from page 1 (tail from
+    # birth; the twin is the OFFSET 10 recompute: page N+1 must equal
+    # rows N*k+1.. of the full ranking, which pins both the cursor
+    # filter and the paging total order).
+    q["code_search_cursor"] = _code_search_cursor
 
     # --- general relational operators (joins/windows/aggs) --------------------
     q["tpch_pricing_summary"] = lambda s, d: _tpch_pricing(s, d)
@@ -523,6 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_facets_federated",  # r7: tail from birth — federated ==
                             # single-index facet counts pytest; local
                             # sweep vs the DuckDB match-set GROUP BY
+        "code_search_cursor",  # r7: tail from birth — keyset paging ==
+                            # OFFSET rows of the full ranking (pytest
+                            # + the OFFSET-10 DuckDB twin)
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -620,6 +629,35 @@ def _code_facets_federated(s: SparkSession, d: str) -> DataFrame:
     return federated_facets(
         s, None, lower_query("flagship", "Call(Name('len'))"),
         facet_col="repo", readers=readers,
+    )
+
+
+def _code_search_cursor(s: SparkSession, d: str) -> DataFrame:
+    """Keyset (search_after) pagination: page 1 via WAND, then page 2
+    via score.bm25_topk_after from page 1's last (score, doc_id) —
+    must equal rows 11-20 of the full ranking (the OFFSET twin), which
+    pins the cursor filter, the tie-break, and the paging total
+    order in one hash compare."""
+    from reiz_io_spark.operators.score import (
+        IndexReader, attach_doc_metadata, bm25_topk_after,
+    )
+    from reiz_io_spark.operators.wand import wand_topk
+    from reiz_io_spark.plans.lower import lower_query
+
+    _ensure_entry_index(s, d)
+    reader = IndexReader(s, _CODE_INDEX_CACHE[d])
+    query = lower_query("flagship", "Call(Name('len'))")
+    page1 = wand_topk(reader, query, k=10).collect()
+    if not page1:
+        return attach_doc_metadata(
+            reader, bm25_topk_after(reader, query, (0.0, 0), k=10)
+        ).select("doc_id", "repo", "path", F.round("score", 6).alias("score"))
+    last = page1[-1]
+    page2 = bm25_topk_after(
+        reader, query, (float(last["score"]), int(last["doc_id"])), k=10
+    )
+    return attach_doc_metadata(reader, page2).select(
+        "doc_id", "repo", "path", F.round("score", 6).alias("score")
     )
 
 
@@ -1310,6 +1348,10 @@ FROM documents
     # facet counts of the same query's match set, grouped by repo (r7)
     o["code_facets_federated"] = oracle_tables.facet_oracle_sql(
         "flagship", "Call(Name('len'))", facet_col="repo"
+    )
+    # cursor paging: page 2 == rows 11-20 of the full ranking (r7)
+    o["code_search_cursor"] = oracle_tables.wand_oracle_sql(
+        "flagship", "Call(Name('len'))", k=10, offset=10
     )
     o["code_search_after_delete"] = oracle_tables.wand_oracle_sql(
         "flagship", "Call(Name('len'))", k=10,

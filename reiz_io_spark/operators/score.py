@@ -296,6 +296,18 @@ def naive_bm25_topk(
     field_weights (BM25F): per-namespace multipliers folded into idf —
     the independent twin of wand's weighted path (rank-identity-gated).
     """
+    scored = _naive_scored(reader, query, field_weights)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _naive_scored(
+    reader: IndexReader,
+    query: LoweredQuery,
+    field_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The exact (doc_id, score) set of every conjunction-satisfying
+    doc — naive_bm25_topk before its ranking, shared with the cursor
+    paging path."""
     spark = reader.spark
     groups = reader.resolve_groups(query)
     if any(len(g) == 0 for g in groups):
@@ -351,7 +363,40 @@ def naive_bm25_topk(
         .filter(F.size("_gids") >= n_groups)  # every OR-group satisfied
         .drop("_gids")
     )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return scored
+
+
+def bm25_topk_after(
+    reader: IndexReader,
+    query: LoweredQuery,
+    cursor: tuple[float, int],
+    k: int = 10,
+    field_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Cursor pagination — the Elasticsearch ``search_after`` analog
+    and the scale-right deep-paging primitive: OFFSET N must rank and
+    discard N+k rows on every page (the reference pages with
+    LIMIT/OFFSET, reiz/fetch.py:71-81 — correct at its result sizes,
+    wrong shape at 10^12 docs), while a keyset cursor prunes
+    already-served rows with one filter and ranks only what remains.
+
+    ``cursor`` = (score, doc_id) of the LAST row already served; the
+    next page is every doc strictly after it in the total order
+    (score DESC, doc_id ASC). Scores are deterministic bit-identical
+    across executions (ordered float fold), so the float equality in
+    the tie-break is sound. Exact naive scoring path (one shuffle);
+    page N+1 therefore equals rows N*k+1..N*k+k of the full ranking
+    (pytest-gated + oracle-checked via the OFFSET twin)."""
+    s0, d0 = float(cursor[0]), int(cursor[1])
+    scored = _naive_scored(reader, query, field_weights)
+    return (
+        scored.filter(
+            (F.col("score") < F.lit(s0))
+            | ((F.col("score") == F.lit(s0)) & (F.col("doc_id") > F.lit(d0)))
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def explain_score(

@@ -371,6 +371,7 @@ def wand_oracle_sql(
     base: str = ORACLE_TABLES_DIR, exclude_repo: str | None = None,
     field_weights: dict[str, float] | None = None,
     terms_file: str | None = None, docs_file: str | None = None,
+    offset: int = 0,
 ) -> str:
     """DuckDB twin of the index+WAND entry: conjunctive BM25 over the
     materialized terms table — DuckDB does the BM25 arithmetic itself
@@ -437,7 +438,8 @@ scored AS (
   HAVING count(DISTINCT p.term) = {len(terms)}
 )
 SELECT m.doc_id, m.repo, m.path, round(sc.score, 6) AS score
-FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}) sc
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC
+      LIMIT {k} OFFSET {int(offset)}) sc
 JOIN read_parquet('{df_file}') m USING (doc_id)
 """
 

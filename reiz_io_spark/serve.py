@@ -491,6 +491,57 @@ class QueryService:
             )
         return out
 
+    def query_after(
+        self, query: LoweredQuery, cursor: tuple[float, int], k: int = 10,
+        field_weights: dict[str, float] | None = None,
+    ) -> list[dict]:
+        """Cursor (search_after) pagination at the serving tier: the
+        page strictly after ``cursor`` = (score, doc_id) of the last
+        served row. Warm path: zero Spark jobs — the driver scorer
+        ranks the full candidate set (df-budget-bounded) and the
+        keyset filter slices it; page N+1 equals rows N*k+1.. of
+        query_topk's full ranking (pytest-gated). Over-budget: the
+        distributed exact cursor path (score.bm25_topk_after)."""
+        self._maybe_auto_refresh()
+        snap = self._snap
+        groups = snap.resolve_groups(query)
+        if not groups or any(len(g) == 0 for g in groups):
+            return []
+        all_terms = sorted({t for g in groups for t in g})
+        tmeta = snap.term_meta(all_terms)
+        for g in groups:
+            if all(t not in tmeta for t in g):
+                return []
+        s0, d0 = float(cursor[0]), int(cursor[1])
+        if sum(m["df"] for m in tmeta.values()) > self.max_driver_postings:
+            from .operators.score import bm25_topk_after
+
+            top = bm25_topk_after(
+                snap.reader, query, cursor, k=k,
+                field_weights=field_weights,
+            ).collect()
+            ranked = [(r["doc_id"], r["score"]) for r in top]
+        else:
+            snap._fetch_postings(list(tmeta))
+            full = snap._score_driver(
+                groups, tmeta, 1 << 31, field_weights=field_weights
+            )
+            ranked = [
+                (d, s) for d, s in full if s < s0 or (s == s0 and d > d0)
+            ][:k]
+        from .functions.links import github_link, username_of
+
+        out = []
+        for rank, (doc_id, score) in enumerate(ranked, start=1):
+            repo, path, commit = snap._doc_meta(doc_id)
+            out.append(
+                {"doc_id": doc_id, "repo": repo, "path": path,
+                 "score": score, "rank": rank,
+                 "github_link": github_link(repo, commit, path),
+                 "username": username_of(repo)}
+            )
+        return out
+
     def explain_topk(
         self, query: LoweredQuery, k: int = 1,
         field_weights: dict[str, float] | None = None,
