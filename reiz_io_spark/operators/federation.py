@@ -173,6 +173,39 @@ def federated_doc_metadata(
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def federated_topk_after(
+    spark: SparkSession,
+    index_dirs: list[str] | None,
+    query: LoweredQuery,
+    cursor: tuple[float, int],
+    k: int = 10,
+    field_weights: dict[str, float] | None = None,
+    readers: list[IndexReader] | None = None,
+) -> DataFrame:
+    """Cursor (search_after) pagination over the shard set: the page
+    strictly after ``cursor`` = (score, doc_id) in the global total
+    order (score DESC, doc_id ASC). Per-shard exact candidate sets
+    under the global-stats discipline (scores are bit-identical to a
+    single union index, so the keyset filter commutes with the shard
+    union), ONE lazy plan, the filter BEFORE the global
+    TakeOrderedAndProject — deep pages never rank the rows OFFSET
+    would. Identical to the single-index cursor page (pytest-gated)."""
+    if readers is None:
+        readers = [IndexReader(spark, d) for d in index_dirs]
+    s0, d0 = float(cursor[0]), int(cursor[1])
+    cands = federated_scores(
+        spark, readers, query, k=None, field_weights=field_weights
+    )
+    return (
+        cands.filter(
+            (F.col("score") < F.lit(s0))
+            | ((F.col("score") == F.lit(s0)) & (F.col("doc_id") > F.lit(d0)))
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def federated_facets(
     spark: SparkSession,
     index_dirs: list[str] | None,

@@ -514,3 +514,24 @@ def test_serving_explain_single_and_federated(spark, fed):
         for r in single_svc.explain_topk(Q, k=2)
     }
     assert serve_rows == batch
+
+
+def test_federated_cursor_paging_equals_single_index(spark, fed):
+    from reiz_io_spark.operators.federation import federated_topk_after
+    from reiz_io_spark.operators.score import bm25_topk_after
+
+    single = IndexReader(spark, fed["single"])
+    k = 8
+    page1 = _rows(federated_topk(spark, None, Q, k=k, readers=fed["readers"]))
+    cursor = (page1[-1][1], page1[-1][0])
+    got = _rows(
+        federated_topk_after(
+            spark, None, Q, cursor, k=k, readers=fed["readers"]
+        )
+    )
+    want = _rows(bm25_topk_after(single, Q, cursor, k=k))
+    assert got == want and got
+    # pages tile: page1 + page2 == the first 2k of the full ranking
+    assert page1 + got == _rows(
+        federated_topk(spark, None, Q, k=2 * k, readers=fed["readers"])
+    )
