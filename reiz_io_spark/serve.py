@@ -1101,6 +1101,62 @@ class FederatedQueryService:
                     break
         return out
 
+    def query_after(
+        self, query: LoweredQuery, cursor: tuple[float, int], k: int = 10,
+        field_weights: dict[str, float] | None = None,
+    ) -> list[dict]:
+        """Federated cursor (search_after) pagination: the page
+        strictly after ``cursor`` in the global order. Warm path: each
+        shard's driver scorer ranks its full candidate set under the
+        global stats, the merged list is keyset-filtered — zero Spark
+        jobs; over-budget: the distributed federated cursor plan."""
+        for s in self.services:
+            s._maybe_auto_refresh()
+        snaps = [s._snap for s in self.services]
+        groups, gmeta, avgdl = self._global_stats(snaps, query)
+        if not groups or any(len(g) == 0 for g in groups):
+            return []
+        for g in groups:
+            if all(t not in gmeta for t in g):
+                return []
+        s0, d0 = float(cursor[0]), int(cursor[1])
+        budget = min(s.max_driver_postings for s in self.services)
+        if sum(m["df"] for m in gmeta.values()) > budget:
+            from .operators.federation import federated_topk_after
+
+            top = federated_topk_after(
+                snaps[0].reader.spark, None, query, (s0, d0), k=k,
+                field_weights=field_weights,
+                readers=[sn.reader for sn in snaps],
+            ).collect()
+            ranked = [(r["doc_id"], r["score"]) for r in top]
+        else:
+            merged: list[tuple[int, float]] = []
+            for sn in snaps:
+                sn._fetch_postings(list(gmeta))
+                merged.extend(
+                    sn._score_driver(
+                        groups, gmeta, 1 << 31,
+                        field_weights=field_weights, avgdl=avgdl,
+                    )
+                )
+            merged.sort(key=lambda t: (-t[1], t[0]))
+            ranked = [
+                (d, s) for d, s in merged if s < s0 or (s == s0 and d > d0)
+            ][:k]
+        from .functions.links import github_link, username_of
+
+        out = []
+        for rank, (doc_id, score) in enumerate(ranked, start=1):
+            repo, path, commit = self._doc_meta_any(snaps, doc_id)
+            out.append(
+                {"doc_id": doc_id, "repo": repo, "path": path,
+                 "score": score, "rank": rank,
+                 "github_link": github_link(repo, commit, path),
+                 "username": username_of(repo)}
+            )
+        return out
+
     def _doc_meta_any(self, snaps: list[_Snapshot], doc_id: int) -> tuple:
         """Each doc_id lives in exactly one shard (disjoint corpora):
         check the warm docmeta maps first, then fall back shard by

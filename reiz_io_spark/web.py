@@ -178,6 +178,21 @@ def make_handler(
             k = int(body.get("limit", 10))
             offset = int(body.get("offset", 0))
             positions = bool(body.get("positions", False))
+            after = body.get("after")  # [score, doc_id] keyset cursor
+            if after is not None:
+                try:
+                    cursor = (float(after[0]), int(after[1]))
+                except (TypeError, ValueError, IndexError):
+                    return self._error(
+                        "'after' must be [score, doc_id] of the last row"
+                    )
+                try:
+                    results = service.query_after(q, cursor, k=k)
+                except Exception as exc:  # noqa: BLE001
+                    return self._error(repr(exc), 500)
+                return self._send(200, {"status": "success",
+                                        "results": results,
+                                        "exception": None})
             key = json.dumps(body, sort_keys=True)
             with cache_lock:
                 if key in cache:

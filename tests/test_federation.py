@@ -535,3 +535,24 @@ def test_federated_cursor_paging_equals_single_index(spark, fed):
     assert page1 + got == _rows(
         federated_topk(spark, None, Q, k=2 * k, readers=fed["readers"])
     )
+
+
+def test_serving_query_after_single_and_federated(spark, fed):
+    from reiz_io_spark.serve import FederatedQueryService, QueryService
+
+    single_svc = QueryService(IndexReader(spark, fed["single"]))
+    fed_svc = FederatedQueryService([QueryService(r) for r in fed["readers"]])
+    k = 6
+    page1 = single_svc.query_topk(Q, k=k)
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    want = [
+        (r["doc_id"], r["score"]) for r in single_svc.query_after(Q, cursor, k=k)
+    ]
+    got = [
+        (r["doc_id"], r["score"]) for r in fed_svc.query_after(Q, cursor, k=k)
+    ]
+    assert got == want and got
+    # tiles the federated full ranking
+    assert [
+        (r["doc_id"], r["score"]) for r in fed_svc.query_topk(Q, k=2 * k)
+    ][k:] == got
