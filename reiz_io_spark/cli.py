@@ -41,6 +41,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="time-travel: query a retained earlier snapshot")
     q.add_argument("--explain", action="store_true",
                    help="print lowered terms + Spark physical plan")
+    q.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
+                   help="keyset cursor: page strictly after this "
+                        "(score, doc_id) — the deep-paging primitive")
 
     qf = sub.add_parser(
         "query-federated", help="run a ReizQL pattern across SHARD "
@@ -53,6 +56,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     qf.add_argument("--pattern", required=True)
     qf.add_argument("-k", type=int, default=10)
+    qf.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
+                    help="keyset cursor (see query --after)")
 
     rs = sub.add_parser(
         "reshard", help="re-split a shard set to a different shard "
@@ -341,7 +346,17 @@ def _dispatch(args, spark) -> int:
             for g in q.groups:
                 print("  ", " OR ".join(str(t) for t in g.terms))
         t0 = time.perf_counter()
-        top = (naive_bm25_topk if args.naive else wand_topk)(reader, q, k=args.k)
+        if args.after:
+            from .operators.score import bm25_topk_after
+
+            s_str, d_str = args.after.split(",", 1)
+            top = bm25_topk_after(
+                reader, q, (float(s_str), int(d_str)), k=args.k
+            )
+        else:
+            top = (naive_bm25_topk if args.naive else wand_topk)(
+                reader, q, k=args.k
+            )
         out = attach_doc_metadata(reader, top)
         if args.explain:
             out.explain("formatted")
@@ -425,7 +440,16 @@ def _dispatch(args, spark) -> int:
         readers = [IndexReader(spark, p) for p in dirs]
         q = lower_query("cli", args.pattern)
         t0 = time.perf_counter()
-        top = federated_topk(spark, None, q, k=args.k, readers=readers)
+        if args.after:
+            from .operators.federation import federated_topk_after
+
+            s_str, d_str = args.after.split(",", 1)
+            top = federated_topk_after(
+                spark, None, q, (float(s_str), int(d_str)),
+                k=args.k, readers=readers,
+            )
+        else:
+            top = federated_topk(spark, None, q, k=args.k, readers=readers)
         rows = federated_doc_metadata(readers, top).collect()
         wall = time.perf_counter() - t0
         for i, r in enumerate(rows):
