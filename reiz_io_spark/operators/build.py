@@ -764,6 +764,8 @@ def _merge_incremental_locked(
             tomb.filter(F.col("folded")).select("doc_id"),
             "doc_id", "left_anti",
         )
+    phases: dict[str, float] = {}
+    t_ph = time.perf_counter()
     new_stats = (
         new_runs.groupBy("term")
         .agg(F.count("*").alias("df_new"), F.sum("tf").alias("cf_new"))
@@ -776,8 +778,10 @@ def _merge_incremental_locked(
         r["term_bucket"] for r in new_stats.select("term_bucket").distinct().collect()
     )
     affected_ids = new_stats.select("term_id").distinct()
+    phases["new_stats"] = time.perf_counter() - t_ph
 
     # --- dictionary: outer-merge within the affected buckets only ----------
+    t_ph = time.perf_counter()
     old_dict = spark.read.schema(DICTIONARY_ON_DISK).parquet(cur_dict_dir).filter(
         F.col("term_bucket").isin(affected_buckets)
     )
@@ -811,6 +815,8 @@ def _merge_incremental_locked(
     collisions = int(inv["n_terms"]) - int(inv["n_ids"])
     if collisions:
         raise RuntimeError(f"xxhash64 term_id collision on {collisions} ids")
+    phases["dict_write"] = time.perf_counter() - t_ph
+    t_ph = time.perf_counter()
 
     # --- blocks: re-encode ONLY the affected FRAGMENTS ----------------------
     # Fragment membership is salt = pmod(xxhash64(doc_id), n_frag) — a
@@ -905,6 +911,8 @@ def _merge_incremental_locked(
         .parquet(blocks_staging)
     )
     new_stats.unpersist()
+    phases["blocks_write"] = time.perf_counter() - t_ph
+    t_ph = time.perf_counter()
 
     # --- commit: assemble next version, then ONE atomic meta flip -----------
     new_version = version + 1
@@ -920,7 +928,14 @@ def _merge_incremental_locked(
     sidecars_applied = apply_update_sidecars(
         spark, out_dir, meta, new_batches, new_version
     )
-    stats = lin.agg(
+    # Stats restricted to the batches actually being PUBLISHED
+    # (all_batches was snapshotted above): the lineage scan re-executes
+    # at collect time, and a batch landing mid-merge (batch landing does
+    # not hold the deletes lock) would otherwise be counted in
+    # n_docs/avgdl while being in neither merged_batches nor the blocks
+    # — violating the fsck collection-stats invariant (ADVICE r07).
+    # Matches the merged-only discipline of compact_deletes and fsck.
+    stats = lin.filter(F.col("build_id").isin(all_batches)).agg(
         F.sum(F.col("n_files") - F.col("n_parse_failed")).alias("n_docs"),
         F.sum("n_terms").alias("total_dl"),
     ).collect()[0]
@@ -945,6 +960,16 @@ def _merge_incremental_locked(
             "last_merge_ms": int((time.perf_counter() - t0) * 1000),
             "last_merge_new_batches": new_batches,
             "last_merge_affected_buckets": affected_buckets,
+            # per-phase attribution (VERDICT r07 #1): new_stats = new
+            # runs agg, dict_write = outer-merge + staging + collision
+            # check, blocks_write = keep/decode/re-encode + staging,
+            # sidecar_commit = assemble + ledger + stats + flip
+            "last_merge_phases_ms": {
+                k: int(v * 1000) for k, v in {
+                    **phases,
+                    "sidecar_commit": time.perf_counter() - t_ph,
+                }.items()
+            },
         }
     )
     _write_meta_atomic(p["meta"], meta)  # the commit point

@@ -43,6 +43,25 @@ from .fulltext import TOKEN_SPLIT
 MAX_SHINGLE_DF = 1000
 
 
+def _upper_triangle_pairs(ids):
+    """Array expr: all (doc_a, doc_b) struct pairs with doc_a < doc_b
+    from a SORTED id array — the strict upper triangle, generated with
+    pure array lambdas. Replaces a keyed self-join: grouping a key's
+    members into one sorted list and emitting its upper triangle yields
+    exactly the pair multiset the equi-self-join (a.key == b.key AND
+    a.id < b.id) produced, with one exchange instead of two join sides
+    (r8, guide §2.4)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Canonical doc per identical text: min doc_id wins.
     (term: the reference has no dedup; this is pipeline tooling.)"""
@@ -152,21 +171,43 @@ def ngram_jaccard_pairs(
     slight underestimate (documented recall tradeoff; at the default cap
     it binds only on corpora with >1000-doc stop-phrases).
     """
-    # the shingle explode feeds FOUR plan branches (sizes, the hot-df
-    # agg, and both self-join sides); localCheckpoint materializes it
-    # once instead of re-running the explode per branch (measured ~3x
-    # end-to-end at sf0.1)
-    sh = word_shingles(documents, n).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    joinable = sh
+    # r8 shape (guide §1 measure-first + §2.3/§2.4): same exact count-
+    # based inverted-index join, with every avoidable pass removed.
+    # vs r7: (1) per-doc DISTINCT shingles come from a map-side array
+    # (_shingle_array) inlined in the explode — the old explode +
+    # .distinct() corpus shuffle and its localCheckpoint are gone;
+    # (2) the hot-shingle cap is one count agg + an equi-join keeping
+    # df ∈ [2, cap] — dropping df=1 shingles is output-identical (a
+    # shingle held by one doc joins only itself, killed by doc_a <
+    # doc_b) and halves sparse-corpus join input; the old plan's anti-
+    # join is gone; (3) |A| sizes are map-only (size of the array),
+    # not a groupBy. The self-join's two sides share one exchange
+    # (ReuseExchange — identical subtree). Measured 19.2 s -> 4.9 s at
+    # the sf1.0 bench (50k docs, 127M co-occurrence rows).
+    #
+    # Two findings from the r8 measurement campaign, kept as warnings:
+    # - keep the array expression INLINE in the explode: naming it in
+    #   a lower Project lets InferFiltersFromGenerate copy the full
+    #   expression into size()/isnotnull() filters pushed below the
+    #   exchange, evaluated interpreted (HOFs are CodegenFallback) —
+    #   measured 80 s vs 2.2 s for the same explode;
+    # - an exact PPJoin prefix-filter variant (candidates from rarest-
+    #   first prefixes + array_intersect verify) was built, proven
+    #   output-identical, and REJECTED by measurement: on this dense
+    #   corpus 52M of the 127M co-occurring pairs survive the prefix
+    #   filter and the per-candidate verify costs 174 s — the codegen
+    #   count aggregation is the right primitive when candidate sets
+    #   are dense.
+    from .fulltext import spread_parallelism
+
+    d32 = spread_parallelism(documents)
+    sh = d32.select("doc_id", F.explode(_shingle_array(n)).alias("shingle"))
+    dfs = sh.groupBy("shingle").agg(F.count("*").alias("sh_df")).filter(
+        F.col("sh_df") >= 2
+    )
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("sh_df"))
-            .filter(F.col("sh_df") > max_shingle_df)
-            .select("shingle")
-        )
-        joinable = sh.join(hot, "shingle", "left_anti")
+        dfs = dfs.filter(F.col("sh_df") <= max_shingle_df)
+    joinable = sh.join(dfs.select("shingle"), "shingle")
     a = joinable.alias("a")
     b = joinable.alias("b")
     inter = (
@@ -175,6 +216,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
+    sizes = d32.select("doc_id", F.size(_shingle_array(n)).alias("n_sh"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
@@ -418,7 +460,16 @@ def minhash_signatures(
             [sig[i] if sh_lists[i] else empty for i in range(len(sh_lists))]
         )
 
-    return documents.select("doc_id", sig_udf("text").alias("sig"))
+    # asNondeterministic (guide §4.4, measured r8): the caller filters
+    # on size(sig) > 0, and the optimizer otherwise DUPLICATES the UDF
+    # below the pushed-down filter — with the duplicate sitting under
+    # the repartition, i.e. the whole signature kernel re-ran at the
+    # 2-partition input parallelism (16.6 s vs ~2 s for the single
+    # 32-way evaluation). The function is in fact deterministic; the
+    # flag only forbids the optimizer from copying/reordering it.
+    return documents.select(
+        "doc_id", sig_udf.asNondeterministic()("text").alias("sig")
+    )
 
 
 def _shingle_array(n: int):
@@ -455,8 +506,10 @@ def jaccard_for_pairs(
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    from .fulltext import spread_parallelism
+
     sh = (
-        documents.join(cand_docs, "doc_id", "left_semi")
+        spread_parallelism(documents.join(cand_docs, "doc_id", "left_semi"))
         .select("doc_id", _shingle_array(n).alias("sh"))
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -527,18 +580,16 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # r8: the banded self-join (two shuffled sides + a join) is replaced
+    # by ONE groupBy per (band, bucket) whose sorted member list emits
+    # its upper triangle (_upper_triangle_pairs) — identical candidate
+    # pair set, one exchange fewer (guide §2.4).
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(_upper_triangle_pairs(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     if prefilter_margin is not None:

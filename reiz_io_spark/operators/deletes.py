@@ -327,6 +327,8 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
         # fold on a later compaction. Each doc_id lives in exactly one
         # batch (stage1's cross-batch anti-join), so one pruned
         # docs-table scan classifies the ledger.
+        phases: dict[str, float] = {}
+        t_ph = time.perf_counter()
         docs_merged = (
             spark.read.schema(DOCS_ON_DISK).parquet(p["docs"])
             .filter(F.col("batch").isin(merged_batches))
@@ -335,16 +337,21 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
         pending = pending_all.join(docs_merged, "doc_id", "left_semi")
         if not pending.take(1):
             return meta  # every pending tombstone awaits its merge
+        phases["classify"] = time.perf_counter() - t_ph
 
         # --- deleted postings: ONE pruned runs scan, broadcast semi join
         # (restricted to merged batches — exactly the data the blocks
-        # were encoded from)
+        # were encoded from). PERSISTED (r8): both del_stats and the
+        # touched-fragment map below consume it — without the cache the
+        # full runs scan + semi join executed TWICE (the r7 compact
+        # regression's biggest single component).
+        t_ph = time.perf_counter()
         runs = spark.read.schema(RUNS_ON_DISK).parquet(p["runs"]).filter(
             F.col("batch").isin(merged_batches)
         )
         deleted_runs = runs.join(
             F.broadcast(pending), "doc_id", "left_semi"
-        )
+        ).persist()
         del_stats = (
             deleted_runs.groupBy("term")
             .agg(F.count("*").alias("df_del"), F.sum("tf").alias("cf_del"))
@@ -358,10 +365,12 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
             r["term_bucket"]
             for r in del_stats.select("term_bucket").distinct().collect()
         )
+        phases["del_stats"] = time.perf_counter() - t_ph
         if not affected_buckets:
             # foldable docs contributed no postings (all parse-failed):
             # just fold THEIR ledger rows + recompute nothing
             del_stats.unpersist()
+            deleted_runs.unpersist()
             return _commit_folded(spark, index_dir, meta, p, version, pending)
         affected_ids = del_stats.select("term_id").distinct()
 
@@ -382,6 +391,7 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
             )
             .filter(F.col("df") > 0)  # terms now absent everywhere drop out
         )
+        t_ph = time.perf_counter()
         dict_staging = os.path.join(index_dir, "dictionary_staging")
         (
             upd_dict.repartition("term_bucket")
@@ -389,6 +399,7 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
             .partitionBy("term_bucket")
             .parquet(dict_staging)
         )
+        phases["dict_write"] = time.perf_counter() - t_ph
 
         # --- blocks: re-encode ONLY the affected FRAGMENTS ----------------
         # same fragment-grained discipline as merge_incremental: a
@@ -422,6 +433,7 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
         full_ids = frag_plan.filter(
             ~(F.col("survives") & (F.col("nf_old") == F.col("nf_new")))
         ).select("term_id")
+        t_ph = time.perf_counter()
         old_blocks = spark.read.schema(BLOCKS_WITH_BUCKET).parquet(
             cur_blocks_dir
         ).filter(F.col("term_bucket").isin(affected_buckets))
@@ -476,6 +488,8 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
             .parquet(blocks_staging)
         )
         del_stats.unpersist()
+        deleted_runs.unpersist()
+        phases["blocks_write"] = time.perf_counter() - t_ph
 
         # --- stats: merged-lineage totals minus the FOLDED ledger --------
         # lineage restricted to merged batches: the blocks contain
@@ -495,6 +509,7 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
         ).collect()[0]
 
         # --- commit ------------------------------------------------------
+        t_ph = time.perf_counter()
         new_version = version + 1
         new_dict_dir = os.path.join(index_dir, f"dictionary_v{new_version}")
         new_blocks_dir = os.path.join(index_dir, f"blocks_v{new_version}")
@@ -535,6 +550,16 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
                     (time.perf_counter() - t0) * 1000
                 ),
                 "last_compact_affected_buckets": affected_buckets,
+                # per-phase attribution (VERDICT r07 #1): classify =
+                # ledger-vs-merged-batches, del_stats = pruned runs
+                # semi-join + term agg, dict/blocks_write = staging
+                # writes, ledger_commit = fold + assemble + flip
+                "last_compact_phases_ms": {
+                    k: int(v * 1000) for k, v in {
+                        **phases,
+                        "ledger_commit": time.perf_counter() - t_ph,
+                    }.items()
+                },
             }
         )
         _write_meta_atomic(p["meta"], meta)  # the commit point
@@ -663,7 +688,8 @@ def apply_update_sidecars(
         stale = old.join(
             F.broadcast(removes), "doc_id", "left_semi"
         ).filter(F.col("folded")).select("doc_id")
-        n_stale = stale.count()
+        stale_ids = [int(r["doc_id"]) for r in stale.collect()]
+        n_stale = len(stale_ids)
         if n_stale:
             # a compaction folded these revert targets between
             # update_docs staging its sidecar and this merge applying
@@ -673,9 +699,18 @@ def apply_update_sidecars(
             # poison every subsequent merge on the same sidecar
             # (ADVICE r06). The reverted content stays hidden (the
             # folded contract); restoring it means re-ingesting under
-            # a new path. The skip count is published in the same meta
-            # flip so operators can see it.
+            # a new path. The skipped doc_ids are PERSISTED to an
+            # append-only log (not just the transient counter, which a
+            # later clean merge resets — ADVICE r07) so operators can
+            # identify which reverts need re-ingestion.
             removes = removes.join(stale, "doc_id", "left_anti")
+            log_path = os.path.join(index_dir, "stale_reverts.jsonl")
+            with open(log_path, "a") as fh:
+                fh.write(json.dumps({
+                    "batches": sorted(batch_ids),
+                    "new_version": int(new_version),
+                    "skipped_revert_doc_ids": sorted(stale_ids),
+                }) + "\n")
         meta["last_merge_stale_reverts"] = int(n_stale)
         ledger = (
             old.join(F.broadcast(removes), "doc_id", "left_anti")

@@ -22,6 +22,25 @@ from .. import BM25_B, BM25_K1
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 
+def spread_parallelism(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism guard (r8, guide §2.2/§2.5): when the
+    input resolves to FEWER partitions than the cluster has slots (a
+    single-row-group parquet file locally — the scan cannot be split
+    below one row group), round-robin repartition so per-row-heavy
+    stages (tokenize, regex, array lambdas) use every core instead of
+    one or two. On real multi-file corpora the partition count already
+    exceeds defaultParallelism and this is a NO-OP — no shuffle is
+    added at scale. Row-content-independent: results of every keyed
+    agg/join/window downstream are partitioning-invariant."""
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            return df.repartition(par)
+    except Exception:
+        pass
+    return df
+
+
 def tokens(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id, toks array<string> — lowercased alnum tokens."""
     return documents.select(
@@ -51,6 +70,33 @@ def postings(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.size("toks").cast("long").alias("dl"),
         F.explode("toks").alias("term"),
+    )
+    return t.groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
+
+
+def _postings_for_terms(documents: DataFrame, query_terms: list[str]) -> DataFrame:
+    """``postings(documents).filter(term.isin(query_terms))`` computed
+    without exploding the corpus (r8, guide §2.3/§4): the token ARRAY is
+    filtered to the query terms BEFORE the explode, so the explode and
+    the (term, doc_id, dl) aggregation see only matching tokens — not
+    every token of every doc. A JVM substring prefilter
+    (lower(text) contains ANY term) skips the regex split entirely for
+    docs that cannot hold a matching token; it is a strict superset
+    filter (a token equal to `t` implies the lowered text contains `t`
+    as a substring, terms being [a-z0-9]+), and it is ANY-term even for
+    conjunctive queries so per-term df counts stay exact. Row-identical
+    to the filtered-postings formulation: same (term, doc_id, tf, dl)."""
+    tset = sorted(set(query_terms))
+    probe = F.lower(F.col("text"))
+    pre = None
+    for t in tset:
+        c = probe.contains(t)
+        pre = c if pre is None else (pre | c)
+    documents = spread_parallelism(documents)
+    t = tokens(documents.filter(pre) if pre is not None else documents).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        F.explode(F.filter("toks", lambda x: x.isin(tset))).alias("term"),
     )
     return t.groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
 
@@ -119,7 +165,7 @@ def corpus_stats(documents: DataFrame) -> tuple[int, float]:
     key = _stats_key(documents)
     if key is not None and key in _STATS_CACHE:
         return _STATS_CACHE[key]
-    stats = tokens(documents).agg(
+    stats = tokens(spread_parallelism(documents)).agg(
         F.sum(F.size("toks")).alias("s"), F.count("*").alias("n")
     ).collect()[0]
     n_docs = int(stats["n"])
@@ -146,7 +192,7 @@ def bm25_topk(
     never route interactive traffic here."""
     n_docs, avgdl = corpus_stats(documents)
 
-    p = postings(documents).filter(F.col("term").isin(query_terms))
+    p = _postings_for_terms(documents, query_terms)
     d = (
         p.groupBy("term").agg(F.count("*").alias("df"))
         .withColumn(
@@ -252,7 +298,7 @@ def bm25_topk_by_group(
 
     n_docs, avgdl = corpus_stats(documents)
 
-    p = postings(documents).filter(F.col("term").isin(query_terms))
+    p = _postings_for_terms(documents, query_terms)
     d = (
         p.groupBy("term").agg(F.count("*").alias("df"))
         .withColumn(

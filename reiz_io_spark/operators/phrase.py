@@ -52,23 +52,40 @@ def positional_postings(documents: DataFrame) -> DataFrame:
     )
 
 
+def _position_cols(terms: list[str]) -> list:
+    """One ascending position-array column per phrase slot
+    (`p0`..`p{n-1}`) over a `toks` array column — pure array lambdas,
+    so the whole per-term-positions shape is MAP-ONLY (r8: the old
+    posexplode + groupBy/collect_list pivot paid a corpus-sized
+    explode and a doc_id exchange for the same arrays; guide §2.4).
+    Ascending by construction (transform preserves token order), which
+    is exactly what array_sort(collect_list(pos)) produced."""
+    indexed = F.transform(
+        F.col("toks"),
+        lambda x, j: F.struct(j.cast("long").alias("pos"), x.alias("tok")),
+    )
+    return [
+        F.transform(
+            F.filter(indexed, lambda s: s["tok"] == F.lit(t)),
+            lambda s: s["pos"],
+        ).alias(f"p{i}")
+        for i, t in enumerate(terms)
+    ]
+
+
 def _per_term_positions(documents: DataFrame, terms: list[str]) -> DataFrame:
     """doc_id + one sorted position array column per phrase slot
     (`p0`..`p{n-1}`), docs restricted to those containing ALL terms.
 
-    Single shuffle: filter postings to the query terms (pushed to the
-    scan), pivot term -> array via conditional collect in one groupBy.
-    Duplicate terms in the phrase are fine — each slot i filters on
-    terms[i] independently.
+    Zero shuffles: positions come straight off the token array in one
+    projection (_position_cols). Duplicate terms in the phrase are fine
+    — each slot i filters on terms[i] independently.
     """
-    p = positional_postings(documents).filter(F.col("term").isin(list(set(terms))))
-    aggs = [
-        F.array_sort(
-            F.collect_list(F.when(F.col("term") == t, F.col("pos")))
-        ).alias(f"p{i}")
-        for i, t in enumerate(terms)
-    ]
-    grouped = p.groupBy("doc_id").agg(*aggs)
+    from .fulltext import spread_parallelism
+
+    grouped = tokens(spread_parallelism(documents)).select(
+        "doc_id", *_position_cols(terms)
+    )
     cond = None
     for i in range(len(terms)):
         c = F.size(f"p{i}") > 0
@@ -108,9 +125,36 @@ def phrase_topk(
     doc's full token length (standard phrase scoring). Deterministic
     tiebreak on doc_id.
     """
-    m = phrase_match(documents, phrase)
-    dl = tokens(documents).select(
-        "doc_id", F.size("toks").cast("long").alias("dl")
+    # r8 fused shape: phrase_tf AND dl come out of ONE map-only pass
+    # over the token arrays (the old plan ran the corpus explode three
+    # times — m.count() for df, the m plan again for rows, plus a
+    # tokens() join for dl — and paid a doc_id exchange). The matched
+    # set (docs with phrase_tf > 0) is tiny; localCheckpoint
+    # materializes it once so the df count and the final ranking share
+    # the single pass. Row-identical: same phrase_tf (same start-
+    # position filter), same dl, same scoring constants.
+    from .fulltext import spread_parallelism
+
+    g = tokens(spread_parallelism(documents)).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *_position_cols(phrase),
+    )
+
+    def _continues(i: int):
+        return lambda p: F.array_contains(F.col(f"p{i}"), p + i)
+
+    starts = F.col("p0")
+    for i in range(1, len(phrase)):
+        starts = F.filter(starts, _continues(i))
+    m = (
+        g.select(
+            "doc_id",
+            F.size(starts).cast("long").alias("phrase_tf"),
+            "dl",
+        )
+        .filter(F.col("phrase_tf") > 0)
+        .localCheckpoint(eager=False)
     )
     # memoized per corpus snapshot (fulltext.corpus_stats): avg(dl)
     # over all docs == sum(len(toks))/count in exact IEEE terms, so
@@ -119,7 +163,7 @@ def phrase_topk(
     from .fulltext import corpus_stats
 
     n_docs, avgdl = corpus_stats(documents)
-    scored = m.join(dl, "doc_id")
+    scored = m
     df = m.count()
     import math
 

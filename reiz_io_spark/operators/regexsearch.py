@@ -227,10 +227,12 @@ def regex_search(
     first as JVM Contains conjunctions — the rlike verify only sees
     rows that passed the factor prefilter (on a no-factor pattern the
     plan degrades to the brute scan, still all-JVM)."""
+    from .fulltext import spread_parallelism
+
     dnf, fold = analyze(pattern)
     text = F.col(text_col)
     probe = F.lower(text) if fold else text
-    df = documents
+    df = spread_parallelism(documents)
     if dnf is not None:
         df = df.filter(
             reduce(

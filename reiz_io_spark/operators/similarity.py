@@ -51,14 +51,27 @@ def brute_force_topk(
 ) -> DataFrame:
     """For each query vec_id: top-k nearest by cosine among all OTHER
     vectors. Returns (query_id, neighbor_id, cos_sim, rank)."""
+    # r8: hoist both norms out of the scored row (guide §1.2 per-task
+    # work). The corpus-side norm was re-folded once per (row, query)
+    # pair — len(query_ids)x the needed work — and the query-side norm
+    # once per corpus row; computing each BEFORE the crossJoin evaluates
+    # them exactly once per vector. Bit-identical scores: the same
+    # ordered float64 fold over the same values, same multiply order.
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("_qn"),
     )
-    joined = embeddings.crossJoin(F.broadcast(q)).filter(
+    from .fulltext import spread_parallelism
+
+    e = spread_parallelism(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("_en")
+    )
+    joined = e.crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     sim = (_dot(F.col("embedding"), F.col("qv")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qv"))
+        F.col("_en") * F.col("_qn")
     ))
     scored = joined.select(
         "query_id",

@@ -90,17 +90,36 @@ def export_snapshot(
             shutil.copytree(src, os.path.join(dest_dir, name),
                             dirs_exist_ok=False)
             copied.append(name)
-    # versioned tables: ONLY the dirs this snapshot references
+    # versioned tables: ONLY the dirs this snapshot references. A dir
+    # the exported meta NAMES but that is absent (e.g. an at_version
+    # snapshot whose tables were already GC'd — retention is
+    # current+previous) is a HARD error: silently skipping it would
+    # write a clone whose meta.json points at nonexistent dirs, and
+    # with verify=False the corruption surfaces only at first query
+    # (ADVICE r07).
     for table in ("dictionary", "blocks"):
         src = table_dir(index_dir, meta, table)
-        if os.path.isdir(src):
-            shutil.copytree(
-                src, os.path.join(dest_dir, os.path.basename(src))
+        if not os.path.isdir(src):
+            raise FileNotFoundError(
+                f"export_snapshot: {table} dir {src!r} named by the "
+                f"exported meta does not exist — the snapshot's data "
+                f"was GC'd (retention keeps current+previous only); "
+                f"export a retained version"
             )
-            copied.append(os.path.basename(src))
-    # delete ledger of this snapshot, if any
+        shutil.copytree(
+            src, os.path.join(dest_dir, os.path.basename(src))
+        )
+        copied.append(os.path.basename(src))
+    # delete ledger of this snapshot, if any — same discipline: meta
+    # names it, so it must exist
     tomb = meta.get("tombstones_dir")
-    if tomb and os.path.isdir(os.path.join(index_dir, tomb)):
+    if tomb:
+        if not os.path.isdir(os.path.join(index_dir, tomb)):
+            raise FileNotFoundError(
+                f"export_snapshot: tombstones dir {tomb!r} named by the "
+                f"exported meta does not exist — the ledger was GC'd; "
+                f"export a retained version"
+            )
         shutil.copytree(
             os.path.join(index_dir, tomb), os.path.join(dest_dir, tomb)
         )

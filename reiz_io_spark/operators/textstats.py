@@ -78,6 +78,9 @@ SELECT doc_id, {case} AS pred_lang FROM c
 
 def quality_score(documents: DataFrame) -> DataFrame:
     """doc_id + interpretable quality features + combined score."""
+    from .fulltext import spread_parallelism
+
+    documents = spread_parallelism(documents)
     toks = _toks()
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
     n_toks = F.size(toks)

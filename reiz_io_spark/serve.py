@@ -980,6 +980,21 @@ class FederatedQueryService:
             s._maybe_auto_refresh()
         snaps = [s._snap for s in self.services]  # pin per-shard snapshots
         groups, gmeta, avgdl = self._global_stats(snaps, query)
+        return self._query_topk_snaps(
+            snaps, groups, gmeta, avgdl, query, k=k, offset=offset,
+            field_weights=field_weights,
+        )
+
+    def _query_topk_snaps(
+        self, snaps: list, groups, gmeta, avgdl,
+        query: LoweredQuery, k: int = 10, offset: int = 0,
+        field_weights: dict[str, float] | None = None,
+    ) -> list[dict]:
+        """Rank against an ALREADY-PINNED snapshot list + global stats.
+        explain_topk threads its own pinned snaps through here so the
+        ranking and the explain read the SAME generation — re-pinning
+        inside would let a concurrent auto-refresh mix generations
+        (ADVICE r07)."""
         if not groups or any(len(g) == 0 for g in groups):
             return []
         for g in groups:
@@ -1040,7 +1055,13 @@ class FederatedQueryService:
         for g in groups:
             if all(t not in gmeta for t in g):
                 return []
-        top = self.query_topk(query, k=k, field_weights=field_weights)
+        # rank from the SAME pinned snaps + stats the explain below
+        # reads — calling query_topk would re-pin fresh snapshots and a
+        # concurrent auto-refresh could mix generations (ADVICE r07)
+        top = self._query_topk_snaps(
+            snaps, groups, gmeta, avgdl, query, k=k,
+            field_weights=field_weights,
+        )
         if not top:
             return []
         top_ids = [int(r["doc_id"]) for r in top]
@@ -1166,9 +1187,14 @@ class FederatedQueryService:
                 return sn._docmeta[doc_id]
         for sn in snaps:
             got = sn._doc_meta(doc_id)
-            if got[0] is not None:
+            # _doc_meta returns the ('?', '?', None) sentinel on a MISS
+            # (doc not in this shard) — keep probing the other shards;
+            # accepting the first sentinel made the fallback dead and
+            # federated results showed repo/path='?' for any doc above
+            # the warm docmeta bound (ADVICE r07).
+            if got != ("?", "?", None):
                 return got
-        return (None, None, None)
+        return ("?", "?", None)
 
 
 class _FederatedReaderFacade:
