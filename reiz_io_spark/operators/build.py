@@ -58,6 +58,31 @@ from ..schema import (
 
 FRAGMENT_POSTINGS = 262_144  # target postings per salted fragment
 N_TERM_BUCKETS = 32
+# Arrow batch rows for the NARROW block-encode exchange (5 fixed-width
+# columns): bigger batches amortize per-batch pandas/Arrow overhead in
+# the encoder (~10% of the blocks stage at the 200k bench). The global
+# default (10k, session.py) stays small because wide-text UDFs (the
+# tokenizer) need bounded batch memory; this one is flipped around the
+# encode actions only (_arrow_batch).
+ENCODE_ARROW_BATCH = 65_536
+
+
+def _arrow_batch(spark: SparkSession, n: int):
+    """Context manager: temporarily set the Arrow max batch rows around
+    one action, restoring the session default afterwards."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _cm()
 
 
 def _paths(out_dir: str) -> dict[str, str]:
@@ -141,7 +166,22 @@ def prepare_docs(corpus: DataFrame, n_shards: int) -> DataFrame:
         df = df.withColumn("doc_id", F.xxhash64("repo", "path"))
     df = df.withColumn("shard", F.pmod(F.xxhash64("repo"), F.lit(n_shards)).cast("int"))
     df = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    return df.repartition(n_shards, "shard")
+    # r8 (guide §2.5/§6): repartition by (shard, subshard) instead of
+    # bare shard. Hashing n_shards DISTINCT key values into n_shards
+    # partitions leaves ~1/e of tasks empty and loads others with 2-3
+    # whole shards — every downstream stage (content write, tokenizer,
+    # docs/runs writes) inherited that straggler profile, and each
+    # (batch, shard) dir got ONE parquet file, so the tokenize scan
+    # could not split finer than a shard. The deterministic subshard
+    # (pure function of doc_id) multiplies the key space ~3x the core
+    # count: balanced tasks, ~k files per shard dir (bounded by the
+    # task count, nowhere near the n_input x n_shards file blowup this
+    # function guards against).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    k = max(1, -(-3 * par // n_shards))
+    return df.repartition(
+        n_shards * k, "shard", F.pmod(F.xxhash64("doc_id"), F.lit(k))
+    )
 
 
 def _other_batch_dirs(docs_path: str, build_id: str) -> list[str]:
@@ -232,6 +272,7 @@ def stage1_ingest(
     content_tbl.write.mode("overwrite").partitionBy("batch", "shard").parquet(
         p["content"]
     )
+    t_content = time.perf_counter()
     staged_raw = spark.read.schema(CONTENT_ON_DISK).parquet(p["content"]).filter(
         F.col("batch") == build_id
     )
@@ -274,7 +315,13 @@ def stage1_ingest(
         )
         .select(F.lit(build_id).alias("batch"), "shard", "term", "doc_id", "tf", "dl")
     )
-    runs.sortWithinPartitions("term", "doc_id").write.mode("overwrite").partitionBy(
+    # r8: NO sortWithinPartitions before the runs write — measured at
+    # the 200k bench it cost 1.7 s and bought nothing (identical
+    # 110 MB on disk; parquet dictionary pages compress the term
+    # column the same either way, and every runs reader aggregates or
+    # re-sorts). The encode stage's (term_id, salt, doc_id) sort is
+    # where ordering actually matters and it still happens there.
+    runs.write.mode("overwrite").partitionBy(
         "batch", "shard"
     ).parquet(p["runs"])
     t_runs = time.perf_counter()
@@ -309,6 +356,7 @@ def stage1_ingest(
     lineage_rows.write.mode("append").parquet(p["lineage"])
     return {
         "stage1_ms": stage1_ms,
+        "t_content_write_s": round(t_content - t0, 2),
         "t_docs_write_s": round(t_docs - t0, 2),
         "t_runs_write_s": round(t_runs - t_docs, 2),
         "t_lineage_s": round(time.perf_counter() - t_runs, 2),
@@ -393,7 +441,7 @@ def merge_and_encode(
         .withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
         )
-        .repartition("term_bucket")  # whole buckets per task -> no file blowup
+        .repartition(8 * N_TERM_BUCKETS, "term_bucket")  # whole buckets per task -> no file blowup
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(dict_dir)
@@ -431,9 +479,10 @@ def merge_and_encode(
     # n_buckets small files (measured: 1024 at 32x32, a multi-second
     # driver-side commit) to n_buckets files — and a bucket read then
     # touches ONE file instead of 32.
-    blocks.repartition("term_bucket").write.mode("overwrite").partitionBy(
-        "term_bucket"
-    ).parquet(blocks_dir)
+    with _arrow_batch(spark, ENCODE_ARROW_BATCH):
+        blocks.repartition(8 * N_TERM_BUCKETS, "term_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("term_bucket").parquet(blocks_dir)
     t_blocks = time.perf_counter()
 
     # the delete ledger survives a full re-encode: runs still carry the
@@ -524,7 +573,15 @@ def _encode_postings(
     of doc_id, so fragment membership is stable across full and
     incremental builds). Each task writes at most N_TERM_BUCKETS files —
     bounded, compactable small-file cost instead of a second data pass."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # r8: floor the encode fan-out at 3x cores (scale-adaptive — on a
+    # real cluster shuffle.partitions is set per job and exceeds this).
+    # With n_part == cores the heaviest stage of the build (Arrow
+    # transfer + Python block encode) had zero straggler slack; 3x
+    # packing lets fast tasks absorb slow fragments (guide §2.5).
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        3 * spark.sparkContext.defaultParallelism,
+    )
     salted = (
         postings.join(F.broadcast(hot), "term_id", "left")
         .na.fill({"n_frag": 1})
@@ -800,7 +857,7 @@ def _merge_incremental_locked(
     )
     dict_staging = os.path.join(out_dir, "dictionary_staging")
     (
-        upd_dict.repartition("term_bucket")
+        upd_dict.repartition(8 * N_TERM_BUCKETS, "term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(dict_staging)
@@ -892,7 +949,14 @@ def _merge_incremental_locked(
         )
     )
     old_postings = _decode_blocks_to_postings(decode_blocks)
-    postings = old_postings.unionByName(new_postings).distinct()
+    # replay idempotence WITHOUT a distinct(): duplicate postings from
+    # a replayed half-committed merge are removed inside the block
+    # encoder (sorted-adjacent mask in _make_block_encoder — rows are
+    # sorted by (term_id, salt, doc_id) there, so duplicates are
+    # adjacent). The old .distinct() was a full exchange of every
+    # decoded posting on a key different from the encode shuffle's —
+    # two corpus-sized shuffles where one suffices (guide §2.4).
+    postings = old_postings.unionByName(new_postings)
     hot = _hot_map(
         staged_dict.filter(
             F.col("term_bucket").isin(affected_buckets)
@@ -902,14 +966,31 @@ def _merge_incremental_locked(
     new_blocks = _encode_postings(spark, postings, hot, block_size)
     blocks_staging = os.path.join(out_dir, "blocks_staging")
     cols = [f.name for f in BLOCKS_WITH_BUCKET.fields]
-    (
-        keep_blocks.select(*cols)
-        .unionByName(new_blocks.select(*cols))
-        .repartition("term_bucket")  # one file per affected bucket
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(blocks_staging)
-    )
+    # r8: the KEPT rows (everything in an affected bucket that this
+    # merge does not re-encode — the bulk of the table when a small
+    # batch touches hot terms in every bucket) are map-only up to here
+    # (their anti-joins broadcast), and their scan splits are already
+    # bucket-aligned; writing them WITHOUT the repartition removes the
+    # shuffle that moved the whole blocks table for a 1%-batch merge.
+    # The re-encoded rows land in the same staging dir with a second,
+    # appended write (they do need the bucket shuffle — encode tasks
+    # hold every bucket). blocks_write attribution: this pair was 24 s
+    # of the 30 s update-commit merge at the 200k bench (VERDICT r07
+    # #1); the kept-row shuffle was most of it.
+    with _arrow_batch(spark, ENCODE_ARROW_BATCH):
+        (
+            keep_blocks.select(*cols)
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(blocks_staging)
+        )
+        (
+            new_blocks.select(*cols)
+            .repartition(8 * N_TERM_BUCKETS, "term_bucket")
+            .write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(blocks_staging)
+        )
     new_stats.unpersist()
     phases["blocks_write"] = time.perf_counter() - t_ph
     t_ph = time.perf_counter()
@@ -1036,14 +1117,37 @@ def _make_block_encoder(block_size: int):
         def run(pdf: pd.DataFrame) -> pd.DataFrame | None:
             tids = pdf["term_id"].to_numpy(np.int64)
             salts = pdf["salt"].to_numpy()
-            frag_start = np.empty(len(pdf), dtype=bool)
+            docs_ = pdf["doc_id"].to_numpy(np.int64)
+            tfs_ = pdf["tf"].to_numpy(np.int64)
+            dls_ = pdf["dl"].to_numpy(np.int64)
+            # in-kernel replay dedup (r8): rows arrive sorted by
+            # (term_id, salt, doc_id), so duplicate postings — the
+            # replayed-merge case merge_incremental used to guard with
+            # a full .distinct() exchange — are ADJACENT; one boolean
+            # mask removes them for free. A (term_id, doc_id) pair
+            # cannot legitimately carry two different (tf, dl) values
+            # (cross-batch anti-join + folded-ledger anti-join), so
+            # same-key-adjacent == exact-duplicate-row here.
+            keep = np.empty(len(pdf), dtype=bool)
+            keep[0] = True
+            keep[1:] = (
+                (tids[1:] != tids[:-1])
+                | (salts[1:] != salts[:-1])
+                | (docs_[1:] != docs_[:-1])
+            )
+            if not keep.all():
+                tids, docs_, tfs_, dls_ = (
+                    tids[keep], docs_[keep], tfs_[keep], dls_[keep]
+                )
+                salts = salts[keep]
+            frag_start = np.empty(tids.size, dtype=bool)
             frag_start[0] = True
             frag_start[1:] = (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
             cols = codec.encode_blocks_vectorized(
                 tids,
-                pdf["doc_id"].to_numpy(np.int64),
-                pdf["tf"].to_numpy(np.int64),
-                pdf["dl"].to_numpy(np.int64),
+                docs_,
+                tfs_,
+                dls_,
                 frag_start,
                 block_size,
             )

@@ -394,7 +394,7 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
         t_ph = time.perf_counter()
         dict_staging = os.path.join(index_dir, "dictionary_staging")
         (
-            upd_dict.repartition("term_bucket")
+            upd_dict.repartition(8 * N_TERM_BUCKETS, "term_bucket")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(dict_staging)
@@ -479,14 +479,26 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
         new_blocks = _encode_postings(spark, surviving, hot, block_size)
         blocks_staging = os.path.join(index_dir, "blocks_staging")
         cols = [f.name for f in BLOCKS_WITH_BUCKET.fields]
-        (
-            keep_blocks.select(*cols)
-            .unionByName(new_blocks.select(*cols))
-            .repartition("term_bucket")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(blocks_staging)
-        )
+        from .build import ENCODE_ARROW_BATCH, _arrow_batch
+
+        # kept rows are map-only (broadcast anti-joins) and bucket-
+        # aligned from the scan: write them shuffle-free, then append
+        # the re-encoded rows with their own bucket shuffle (see
+        # merge_incremental — same blocks_write attribution fix)
+        with _arrow_batch(spark, ENCODE_ARROW_BATCH):
+            (
+                keep_blocks.select(*cols)
+                .write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(blocks_staging)
+            )
+            (
+                new_blocks.select(*cols)
+                .repartition(8 * N_TERM_BUCKETS, "term_bucket")
+                .write.mode("append")
+                .partitionBy("term_bucket")
+                .parquet(blocks_staging)
+            )
         del_stats.unpersist()
         deleted_runs.unpersist()
         phases["blocks_write"] = time.perf_counter() - t_ph
