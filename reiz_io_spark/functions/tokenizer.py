@@ -60,6 +60,14 @@ IDENTIFIER_FIELDS: dict[str, tuple[str, ...]] = {
 TAG_EXCLUSIONS = frozenset({"ctx", "type_comment", "simple"})
 
 
+# Per-AST-class static info, filled lazily: (pre-rendered "node:<T>"
+# term, identifier-field tuple or None, is_Constant, _fields tuple).
+# One dict lookup replaces type-name rendering, IDENTIFIER_FIELDS
+# probing and ast.iter_fields' generator machinery per node (r8: the
+# walk, not ast.parse, was ~2/3 of tokenizer time at ~1.2k nodes/file).
+_TYPE_INFO: dict[type, tuple[str, tuple[str, ...] | None, bool, tuple[str, ...]]] = {}
+
+
 def tokenize_source(content: str) -> tuple[Counter[str], bool]:
     """Tokenize one Python source file. Returns (term->tf bag, parse_ok)."""
     try:
@@ -68,39 +76,67 @@ def tokenize_source(content: str) -> tuple[Counter[str], bool]:
         return Counter(), False
     # Iterative DFS carrying the ancestor-edge set per node (the reference
     # computes the same set recursively, transformers.py:144-151).
-    # Hot-path notes: ancestor sets carry pre-rendered "in:P.f" strings
-    # (rendered once per distinct edge via edge_str); the child set is
-    # built once per FIELD, not per child — siblings share it; and terms
-    # are appended to a flat list counted ONCE at the end (C-speed
-    # Counter(list) beats per-term dict increments).
+    # Hot-path notes (r8 rewrite, same output multiset):
+    # - per-type info is cached in _TYPE_INFO: one dict lookup replaces
+    #   type-name rendering + IDENTIFIER_FIELDS probe + the
+    #   ast.iter_fields generator per node, and leaf enum nodes (Load,
+    #   Add, ... — roughly half of all nodes) exit via the no-fields
+    #   fast path;
+    # - ancestor terms go through out.extend(frozenset) — C-speed
+    #   iteration (an id-keyed per-set usage-counting variant was
+    #   measured 10% SLOWER: set sharing across bodies is too low to
+    #   beat extend);
+    # - terms append to a flat list counted once at the end (C-speed
+    #   Counter(list) beats per-term dict increments).
     out: list[str] = []
     ap = out.append
+    ext = out.extend
     edge_str: dict[tuple[str, str], str] = {}
-    stack: list[tuple[ast.AST, frozenset[str]]] = [(tree, frozenset())]
+    empty: frozenset[str] = frozenset()
+    stack: list[tuple[ast.AST, frozenset[str]]] = [(tree, empty)]
+    pop = stack.pop
+    push = stack.append
+    tinfo = _TYPE_INFO
+    isinst = isinstance
+    AST = ast.AST
     while stack:
-        node, ancestors = stack.pop()
-        name = type(node).__name__
-        ap("node:" + name)
-        out.extend(ancestors)
-        ident_fields = IDENTIFIER_FIELDS.get(name)
+        node, ancestors = pop()
+        cls = node.__class__
+        info = tinfo.get(cls)
+        if info is None:
+            nm = cls.__name__
+            info = tinfo[cls] = (
+                "node:" + nm,
+                IDENTIFIER_FIELDS.get(nm),
+                nm == "Constant",
+                cls._fields,
+            )
+        node_term, ident_fields, is_const, fields = info
+        ap(node_term)
+        if ancestors:
+            ext(ancestors)
+        if not fields:
+            continue  # leaf enum node (Load, Store, Add, ...)
         if ident_fields:
             for fld in ident_fields:
                 val = getattr(node, fld, None)
-                if isinstance(val, str):
+                if isinst(val, str):
                     ap("id:" + val)
                     ap("idci:" + val.lower())
-                elif isinstance(val, list):  # Global/Nonlocal.names
+                elif isinst(val, list):  # Global/Nonlocal.names
                     for v in val:
-                        if isinstance(v, str):
+                        if isinst(v, str):
                             ap("id:" + v)
                             ap("idci:" + v.lower())
-        if name == "Constant":
+        if is_const:
             ap("lit:" + repr(node.value))
-        for fld, value in ast.iter_fields(node):
-            if isinstance(value, ast.AST):
+        name = node_term[5:]
+        for fld in fields:
+            value = getattr(node, fld, None)
+            if isinst(value, AST):
                 children = (value,)
-            elif isinstance(value, list):
-                children = tuple(c for c in value if isinstance(c, ast.AST))
+            elif isinst(value, list):
+                children = [c for c in value if isinst(c, AST)]
                 if not children:
                     continue
             else:
@@ -111,7 +147,7 @@ def tokenize_source(content: str) -> tuple[Counter[str], bool]:
                 s = edge_str[edge] = "in:" + name + "." + fld
             child_anc = ancestors if s in ancestors else ancestors | {s}
             for child in children:
-                stack.append((child, child_anc))
+                push((child, child_anc))
     return Counter(out), True
 
 
@@ -159,13 +195,64 @@ def tokenize_udf(content: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"terms": out_terms, "n_terms": out_n, "parse_ok": out_ok})
 
 
+def _tokenize_batches(content_col: str):
+    """mapInArrow kernel: tokenize each batch, building the terms MAP
+    column from flat key/value/offset arrays (one MapArray.from_arrays
+    call per batch) instead of a pandas Series of Python dicts — the
+    dict-per-row -> Arrow map conversion was the single biggest
+    non-tokenize cost of the build's docs phase (r8 probe: the
+    pandas_udf path spent ~2x tokenize_source's own time in the
+    boundary). The content column is consumed here and NOT emitted —
+    the docs table never carries it, so the raw bytes cross the
+    boundary once, inbound only (guide §4.1/§4.2)."""
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            keys: list[str] = []
+            vals: list[int] = []
+            offsets = [0]
+            n_terms: list[int] = []
+            ok_list: list[bool] = []
+            for v in batch.column(content_col):
+                s = v.as_py()
+                bag, ok = tokenize_source(s if isinstance(s, str) else "")
+                keys.extend(bag.keys())
+                vals.extend(bag.values())
+                offsets.append(len(keys))
+                n_terms.append(sum(bag.values()))
+                ok_list.append(ok)
+            cols = {
+                name: batch.column(name)
+                for name in batch.schema.names
+                if name != content_col
+            }
+            cols["terms"] = pa.MapArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(keys, pa.string()),
+                pa.array(vals, pa.int64()),
+            )
+            cols["n_terms"] = pa.array(n_terms, pa.int64())
+            cols["parse_ok"] = pa.array(ok_list, pa.bool_())
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return run
+
 def with_tokens(df, content_col: str = "content"):
-    """corpus df -> df + (terms, n_terms, parse_ok) columns."""
-    tok = tokenize_udf(F.col(content_col))
-    return (
-        df.withColumn("_tok", tok)
-        .withColumn("terms", F.col("_tok.terms"))
-        .withColumn("n_terms", F.col("_tok.n_terms"))
-        .withColumn("parse_ok", F.col("_tok.parse_ok"))
-        .drop("_tok")
+    """corpus df -> df + (terms, n_terms, parse_ok) columns; the
+    content column itself is dropped (no current caller keeps it, and
+    emitting it would ship the corpus bytes back out of Python)."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, MapType, StringType, StructField, StructType,
+    )
+
+    out_fields = [
+        f for f in df.schema.fields if f.name != content_col
+    ] + [
+        StructField("terms", MapType(StringType(), LongType())),
+        StructField("n_terms", LongType()),
+        StructField("parse_ok", BooleanType()),
+    ]
+    return df.mapInArrow(
+        _tokenize_batches(content_col), StructType(out_fields)
     )

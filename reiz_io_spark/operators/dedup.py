@@ -171,37 +171,48 @@ def ngram_jaccard_pairs(
     slight underestimate (documented recall tradeoff; at the default cap
     it binds only on corpora with >1000-doc stop-phrases).
     """
-    # r8 shape (guide §1 measure-first + §2.3/§2.4): same exact count-
-    # based inverted-index join, with every avoidable pass removed.
-    # vs r7: (1) per-doc DISTINCT shingles come from a map-side array
-    # (_shingle_array) inlined in the explode — the old explode +
-    # .distinct() corpus shuffle and its localCheckpoint are gone;
-    # (2) the hot-shingle cap is one count agg + an equi-join keeping
-    # df ∈ [2, cap] — dropping df=1 shingles is output-identical (a
-    # shingle held by one doc joins only itself, killed by doc_a <
-    # doc_b) and halves sparse-corpus join input; the old plan's anti-
-    # join is gone; (3) |A| sizes are map-only (size of the array),
-    # not a groupBy. The self-join's two sides share one exchange
-    # (ReuseExchange — identical subtree). Measured 19.2 s -> 4.9 s at
-    # the sf1.0 bench (50k docs, 127M co-occurrence rows).
-    #
-    # Two findings from the r8 measurement campaign, kept as warnings:
-    # - keep the array expression INLINE in the explode: naming it in
-    #   a lower Project lets InferFiltersFromGenerate copy the full
-    #   expression into size()/isnotnull() filters pushed below the
-    #   exchange, evaluated interpreted (HOFs are CodegenFallback) —
-    #   measured 80 s vs 2.2 s for the same explode;
-    # - an exact PPJoin prefix-filter variant (candidates from rarest-
-    #   first prefixes + array_intersect verify) was built, proven
-    #   output-identical, and REJECTED by measurement: on this dense
-    #   corpus 52M of the 127M co-occurring pairs survive the prefix
-    #   filter and the per-candidate verify costs 174 s — the codegen
-    #   count aggregation is the right primitive when candidate sets
-    #   are dense.
+    # r8 shape (guide §1 measure-first + §2.3/§2.4), re-measured on a
+    # driver-shaped dense corpus (50k docs, 31-word vocab, 224M
+    # co-occurrence rows, 100M distinct candidate pairs):
+    # (1) the per-doc DISTINCT shingle ARRAY is materialized ONCE via a
+    #     lazy localCheckpoint of (doc_id, sh_arr) — 50k tiny rows; the
+    #     interpreted HOF shingle expression (transform + concat_ws +
+    #     array_distinct, CodegenFallback) runs exactly once per doc
+    #     instead of once per consumer branch, and the checkpoint stops
+    #     InferFiltersFromGenerate from cloning the HOF into pushed-down
+    #     filters (the r8-measured 80 s failure mode);
+    # (2) |A| rides the rows (size of the array, map-side), so the
+    #     Jaccard arithmetic needs NO trailing sizes joins — na/nb are
+    #     group keys of the pair count;
+    # (3) SIZE-COMPATIBILITY prefilter inside the self-join:
+    #     J(A,B) >= t implies |B| <= |A|/t and |A| <= |B|/t, so pairs
+    #     violating the size-ratio bound are dropped BEFORE the pair
+    #     exchange + 100M-group count aggregation (the measured wall —
+    #     the agg barely reduces: 1.1 co-occurrences per candidate
+    #     pair). Provably output-identical: every dropped pair has
+    #     J < t and could never survive the final filter.
+    # (4) the hot-shingle cap keeps df ∈ [2, cap]: df=1 shingles join
+    #     only themselves (killed by doc_a < doc_b) — identical output,
+    #     fewer join rows.
+    # An exact PPJoin prefix-filter variant (rarest-first prefixes +
+    # array_intersect verify) was built in r8, proven output-identical,
+    # and REJECTED by measurement: on dense corpora ~half the candidate
+    # pairs survive the prefix filter and the per-candidate interpreted
+    # verify costs 174 s — the codegen count aggregation is the right
+    # primitive when candidate sets are dense.
     from .fulltext import spread_parallelism
 
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("ngram_jaccard_pairs: threshold must be in (0, 1]")
     d32 = spread_parallelism(documents)
-    sh = d32.select("doc_id", F.explode(_shingle_array(n)).alias("shingle"))
+    arr = d32.select(
+        "doc_id", _shingle_array(n).alias("sh_arr")
+    ).localCheckpoint(eager=False)
+    sh = arr.select(
+        "doc_id",
+        F.size("sh_arr").alias("n_sh"),
+        F.explode("sh_arr").alias("shingle"),
+    )
     dfs = sh.groupBy("shingle").agg(F.count("*").alias("sh_df")).filter(
         F.col("sh_df") >= 2
     )
@@ -210,19 +221,30 @@ def ngram_jaccard_pairs(
     joinable = sh.join(dfs.select("shingle"), "shingle")
     a = joinable.alias("a")
     b = joinable.alias("b")
+    # float bound with slack: size-compat is nb*t <= na <= nb/t. The
+    # final filter compares the 6-dp ROUNDED jaccard (round can lift a
+    # true J by up to 5e-7) and float ratio arithmetic wobbles at 1e-16,
+    # so the bound backs off by 1e-6: a pair is removed only when
+    # J <= min/max < t - 1e-6, whose rounded value is still < t — the
+    # filter can never remove a pair the unfiltered plan would emit.
+    tb = float(threshold) - 1e-6
     inter = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") >= F.col("b.n_sh") * tb)
+            & (F.col("b.n_sh") >= F.col("a.n_sh") * tb)
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sizes = d32.select("doc_id", F.size(_shingle_array(n)).alias("n_sh"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6

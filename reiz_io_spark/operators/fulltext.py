@@ -76,16 +76,21 @@ def postings(documents: DataFrame) -> DataFrame:
 
 def _postings_for_terms(documents: DataFrame, query_terms: list[str]) -> DataFrame:
     """``postings(documents).filter(term.isin(query_terms))`` computed
-    without exploding the corpus (r8, guide §2.3/§4): the token ARRAY is
-    filtered to the query terms BEFORE the explode, so the explode and
-    the (term, doc_id, dl) aggregation see only matching tokens — not
-    every token of every doc. A JVM substring prefilter
-    (lower(text) contains ANY term) skips the regex split entirely for
-    docs that cannot hold a matching token; it is a strict superset
-    filter (a token equal to `t` implies the lowered text contains `t`
-    as a substring, terms being [a-z0-9]+), and it is ANY-term even for
-    conjunctive queries so per-term df counts stay exact. Row-identical
-    to the filtered-postings formulation: same (term, doc_id, tf, dl)."""
+    without exploding the corpus (r8, guide §2.3/§4) — and, when every
+    query term is a possible token ([a-z0-9]+), without tokenizing it
+    either: per-term tf is ONE compiled whole-token regex count per
+    term ('(?<![a-z0-9])t(?![a-z0-9])' — the boundary lookarounds make
+    "substring match" == "token equality"), dl is the token-run count,
+    and the (term, doc_id, tf, dl) rows come from a 3-element literal
+    array explode — so the corpus-sized explode AND its
+    (term, doc_id, dl) aggregation exchange are both gone; the rows
+    leave the scan already aggregated. A JVM substring prefilter
+    (lower(text) contains ANY term) is pushed to the scan and skips
+    full scoring for docs that cannot hold a matching token; ANY-term
+    even for conjunctive queries so per-term df counts stay exact.
+    Row-identical to the filtered-postings formulation."""
+    import re as _re
+
     tset = sorted(set(query_terms))
     probe = F.lower(F.col("text"))
     pre = None
@@ -93,7 +98,37 @@ def _postings_for_terms(documents: DataFrame, query_terms: list[str]) -> DataFra
         c = probe.contains(t)
         pre = c if pre is None else (pre | c)
     documents = spread_parallelism(documents)
-    t = tokens(documents.filter(pre) if pre is not None else documents).select(
+    filtered = documents.filter(pre) if pre is not None else documents
+    if tset and all(_re.fullmatch("[a-z0-9]+", t) for t in tset):
+        s1 = filtered.select("doc_id", F.lower(F.col("text")).alias("_lt"))
+        tf_cols = [
+            F.regexp_count(
+                F.col("_lt"), F.lit("(?<![a-z0-9])%s(?![a-z0-9])" % t)
+            ).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(tset)
+        ]
+        s2 = s1.select(
+            "doc_id",
+            F.regexp_count(F.col("_lt"), F.lit("[a-z0-9]+"))
+            .cast("long").alias("dl"),
+            *tf_cols,
+        )
+        entries = F.array(*[
+            F.struct(
+                F.lit(t).alias("term"), F.col(f"_tf{i}").alias("tf")
+            )
+            for i, t in enumerate(tset)
+        ])
+        return (
+            s2.select("doc_id", "dl", F.explode(entries).alias("e"))
+            .select("doc_id", "dl", "e.term", "e.tf")
+            .filter(F.col("tf") > 0)
+            .select("term", "doc_id", "dl", "tf")
+        )
+    # defining fallback (a term that is not [a-z0-9]+ can only be
+    # handled by real tokenization; it can never match, so the filtered
+    # explode yields no rows for it — same as the regex path's absence)
+    t = tokens(filtered).select(
         "doc_id",
         F.size("toks").cast("long").alias("dl"),
         F.explode(F.filter("toks", lambda x: x.isin(tset))).alias("term"),
@@ -192,7 +227,14 @@ def bm25_topk(
     never route interactive traffic here."""
     n_docs, avgdl = corpus_stats(documents)
 
-    p = _postings_for_terms(documents, query_terms)
+    # the matched-postings relation feeds BOTH the df aggregation (the
+    # broadcast build job) and the scoring join; without materialization
+    # the corpus scan + per-term tf pass executes once per consumer
+    # (r8 probe: 2x the whole scan). The matched set is query-sized
+    # (docs holding >= 1 term x |terms|), so the checkpoint is tiny.
+    p = _postings_for_terms(documents, query_terms).localCheckpoint(
+        eager=False
+    )
     d = (
         p.groupBy("term").agg(F.count("*").alias("df"))
         .withColumn(

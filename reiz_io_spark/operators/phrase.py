@@ -93,6 +93,36 @@ def _per_term_positions(documents: DataFrame, terms: list[str]) -> DataFrame:
     return grouped.filter(cond)
 
 
+def _phrase_regex_tf(phrase: list[str]):
+    """Column expr: exact adjacent-token phrase count via ONE compiled
+    regex over the separator-normalized text (r8, guide §1.2/§4):
+    tokens are maximal [a-z0-9]+ runs of the lowered text, so collapsing
+    every separator run to a single space (with sentinel spaces at the
+    ends) makes "adjacent tokens" == "space-joined substring". The
+    match is FULLY zero-width — '(?<= )(?=t0 t1 ... tn )' asserts the
+    phrase (with its trailing separator) from each post-space position
+    without consuming anything — so OVERLAPPING starts all count (a
+    consuming pattern undercounts self-overlapping phrases like (a, a)
+    over tokens a a a: 1 instead of the position-array formulation's
+    2). Replaces ~200 interpreted array-lambda element-ops per doc with
+    one codegen regex pass. Only valid when every term is a possible
+    token ([a-z0-9]+)."""
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "),
+        F.lit(" "),
+    )
+    return F.regexp_count(
+        norm, F.lit("(?<= )(?=%s )" % " ".join(phrase))
+    ).cast("long")
+
+
+def _all_alnum_terms(phrase: list[str]) -> bool:
+    import re
+
+    return all(re.fullmatch("[a-z0-9]+", t) for t in phrase)
+
+
 def phrase_match(documents: DataFrame, phrase: list[str]) -> DataFrame:
     """(doc_id, phrase_tf) — exact adjacent-token phrase occurrences.
 
@@ -101,6 +131,16 @@ def phrase_match(documents: DataFrame, phrase: list[str]) -> DataFrame:
     """
     if not phrase:
         raise ValueError("empty phrase")
+    if _all_alnum_terms(phrase):
+        from .fulltext import spread_parallelism
+
+        return (
+            spread_parallelism(documents)
+            .select("doc_id", _phrase_regex_tf(phrase).alias("phrase_tf"))
+            .filter(F.col("phrase_tf") > 0)
+        )
+    # a term that is not a possible token ([a-z0-9]+) can never equal
+    # any token — keep the defining position-array path for that edge
     g = _per_term_positions(documents, phrase)
 
     def _continues(i: int):
@@ -126,36 +166,53 @@ def phrase_topk(
     tiebreak on doc_id.
     """
     # r8 fused shape: phrase_tf AND dl come out of ONE map-only pass
-    # over the token arrays (the old plan ran the corpus explode three
-    # times — m.count() for df, the m plan again for rows, plus a
-    # tokens() join for dl — and paid a doc_id exchange). The matched
-    # set (docs with phrase_tf > 0) is tiny; localCheckpoint
-    # materializes it once so the df count and the final ranking share
-    # the single pass. Row-identical: same phrase_tf (same start-
-    # position filter), same dl, same scoring constants.
+    # (the old plan ran the corpus explode three times — m.count() for
+    # df, the m plan again for rows, plus a tokens() join for dl — and
+    # paid a doc_id exchange). The matched set (docs with phrase_tf >
+    # 0) is tiny; localCheckpoint materializes it once so the df count
+    # and the final ranking share the single pass. phrase_tf itself is
+    # the one-regex count (_phrase_regex_tf) when every term is a
+    # possible token, with the position-array formulation kept as the
+    # defining fallback; dl is the quality_score token-run count —
+    # both whole-stage codegen, no interpreted array lambdas.
     from .fulltext import spread_parallelism
 
-    g = tokens(spread_parallelism(documents)).select(
-        "doc_id",
-        F.size("toks").cast("long").alias("dl"),
-        *_position_cols(phrase),
-    )
-
-    def _continues(i: int):
-        return lambda p: F.array_contains(F.col(f"p{i}"), p + i)
-
-    starts = F.col("p0")
-    for i in range(1, len(phrase)):
-        starts = F.filter(starts, _continues(i))
-    m = (
-        g.select(
-            "doc_id",
-            F.size(starts).cast("long").alias("phrase_tf"),
-            "dl",
+    d = spread_parallelism(documents)
+    if _all_alnum_terms(phrase):
+        dl = F.regexp_count(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+")
+        ).cast("long")
+        m = (
+            d.select(
+                "doc_id",
+                _phrase_regex_tf(phrase).alias("phrase_tf"),
+                dl.alias("dl"),
+            )
+            .filter(F.col("phrase_tf") > 0)
+            .localCheckpoint(eager=False)
         )
-        .filter(F.col("phrase_tf") > 0)
-        .localCheckpoint(eager=False)
-    )
+    else:
+        g = tokens(d).select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            *_position_cols(phrase),
+        )
+
+        def _continues(i: int):
+            return lambda p: F.array_contains(F.col(f"p{i}"), p + i)
+
+        starts = F.col("p0")
+        for i in range(1, len(phrase)):
+            starts = F.filter(starts, _continues(i))
+        m = (
+            g.select(
+                "doc_id",
+                F.size(starts).cast("long").alias("phrase_tf"),
+                "dl",
+            )
+            .filter(F.col("phrase_tf") > 0)
+            .localCheckpoint(eager=False)
+        )
     # memoized per corpus snapshot (fulltext.corpus_stats): avg(dl)
     # over all docs == sum(len(toks))/count in exact IEEE terms, so
     # reusing the shared memo changes nothing vs the DuckDB twin and

@@ -77,26 +77,86 @@ SELECT doc_id, {case} AS pred_lang FROM c
 
 
 def quality_score(documents: DataFrame) -> DataFrame:
-    """doc_id + interpretable quality features + combined score."""
+    """doc_id + interpretable quality features + combined score.
+
+    r8 (guide §1.2 per-task work): the r7 formulation evaluated three
+    higher-order array lambdas (filter/isin, aggregate) per doc — HOFs
+    are CodegenFallback, interpreted per element — and re-tokenized in
+    its own row filter. Every feature is a function of the token
+    MULTISET's counts/lengths, so each is re-expressed as one compiled
+    JVM regexp over the lowered text (whole-stage codegen, single
+    pass, no array materialization):
+
+    - n_tokens: count of maximal [a-z0-9]+ runs == count of split
+      tokens (regexp_count);
+    - stop hits: tokens are space-bounded after collapsing separator
+      runs to ' ' (with sentinel spaces at both ends), so whole-token
+      stopword matches are ' (w1|...|wk)(?= )' — the lookahead leaves
+      the trailing space for the NEXT token's leading match, so
+      adjacent stopwords all count (non-overlap would otherwise eat
+      the shared separator);
+    - mean token length: sum(len(tok)) == count of alnum chars in the
+      lowered text (strip separators, take length). The old fold
+      added integer lengths in float64 — exact for these magnitudes —
+      so integer-sum/n is bit-identical.
+
+    Counts are integers equal to the r7 expressions' values, and the
+    ratio/rounding arithmetic is unchanged, so scores hash-match
+    (oracle-gated: text_quality, pipeline_clean_corpus)."""
     from .fulltext import spread_parallelism
 
     documents = spread_parallelism(documents)
-    toks = _toks()
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
-    n_toks = F.size(toks)
-    punct_ratio = (
-        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")) / F.length("text")
+    lower_az = "abcdefghijklmnopqrstuvwxyz0123456789"
+    both_az = " abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    # row filter FIRST: n_toks > 0 iff ANY alnum char exists; rlike
+    # short-circuits at the first match, so the predicate the optimizer
+    # pushes below the parallelism exchange (into the possibly
+    # single-partition scan stage) is O(prefix) per row instead of the
+    # full tokenize regex — which the r8 probe showed running 1-core
+    # for the whole corpus. length(text) > 0 is implied by the match;
+    # keeping it preserves the exact r7 filter semantics for free.
+    filtered = documents.filter(
+        (F.length("text") > 0) & F.lower(F.col("text")).rlike("[a-z0-9]")
     )
-    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(all_stop))) / n_toks
-    mean_tok_len = F.aggregate(
-        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
-    ) / n_toks
-    df = documents.filter((F.length("text") > 0) & (F.size(_toks()) > 0)).select(
+    # staged projections: lower(text) and the token-count regex are each
+    # referenced by several features; CollapseProject does NOT inline a
+    # multiply-referenced non-cheap alias, so each is evaluated ONCE per
+    # row (the single-projection form re-ran the tokenize regex 3x and
+    # lower() 3x — measured 2.3 s vs 0.4 s at 50k docs).
+    s1 = filtered.select("doc_id", "text", F.lower(F.col("text")).alias("_lt"))
+    s2 = s1.select(
+        "doc_id", "text", "_lt",
+        F.regexp_count(F.col("_lt"), F.lit("[a-z0-9]+")).alias("_nt"),
+    )
+    # punct chars: length(text) minus [a-zA-Z0-9 ] chars — translate is
+    # a char-map delete (no regex); identical count to the r7
+    # regexp_replace('[a-zA-Z0-9 ]','') length.
+    punct_ratio = (
+        F.length(F.translate(F.col("text"), both_az, "")) / F.length("text")
+    )
+    # whole-token stopword hits in ONE non-consuming pass: a token
+    # equals w iff w appears bounded by non-[a-z0-9] (or string edge) on
+    # both sides; lookarounds don't consume separators, so adjacent
+    # stopword tokens all match (same count as the r7 per-token isin).
+    stop_hits = F.regexp_count(
+        F.col("_lt"),
+        F.lit("(?<![a-z0-9])(%s)(?![a-z0-9])" % "|".join(all_stop)),
+    )
+    # sum of token lengths == count of [a-z0-9] chars in the lowered
+    # text; the r7 fold added integer lengths in float64 (exact at
+    # these magnitudes), so the integer-difference sum is bit-identical.
+    sum_tok_len = F.length("_lt") - F.length(
+        F.translate(F.col("_lt"), lower_az, "")
+    )
+    df = s2.select(
         "doc_id",
-        n_toks.cast("long").alias("n_tokens"),
+        F.col("_nt").cast("long").alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_hits / F.col("_nt"), 6).alias("stop_ratio"),
+        F.round(sum_tok_len.cast("double") / F.col("_nt"), 6).alias(
+            "mean_token_len"
+        ),
     )
     score = (
         F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4

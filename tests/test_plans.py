@@ -130,21 +130,23 @@ def test_asof_join_single_exchange(spark):
 
 
 def test_phrase_filters_before_shuffle(spark):
-    """Phrase evaluation prunes non-query terms BEFORE its one doc_id
-    shuffle: the Filter on term must sit below the Exchange."""
+    """Phrase evaluation is MAP-ONLY up to per-doc position arrays (r8
+    shape): no posexplode of the corpus, no doc_id groupBy — the only
+    Exchange allowed is the scale-adaptive parallelism spread, and the
+    per-slot position arrays are built by array lambdas referencing the
+    phrase terms directly."""
     from reiz_io_spark.operators.phrase import phrase_match
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(phrase_match(docs, ["table", "hash"]))
-    # one Exchange in the tree (the doc_id groupBy); the term filter and
-    # the PARTIAL aggregate both sit below it, so only per-doc position
-    # arrays of the query's terms cross the wire
-    assert plan.count("Exchange (") == 1, plan[:2000]
-    tree = plan.split("(1) Scan", 1)[0]
-    filt_pos = tree.rfind("Filter")     # deepest Filter (post-explode prune)
-    exch_pos = tree.find("Exchange")
-    assert filt_pos > exch_pos > 0, tree  # deeper in tree = printed later
-    assert "term" in plan and "IN" in plan.upper()
+    # at most one Exchange (the round-robin parallelism spread; a
+    # multi-file corpus would have none) and NO aggregate anywhere:
+    # positions never leave their doc's row
+    assert plan.count("Exchange (") <= 1, plan[:2000]
+    assert "posexplode" not in plan and "Generate" not in plan, plan[:2000]
+    assert "Aggregate" not in plan and "Join" not in plan, plan[:2000]
+    # the slot filters reference the phrase terms as literals
+    assert "table" in plan and "hash" in plan
 
 
 def test_chunk_dedup_hashes_before_shuffle(spark):
