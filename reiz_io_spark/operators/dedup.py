@@ -174,13 +174,17 @@ def ngram_jaccard_pairs(
     # r8 shape (guide §1 measure-first + §2.3/§2.4), re-measured on a
     # driver-shaped dense corpus (50k docs, 31-word vocab, 224M
     # co-occurrence rows, 100M distinct candidate pairs):
-    # (1) the per-doc DISTINCT shingle ARRAY is materialized ONCE via a
-    #     lazy localCheckpoint of (doc_id, sh_arr) — 50k tiny rows; the
+    # (1) the per-doc DISTINCT shingle ARRAY is materialized ONCE via
+    #     .persist() of (doc_id, sh_arr) — 50k tiny rows; the
     #     interpreted HOF shingle expression (transform + concat_ws +
     #     array_distinct, CodegenFallback) runs exactly once per doc
-    #     instead of once per consumer branch, and the checkpoint stops
-    #     InferFiltersFromGenerate from cloning the HOF into pushed-down
-    #     filters (the r8-measured 80 s failure mode);
+    #     instead of once per consumer branch, and the cache boundary
+    #     stops InferFiltersFromGenerate from cloning the HOF into
+    #     pushed-down filters (the r8-measured 80 s failure mode).
+    #     persist (not localCheckpoint): cached relations are freed by
+    #     catalog.clearCache()/ContextCleaner promptly — lazy
+    #     checkpoint blocks lingered past the entry and taxed every
+    #     later job's heap (measured on the full bench sequence);
     # (2) |A| rides the rows (size of the array, map-side), so the
     #     Jaccard arithmetic needs NO trailing sizes joins — na/nb are
     #     group keys of the pair count;
@@ -207,7 +211,7 @@ def ngram_jaccard_pairs(
     d32 = spread_parallelism(documents)
     arr = d32.select(
         "doc_id", _shingle_array(n).alias("sh_arr")
-    ).localCheckpoint(eager=False)
+    ).persist()
     sh = arr.select(
         "doc_id",
         F.size("sh_arr").alias("n_sh"),

@@ -231,10 +231,10 @@ def bm25_topk(
     # broadcast build job) and the scoring join; without materialization
     # the corpus scan + per-term tf pass executes once per consumer
     # (r8 probe: 2x the whole scan). The matched set is query-sized
-    # (docs holding >= 1 term x |terms|), so the checkpoint is tiny.
-    p = _postings_for_terms(documents, query_terms).localCheckpoint(
-        eager=False
-    )
+    # (docs holding >= 1 term x |terms|), so the cache is tiny; persist
+    # (not localCheckpoint) so the blocks are freed promptly instead of
+    # lingering past the query (bench-sequence heap hygiene).
+    p = _postings_for_terms(documents, query_terms).persist()
     d = (
         p.groupBy("term").agg(F.count("*").alias("df"))
         .withColumn(

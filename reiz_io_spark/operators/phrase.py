@@ -189,7 +189,7 @@ def phrase_topk(
                 dl.alias("dl"),
             )
             .filter(F.col("phrase_tf") > 0)
-            .localCheckpoint(eager=False)
+            .persist()
         )
     else:
         g = tokens(d).select(

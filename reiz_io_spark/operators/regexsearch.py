@@ -465,7 +465,13 @@ def _build_generation(
     def _doc_trigrams(pdf_iter):
         # distinct packed byte trigrams per doc — numpy shift/or over
         # the raw UTF-8 bytes (a JVM sequence+transform+substr built
-        # ~len(content) string objects per row and measured 10x slower)
+        # ~len(content) string objects per row and measured 10x slower).
+        # Emitted as ONE ARRAY ROW PER DOC, not exploded rows: shipping
+        # ~500 tg/doc as individual Arrow rows out of Python was the
+        # single biggest cost of the sidecar build (r8 probe: 17 s of a
+        # 26 s build for 94M rows at 200k files); array batches carry
+        # the same longs at a fraction of the per-element overhead and
+        # the explode happens JVM-side (codegen Generate).
         for pdf in pdf_iter:
             ids, tgs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["content"]):
@@ -473,31 +479,24 @@ def _build_generation(
                 if len(b) < 3:
                     continue
                 a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-                uniq = np.unique(
+                ids.append(doc_id)
+                tgs.append(np.unique(
                     (a[:-2] << 16) | (a[1:-1] << 8) | a[2:]
-                )
-                ids.append(np.full(uniq.size, doc_id, dtype=np.int64))
-                tgs.append(uniq)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.concatenate(ids)
-                    if ids else np.empty(0, dtype=np.int64),
-                    "tg": np.concatenate(tgs)
-                    if tgs else np.empty(0, dtype=np.int64),
-                }
-            )
+                ))
+            yield pd.DataFrame({"doc_id": ids, "tgs": tgs})
 
-    posts = content.select("doc_id", "content").mapInPandas(
-        _doc_trigrams, schema="doc_id long, tg long"
-    )
-    # The dictionary write and the fragment encode both consume posts,
-    # so the numpy extraction runs twice — deliberately UNCACHED: a
-    # persist of the exploded (doc_id, tg) rows (~1.5k rows/doc) was
-    # measured 2.5x SLOWER than recomputing (JVM-row cache round-trip
-    # of 10^8 tiny rows costs more than the vectorized re-extraction,
-    # r6 scaling cells). The extraction is embarrassingly parallel;
-    # the real per-task fixed cost was the full-dictionary broadcast
-    # below, now hot-only.
+    # persist the ARRAY rows (one per doc): both the dictionary agg
+    # and the fragment encode consume them, so the Python extraction
+    # runs once — and the blocks are unpersisted DETERMINISTICALLY at
+    # the end of this function instead of lingering until a GC cycle
+    # (a lazy localCheckpoint's blocks survive the build and tax every
+    # later job's heap). (The r6 finding that caching was 2.5x slower
+    # applied to the EXPLODED row cache — 10^8 JVM row objects; the
+    # array form is ~500x fewer rows.)
+    arrs = content.select("doc_id", "content").mapInPandas(
+        _doc_trigrams, schema="doc_id long, tgs array<long>"
+    ).persist()
+    posts = arrs.select("doc_id", F.explode("tgs").alias("tg"))
     df_per_tg = posts.groupBy("tg").agg(F.count("*").alias("df"))
     df_per_tg.write.mode("overwrite").parquet(
         _gen_dictionary(p["base"], gen)
@@ -560,6 +559,7 @@ def _build_generation(
         .partitionBy("bucket")
         .parquet(_gen_postings(p["base"], gen))
     )
+    arrs.unpersist()  # both consumers are done — free the blocks NOW
     # explicit schema: an empty input writes a part-file-less dir whose
     # schema can't be inferred (the ANN append lesson, ann_index.py)
     return (
