@@ -231,6 +231,131 @@ def encode_blocks_vectorized(
     }
 
 
+def encode_blocks_arrow(
+    term_ids: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    frag_start: np.ndarray,
+    block_size: int,
+    n_term_buckets: int,
+):
+    """encode_blocks_vectorized with ZERO per-block Python: the three
+    binary columns are built with pyarrow ``Array.from_buffers`` over
+    the varint streams directly (r8, guide §4.2 — a binary Arrow column
+    is one contiguous data buffer plus an offsets array, and the
+    per-block byte ranges are CONTIGUOUS by construction: block i's
+    range ends where block i+1's begins). The r7 encoder sliced
+    ~3 x n_blocks Python ``bytes`` objects per build (~10M allocations
+    at the 200k bench); this emits the same bytes with three buffer
+    wraps. Returns a pa.RecordBatch in BLOCKS_WITH_BUCKET column order,
+    or None for empty input. Byte-identical payloads to
+    encode_blocks_vectorized (pytest-gated)."""
+    import pyarrow as pa
+
+    n = docs.size
+    if n == 0:
+        return None
+    frag_starts_idx = np.flatnonzero(frag_start)
+    frag_id = np.cumsum(frag_start) - 1
+    pos_in_frag = np.arange(n, dtype=np.int64) - frag_starts_idx[frag_id]
+    is_block_start = (pos_in_frag % block_size) == 0
+    block_starts = np.flatnonzero(is_block_start)
+    block_ends = np.append(block_starts[1:], n)
+    n_docs_b = (block_ends - block_starts).astype(np.int32)
+
+    u = np.ascontiguousarray(docs, dtype=np.int64).view(np.uint64)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    gaps[1:] = u[1:] - u[:-1]
+
+    keep = ~is_block_start  # first doc of each block lives in metadata
+    delta_stream, delta_lens = varint_encode_with_lengths(gaps[keep])
+    tf_stream, tf_lens = varint_encode_with_lengths(tfs.astype(np.uint64))
+    dl_stream, dl_lens = varint_encode_with_lengths(dls.astype(np.uint64))
+
+    # per-block byte offsets: value-count prefix sums -> byte prefix
+    # sums; ranges are contiguous (ends[i] == starts[i+1]), so the
+    # offsets arrays describe the FULL streams with no copying
+    dv_counts = (n_docs_b - 1).astype(np.int64)
+    dv_off = np.concatenate(([0], np.cumsum(dv_counts)))
+    d_byte = np.concatenate(([0], np.cumsum(delta_lens)))
+    tf_byte = np.concatenate(([0], np.cumsum(tf_lens)))
+    dl_byte = np.concatenate(([0], np.cumsum(dl_lens)))
+    bnd = np.append(block_starts, n)
+
+    def _bin(stream: bytes, offsets: np.ndarray) -> pa.Array:
+        nb_ = offsets.size - 1
+        return pa.Array.from_buffers(
+            pa.binary(), nb_,
+            [None,
+             pa.py_buffer(offsets.astype(np.int32).tobytes()),
+             pa.py_buffer(stream)],
+        )
+
+    nb = block_starts.size
+    tids_b = term_ids[block_starts]
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(tids_b, pa.int64()),
+            pa.array(
+                (pos_in_frag[block_starts] // block_size).astype(np.int32),
+                pa.int32()),
+            pa.array(docs[block_starts], pa.int64()),
+            pa.array(docs[block_ends - 1], pa.int64()),
+            pa.array(n_docs_b, pa.int32()),
+            pa.array(np.maximum.reduceat(tfs, block_starts), pa.int64()),
+            pa.array(np.minimum.reduceat(dls, block_starts), pa.int64()),
+            _bin(delta_stream, d_byte[dv_off]),
+            _bin(tf_stream, tf_byte[bnd]),
+            _bin(dl_stream, dl_byte[bnd]),
+            pa.array((tids_b % n_term_buckets).astype(np.int32), pa.int32()),
+        ],
+        names=[
+            "term_id", "block_no", "first_doc_id", "last_doc_id",
+            "n_docs", "max_tf", "min_dl", "doc_deltas", "tfs", "dls",
+            "term_bucket",
+        ],
+    )
+
+
+def decode_postings_batch(
+    first_doc_ids: np.ndarray,
+    n_docs_b: np.ndarray,
+    doc_deltas_cat: bytes,
+    tfs_cat: bytes,
+    dls_cat: bytes,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY blocks' postings in one vectorized pass (r8): the
+    inverse of the block encoder for a whole batch — the r7 decoder
+    looped per block row in Python (3 varint calls per block, ~3.3M
+    blocks at the 200k bench; this was most of the update lifecycle's
+    blocks_write attribution). Inputs are the CONCATENATED payload
+    streams in row order. Returns (doc_ids int64, tfs int64, dls
+    int64) concatenated in the same order. doc_ids use the segmented
+    mod-2^64 cumulative sum: exact by telescoping within each block."""
+    nd = n_docs_b.astype(np.int64)
+    total = int(nd.sum())
+    starts = np.concatenate(([0], np.cumsum(nd)))[:-1]
+    vals = np.empty(total, dtype=np.uint64)
+    gaps = varint_decode(doc_deltas_cat)
+    # non-start positions get the gaps, in order; start positions get
+    # the block's first doc id
+    mask = np.ones(total, dtype=bool)
+    mask[starts] = False
+    vals[mask] = gaps
+    fd_u = np.ascontiguousarray(
+        first_doc_ids, dtype=np.int64
+    ).view(np.uint64)
+    vals[starts] = fd_u
+    z = np.cumsum(vals, dtype=np.uint64)
+    seg_base = z[starts] - vals[starts]  # uint64 wraparound-exact
+    doc_ids = (z - np.repeat(seg_base, nd)).view(np.int64)
+    tfs = varint_decode(tfs_cat).view(np.int64)
+    dls = varint_decode(dls_cat).view(np.int64)
+    return doc_ids, tfs, dls
+
+
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """blocks-table row -> (doc_ids int64, tfs int64, dls int64)."""
     n = int(row["n_docs"])

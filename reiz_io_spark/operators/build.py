@@ -592,13 +592,21 @@ def _encode_postings(
         salted.repartition(n_part, "term_id", "salt")
         .sortWithinPartitions("term_id", "salt", "doc_id")
         .select("term_id", "salt", "doc_id", "tf", "dl")
-        .mapInPandas(encode, schema=BLOCKS_WITH_BUCKET)
+        .mapInArrow(encode, schema=BLOCKS_WITH_BUCKET)
     )
 
 
 def _decode_blocks_to_postings(blocks_df: DataFrame) -> DataFrame:
     """Inverse of the encoder: block rows -> (term_id, doc_id, tf, dl).
-    Per-block decode is vectorized (codec round-trip is pytest-gated)."""
+
+    ONE vectorized decode per batch (codec.decode_postings_batch, r8):
+    the payload streams of all blocks in the batch are concatenated
+    (one C-level join each) and varint-decoded in a single pass, with
+    doc_ids reconstructed by a segmented mod-2^64 cumulative sum — the
+    r7 decoder ran three varint calls per block row in Python, which
+    was the dominant per-row cost of the update lifecycle's
+    decode+re-encode (blocks_write). Round-trip equality is
+    pytest-gated (test_codec / test_fragment_merge)."""
     import numpy as np
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -608,22 +616,18 @@ def _decode_blocks_to_postings(blocks_df: DataFrame) -> DataFrame:
             tid = pdf["term_id"].to_numpy(np.int64)
             fd = pdf["first_doc_id"].to_numpy(np.int64)
             nd = pdf["n_docs"].to_numpy(np.int64)
-            dd = pdf["doc_deltas"].to_numpy(object)
-            tfb = pdf["tfs"].to_numpy(object)
-            dlb = pdf["dls"].to_numpy(object)
-            tids, ds, ts, ls = [], [], [], []
-            for i in range(len(pdf)):
-                d = codec.delta_decode_docids(int(fd[i]), dd[i], int(nd[i]))
-                tids.append(np.full(d.size, tid[i], dtype=np.int64))
-                ds.append(d)
-                ts.append(codec.varint_decode(tfb[i]).view(np.int64))
-                ls.append(codec.varint_decode(dlb[i]).view(np.int64))
+            doc_ids, tfs, dls = codec.decode_postings_batch(
+                fd, nd,
+                b"".join(pdf["doc_deltas"]),
+                b"".join(pdf["tfs"]),
+                b"".join(pdf["dls"]),
+            )
             yield pd.DataFrame(
                 {
-                    "term_id": np.concatenate(tids),
-                    "doc_id": np.concatenate(ds),
-                    "tf": np.concatenate(ts),
-                    "dl": np.concatenate(ls),
+                    "term_id": np.repeat(tid, nd),
+                    "doc_id": doc_ids,
+                    "tf": tfs,
+                    "dl": dls,
                 }
             )
 
@@ -1100,26 +1104,27 @@ def build_index(
 
 
 def _make_block_encoder(block_size: int):
-    """mapInPandas encoder: rows sorted by (term_id, salt, doc_id) within
+    """mapInArrow encoder: rows sorted by (term_id, salt, doc_id) within
     the partition -> block rows.
 
-    Fully vectorized across fragments (codec.encode_blocks_vectorized):
-    code-corpus vocabularies are heavy-tailed, so a partition holds ~10^5
-    mostly-single-block fragments and anything per-fragment in Python
-    dominates the build. One output DataFrame per input Arrow batch; a
-    fragment spanning batch boundaries is carried over, so memory is
-    bounded by the fragment target (FRAGMENT_POSTINGS) + batch size."""
+    Fully vectorized across fragments AND across the Python/Arrow
+    boundary (codec.encode_blocks_arrow): code-corpus vocabularies are
+    heavy-tailed, so a partition holds ~10^5 mostly-single-block
+    fragments and anything per-fragment in Python dominates the build —
+    the r7 pandas encoder still built three Python ``bytes`` objects
+    per block; the Arrow encoder wraps the varint streams in binary
+    columns via from_buffers with zero per-block allocations (r8,
+    guide §4.2). One output RecordBatch per input batch; a fragment
+    spanning batch boundaries is carried over, so memory is bounded by
+    the fragment target (FRAGMENT_POSTINGS) + batch size."""
     import numpy as np
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
+    def encode(batches):
+        import pyarrow as pa  # noqa: F401 (worker-side import)
 
-        def run(pdf: pd.DataFrame) -> pd.DataFrame | None:
-            tids = pdf["term_id"].to_numpy(np.int64)
-            salts = pdf["salt"].to_numpy()
-            docs_ = pdf["doc_id"].to_numpy(np.int64)
-            tfs_ = pdf["tf"].to_numpy(np.int64)
-            dls_ = pdf["dl"].to_numpy(np.int64)
+        carry: tuple | None = None
+
+        def run(tids, salts, docs_, tfs_, dls_):
             # in-kernel replay dedup (r8): rows arrive sorted by
             # (term_id, salt, doc_id), so duplicate postings — the
             # replayed-merge case merge_incremental used to guard with
@@ -1128,7 +1133,7 @@ def _make_block_encoder(block_size: int):
             # cannot legitimately carry two different (tf, dl) values
             # (cross-batch anti-join + folded-ledger anti-join), so
             # same-key-adjacent == exact-duplicate-row here.
-            keep = np.empty(len(pdf), dtype=bool)
+            keep = np.empty(tids.size, dtype=bool)
             keep[0] = True
             keep[1:] = (
                 (tids[1:] != tids[:-1])
@@ -1143,39 +1148,35 @@ def _make_block_encoder(block_size: int):
             frag_start = np.empty(tids.size, dtype=bool)
             frag_start[0] = True
             frag_start[1:] = (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
-            cols = codec.encode_blocks_vectorized(
-                tids,
-                docs_,
-                tfs_,
-                dls_,
-                frag_start,
-                block_size,
+            return codec.encode_blocks_arrow(
+                tids, docs_, tfs_, dls_, frag_start, block_size,
+                N_TERM_BUCKETS,
             )
-            if not cols:
-                return None
-            cols["term_bucket"] = (cols["term_id"] % N_TERM_BUCKETS).astype("int32")
-            return pd.DataFrame(cols)
 
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
+            cols = tuple(
+                np.asarray(batch.column(i).to_numpy(zero_copy_only=False))
+                for i in range(5)
+            )
             if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
+                cols = tuple(
+                    np.concatenate((c, x)) for c, x in zip(carry, cols)
+                )
                 carry = None
-            tids = pdf["term_id"].to_numpy(np.int64)
-            salts = pdf["salt"].to_numpy()
-            change = np.empty(len(pdf), dtype=bool)
+            tids, salts = cols[0], cols[1]
+            change = np.empty(tids.size, dtype=bool)
             change[0] = True
             change[1:] = (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
             last_start = int(np.flatnonzero(change)[-1])
-            carry = pdf.iloc[last_start:].reset_index(drop=True)
-            head = pdf.iloc[:last_start]
-            if len(head):
-                out = run(head)
+            carry = tuple(np.ascontiguousarray(c[last_start:]) for c in cols)
+            if last_start:
+                out = run(*(c[:last_start] for c in cols))
                 if out is not None:
                     yield out
-        if carry is not None and len(carry):
-            out = run(carry)
+        if carry is not None and carry[0].size:
+            out = run(*carry)
             if out is not None:
                 yield out
 
