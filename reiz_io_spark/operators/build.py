@@ -588,10 +588,21 @@ def _encode_postings(
         .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.col("n_frag")).cast("int"))
     )
     encode = _make_block_encoder(block_size)
+    # tf/dl cross the exchange AND the Python boundary as int32 (guide
+    # §2.3 narrower types): tf <= doc length <= dl, and doclen is
+    # int-bounded by the tokenizer (a single file with 2^31 terms is
+    # beyond any input contract) — measured r8, the encode stage's cost
+    # is per-BYTE boundary tax, so 40 -> 32 bytes/row is a direct cut.
+    # The encoder widens back to int64/uint64 before the varint kernel,
+    # so the emitted block bytes are identical.
     return (
         salted.repartition(n_part, "term_id", "salt")
         .sortWithinPartitions("term_id", "salt", "doc_id")
-        .select("term_id", "salt", "doc_id", "tf", "dl")
+        .select(
+            "term_id", "salt", "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("dl").cast("int").alias("dl"),
+        )
         .mapInArrow(encode, schema=BLOCKS_WITH_BUCKET)
     )
 
